@@ -1,0 +1,3 @@
+from .od import compute_od_layers, compute_od_layer, species_column  # noqa: F401
+from .tud import TUD, tud_from_od, downwelling_angles  # noqa: F401
+from .radiance import apparent_radiance  # noqa: F401

@@ -1,0 +1,145 @@
+"""TUD products: transmittance, upwelling and downwelling radiance.
+
+TPU-native re-expression of ``compute_TUD`` (``radiative_transfer.py:274-392``).
+The reference's three serial Python loop nests become scans and batched
+exponentials:
+
+* transmittance: tau(zs, mu) = exp(-mu * sum_{z0 <= zs} OD) — a cumulative
+  sum over layers gathered at each sensor altitude
+  (reference ``:346-352``);
+* upwelling: the ground-to-top affine recurrence
+  Lu <- t*Lu + (1-t)*B_k, t = exp(-OD_k * mu) (reference ``:354-356``)
+  as one ``lax.scan`` whose per-layer states are gathered at each altitude;
+* downwelling: the top-to-ground recurrence per zenith angle
+  (reference ``:369-372``) as a ``lax.scan`` carrying all angles at once,
+  then the cos*sin-weighted hemispheric average (reference ``:387-388``).
+
+Array convention here is layer-first (nL, nX) internally — the scan axis
+leads — with spectral-axis-first (nX, ...) at the public boundary, matching
+the reference.
+
+Note on the reference's downwelling-layer quirk: ``compute_TUD`` reuses a
+loop variable so its downwelling integrates only the layers below the *last*
+sensor altitude (``radiative_transfer.py:353``, survey §2.2). This
+implementation always integrates all layers (the physically intended
+behaviour — identical whenever the last altitude is top-of-atmosphere, as in
+every production config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["TUD", "tud_from_od", "downwelling_angles"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TUD:
+    """TUD product bundle (spectral axis first, reference units)."""
+
+    X: jax.Array    # (nX,) wavenumber axis [cm^-1]
+    tau: jax.Array  # (nX, nZs, nMu) transmittance (or path OD if return_od)
+    Lu: jax.Array   # (nX, nZs, nMu) upwelling radiance [µW/(cm^2 sr cm^-1)]
+    Ld: jax.Array   # (nX,) hemispherically averaged downwelling radiance
+
+    def squeezed(self):
+        """Reference-style squeeze of singleton Zs/mu axes
+        (radiative_transfer.py:357-365)."""
+        tau, Lu = self.tau, self.Lu
+        for ax in (2, 1):
+            if tau.shape[ax] == 1:
+                tau = jnp.squeeze(tau, axis=ax)
+                Lu = jnp.squeeze(Lu, axis=ax)
+        return dataclasses.replace(self, tau=tau, Lu=Lu)
+
+
+def downwelling_angles(n_angles: int, dtype=jnp.float64):
+    """The reference's zenith quadrature: uniform [0, pi/2), endpoint
+    excluded (radiative_transfer.py:368)."""
+    return jnp.linspace(0.0, np.pi / 2.0, n_angles, endpoint=False, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_angles", "return_od"))
+def tud_from_od(
+    grid,
+    od,
+    B,
+    z0,
+    altitudes,
+    mu=1.0,
+    n_angles: int = 30,
+    return_od: bool = False,
+) -> TUD:
+    """Compose TUD products from a layer OD tensor.
+
+    Parameters
+    ----------
+    grid : (nX,) wavenumber axis.
+    od : (nL, nX) nadir optical depth per layer (ground layer first).
+    B : (nL, nX) Planck radiance per layer at the layer temperatures.
+    z0 : (nL,) layer bottom altitudes [km] (ascending).
+    altitudes : (nZs,) sensor altitudes [km].
+    mu : scalar or (nMu,) slant secant 1/cos(theta_r)
+        (reference ``:313``).
+    n_angles : downwelling zenith-quadrature size.
+    return_od : return path OD in the tau slot (reference ``returnOD``).
+    """
+    grid = jnp.asarray(grid)
+    od = jnp.asarray(od)
+    B = jnp.asarray(B)
+    z0 = jnp.asarray(z0)
+    altitudes = jnp.atleast_1d(jnp.asarray(altitudes))
+    mu = jnp.atleast_1d(jnp.asarray(mu))
+    n_layers = od.shape[0]
+
+    # Number of layers below each sensor altitude (ix = z0 <= zs, ref :348).
+    n_below = jnp.sum(z0[None, :] <= altitudes[:, None], axis=1)  # (nZs,)
+    gather_idx = jnp.clip(n_below - 1, 0, n_layers - 1)
+
+    # --- transmittance ------------------------------------------------------
+    cum_od = jnp.cumsum(od, axis=0)                    # (nL, nX)
+    path_od = cum_od[gather_idx]                       # (nZs, nX)
+    path_od = jnp.where((n_below > 0)[:, None], path_od, 0.0)
+    slant = path_od[None, :, :] * mu[:, None, None]    # (nMu, nZs, nX)
+    tau = slant if return_od else jnp.exp(-slant)
+
+    # --- upwelling: ground-to-top affine scan, all mu at once ---------------
+    def up_step(carry, layer):
+        od_k, b_k = layer                               # (nX,)
+        t = jnp.exp(-od_k[None, :] * mu[:, None])       # (nMu, nX)
+        carry = t * carry + (1.0 - t) * b_k[None, :]
+        return carry, carry
+
+    lu0 = jnp.zeros((mu.shape[0], grid.shape[0]), dtype=od.dtype)
+    _, lu_states = jax.lax.scan(up_step, lu0, (od, B))  # (nL, nMu, nX)
+    Lu = lu_states[gather_idx]                          # (nZs, nMu, nX)
+    Lu = jnp.where((n_below > 0)[:, None, None], Lu, 0.0)
+    Lu = jnp.moveaxis(Lu, 0, 1)                         # (nMu, nZs, nX)
+
+    # --- downwelling: top-to-ground scan over all angles --------------------
+    angles = downwelling_angles(n_angles, dtype=od.dtype)
+    sec = 1.0 / jnp.cos(angles)                         # (nA,)
+
+    def down_step(carry, layer):
+        od_k, b_k = layer
+        t = jnp.exp(-od_k[None, :] * sec[:, None])      # (nA, nX)
+        return t * carry + (1.0 - t) * b_k[None, :], None
+
+    ld0 = jnp.zeros((n_angles, grid.shape[0]), dtype=od.dtype)
+    ld_all, _ = jax.lax.scan(down_step, ld0, (od[::-1], B[::-1]))
+    w = jnp.cos(angles) * jnp.sin(angles)
+    Ld = jnp.sum(ld_all * w[:, None], axis=0) / jnp.sum(w)
+
+    # public convention: spectral axis first
+    tau = jnp.moveaxis(tau, -1, 0)                      # (nX, nZs, nMu) after move
+    Lu = jnp.moveaxis(Lu, -1, 0)
+    # current order after moveaxis: (nX, nMu, nZs) -> swap to (nX, nZs, nMu)
+    tau = jnp.swapaxes(tau, 1, 2)
+    Lu = jnp.swapaxes(Lu, 1, 2)
+    return TUD(X=grid, tau=tau, Lu=Lu, Ld=Ld)

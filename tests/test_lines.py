@@ -1,0 +1,109 @@
+"""Line store, TIPS partition sums, and Faddeeva vs the hapi oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radtxfr_tpu.kernels.faddeeva import wofz_real
+from radtxfr_tpu.lines.store import IsoTables, parse_par
+from radtxfr_tpu.lines.synthetic import synthetic_lines
+from radtxfr_tpu.lines.tips import iso_row_index, partition_sum
+
+from oracle import load_hapi
+
+
+def test_partition_sum_matches_hapi(iso_tables):
+    hapi = load_hapi()
+    rows = iso_row_index()
+    cases = [(1, 1), (2, 1), (3, 1), (1, 2), (6, 1), (22, 1)]
+    temps = [70.0, 85.0, 120.0, 200.0, 216.7, 296.0, 310.0, 1000.0, 2999.0, 3000.0]
+    for (m, i) in cases:
+        r = rows[(m, i)]
+        for T in temps:
+            want = hapi.partitionSum(m, i, T)
+            got = float(partition_sum(iso_tables.q, jnp.asarray([r]), jnp.asarray(T))[0])
+            np.testing.assert_allclose(got, want, rtol=1e-12, err_msg=f"M={m} I={i} T={T}")
+
+
+def test_iso_metadata_matches_hapi(iso_tables):
+    hapi = load_hapi()
+    rows = iso_row_index()
+    for (m, i) in [(1, 1), (2, 1), (3, 1), (7, 1)]:
+        r = rows[(m, i)]
+        assert float(iso_tables.abundance[r]) == pytest.approx(hapi.abundance(m, i))
+        assert float(iso_tables.molar_mass[r]) == pytest.approx(hapi.molecularMass(m, i))
+
+
+def test_wofz_matches_hapi_hum1_wei():
+    hapi = load_hapi()
+    rng = np.random.default_rng(1)
+    # Cover both regions: Weideman (|x|+y<15) and asymptotic.
+    x = np.concatenate([rng.uniform(-14, 14, 500), rng.uniform(-4000, 4000, 500)])
+    y = np.concatenate([10.0 ** rng.uniform(-6, 1, 500), 10.0 ** rng.uniform(-6, 3, 500)])
+    wr_ref, wi_ref = hapi.hum1_wei(x.copy(), y.copy())
+    wr, wi = wofz_real(jnp.asarray(x), jnp.asarray(y))
+    # rtol 1e-8: numpy's complex division (Smith's algorithm) rounds
+    # differently from the expanded real arithmetic used here; the math is
+    # identical.
+    np.testing.assert_allclose(np.asarray(wr), wr_ref, rtol=1e-8, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(wi), wi_ref, rtol=1e-8, atol=1e-300)
+
+
+def test_wofz_float32_accuracy():
+    """float32 path (the TPU kernel dtype) stays within ~1e-5 relative."""
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-30, 30, 2000)
+    y = 10.0 ** rng.uniform(-4, 2, 2000)
+    wr64, _ = wofz_real(jnp.asarray(x), jnp.asarray(y))
+    wr32, _ = wofz_real(jnp.asarray(x, dtype=jnp.float32), jnp.asarray(y, dtype=jnp.float32))
+    err = np.abs(np.asarray(wr32, dtype=np.float64) - np.asarray(wr64))
+    rel = err / np.abs(np.asarray(wr64))
+    # Peak-referenced absolute accuracy (w(0,y) ~ O(1)): float32 wing
+    # cancellation leaves tiny absolute errors on tiny wing values.
+    assert err.max() < 1e-5, err.max()
+    assert np.quantile(rel, 0.5) < 1e-6
+    assert np.quantile(rel, 0.99) < 1e-2
+
+
+def test_synthetic_store_sorted_and_deterministic():
+    s1 = synthetic_lines(500, seed=7)
+    s2 = synthetic_lines(500, seed=7)
+    np.testing.assert_array_equal(np.asarray(s1.nu0), np.asarray(s2.nu0))
+    nu = np.asarray(s1.nu0)
+    assert (np.diff(nu) >= 0).all()
+    assert s1.n_lines == 500
+
+
+def test_par_parser_round_trip():
+    """Write a synthetic .par text, parse it, check columns."""
+    store = synthetic_lines(20, seed=3)
+    from radtxfr_tpu.lines.tips import load_tips_tables
+
+    _, iso_ids, _, _ = load_tips_tables()
+    lines = []
+    for k in range(20):
+        m = int(store.mol_id[k])
+        i = int(iso_ids[int(store.iso_row[k])])
+        rec = (
+            f"{m:2d}{i:1d}{float(store.nu0[k]):12.6f}{float(store.sw[k]):10.3E}"
+            f"{1.0:10.3E}{float(store.gamma_air[k]):5.4f}"[:40].ljust(40)
+        )
+        rec = (
+            f"{m:2d}{i:1d}{float(store.nu0[k]):12.6f}{float(store.sw[k]):10.3E}"
+            f"{1.0:10.3E}{float(store.gamma_air[k]):5.3f}{float(store.gamma_self[k]):5.3f}"
+            f"{float(store.elower[k]):10.4f}{float(store.n_air[k]):4.2f}"
+            f"{float(store.delta_air[k]):8.5f}"
+        )
+        lines.append(rec.ljust(160))
+    parsed = parse_par(lines)
+    np.testing.assert_allclose(np.asarray(parsed.nu0), np.asarray(store.nu0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(parsed.elower), np.asarray(store.elower), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(parsed.mol_id), np.asarray(store.mol_id))
+
+
+def test_select_band():
+    s = synthetic_lines(1000, nu_min=500, nu_max=1500, seed=11)
+    sub = s.select_band(800.0, 900.0, margin=10.0)
+    nu = np.asarray(sub.nu0)
+    assert ((nu >= 790.0) & (nu <= 910.0)).all()
+    assert sub.n_lines > 0

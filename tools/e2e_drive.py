@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""End-to-end verification drive: full pipeline through public exports on TPU.
+
+See .claude/skills/verify/SKILL.md. Prints END-TO-END OK on success.
+"""
+import sys, os, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+import jax, jax.numpy as jnp
+
+print("backend devices:", jax.devices())
+from radtxfr_tpu import planckian, brightness_temperature, make_spectral_axis
+from radtxfr_tpu.lines import synthetic_lines, IsoTables
+from radtxfr_tpu.atmos import std_atmosphere
+from radtxfr_tpu.products import compute_od_layers, tud_from_od, apparent_radiance
+from radtxfr_tpu.sensor.ils import ils_mako
+
+dt = jnp.float32
+atm = std_atmosphere(dtype=dt)
+iso = IsoTables.load(dtype=dt)
+lines = synthetic_lines(2000, nu_min=650, nu_max=1450, seed=0, dtype=dt)
+grid = jnp.asarray(make_spectral_axis(690.0, 1410.0, 0.05), dtype=dt)
+print(f"grid {grid.shape[0]} pts, {lines.n_lines} lines, {atm.n_layers} layers")
+
+t0 = time.time()
+od = compute_od_layers(lines, iso, grid, atm)
+od.block_until_ready()
+print(f"OD tensor {od.shape} in {time.time()-t0:.1f}s; max={float(od.max()):.3f}")
+
+B = jnp.swapaxes(planckian(grid, atm.T), 0, 1).astype(dt)
+alts = jnp.asarray([0.061, 2.0, 10.0, 500.0], dtype=dt)
+tud = tud_from_od(grid, od, B, atm.z0, alts, mu=1.0, n_angles=30)
+tau, Lu, Ld = np.asarray(tud.tau), np.asarray(tud.Lu), np.asarray(tud.Ld)
+assert (tau >= 0).all() and (tau <= 1.0 + 1e-6).all()
+assert (Lu >= 0).all() and (Ld >= 0).all()
+assert (tau[:, 3, 0] <= tau[:, 0, 0] + 1e-6).all()
+
+emis = jnp.ones((grid.shape[0], 2), dtype=dt) * jnp.asarray([0.95, 0.7], dtype=dt)
+L = apparent_radiance(grid, emis, jnp.asarray([296.0], dtype=dt),
+                      tau[:, 3:4, 0], Lu[:, 3:4, 0], Ld[:, None])
+Tb = np.asarray(brightness_temperature(grid, L[:, 0, 0]))
+assert 150 < np.nanmin(Tb) and np.nanmax(Tb) < 400
+x_mako, L_mako = ils_mako(np.asarray(grid, dtype=np.float64), L[:, :, 0])
+assert x_mako.shape[0] == 128
+
+bt_bad = np.asarray(brightness_temperature(np.array([1000.0]), np.array([-5.0])))
+assert np.isnan(bt_bad).all()
+try:
+    bad = synthetic_lines(10, species=((9, 1),), seed=1)
+    compute_od_layers(bad, iso, grid, atm)
+    raise SystemExit("PROBE-FAIL: no error for missing molecule")
+except ValueError as e:
+    print("probe ok:", e)
+print(f"TOTAL {time.time()-t0:.1f}s  -- END-TO-END OK")
