@@ -1,0 +1,328 @@
+"""Pallas TPU kernel: bucketed lines x wavenumbers line-shape accumulation.
+
+This is the TPU-native replacement for the reference's two native hot paths:
+the LBLRTM Fortran line-by-line engine (``radiative_transfer.py:494``) and
+hapi's serial per-line Python loop with bisect windows
+(``misc/hapi.py:11050-11138``). Design (SURVEY.md §2.3 P4):
+
+* Lines are sorted by center and **bucketed to nu-tiles host-side**: tile i
+  needs only line blocks whose centers lie within ``max_wing`` of the tile —
+  the per-tile block ranges are scalar-prefetched so the Mosaic pipeline
+  DMAs exactly the needed line blocks (replacing per-line ``bisect``).
+* The kernel grid is (layers, nu-tiles, line-blocks); each step evaluates a
+  dense (BLOCK, TILE) Voigt block on the VPU with the hapi wing-window mask
+  applied branchlessly, accumulating into the tile's output block (revisited
+  across the innermost grid dimension).
+* **Grid-index arithmetic**: wavenumbers near 1000 cm^-1 in float32 lose
+  ~6e-5 cm^-1 — fatal for dnu near line centers. Positions are therefore
+  computed as (integer grid index - integer line index) - fraction, all
+  exactly representable in float32/int32, so dnu carries ~1e-7 relative
+  error instead of ~1e-2.
+
+The kernel computes the same contract as
+:func:`radtxfr_tpu.kernels.xsect.xsect_from_params` (the jnp engine), which
+is its correctness oracle in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .faddeeva import weideman_coeffs, REGION_BOUND
+from .lineparams import LineParams
+
+__all__ = ["UniformGrid", "BucketPlan", "plan_buckets", "xsect_pallas"]
+
+_SQRT_LN2 = math.sqrt(math.log(2.0))
+_INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class UniformGrid:
+    """A uniform wavenumber grid nu_k = x0 + k*dx, k = 0..n-1 (static)."""
+
+    x0: float
+    dx: float
+    n: int
+
+    @staticmethod
+    def from_axis(X) -> "UniformGrid":
+        # Tolerance scales with the input dtype: a float32 axis at
+        # nu ~ 1000 cm^-1 carries ~6e-5 cm^-1 of per-point rounding.
+        eps = np.finfo(np.asarray(X).dtype).eps if np.asarray(X).dtype.kind == "f" else 1e-16
+        X = np.asarray(X, dtype=np.float64)
+        dx = float((X[-1] - X[0]) / (X.size - 1))
+        step = np.diff(X)
+        tol = max(1e-6 * abs(dx), 4.0 * eps * np.abs(X).max())
+        if np.abs(step - dx).max() > tol:
+            raise ValueError("grid is not uniform")
+        return UniformGrid(x0=float(X[0]), dx=dx, n=int(X.size))
+
+    def values(self, dtype=np.float64) -> np.ndarray:
+        return (self.x0 + self.dx * np.arange(self.n)).astype(dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketPlan:
+    """Host-side static bucketing of sorted lines onto nu-tiles."""
+
+    grid: UniformGrid
+    tile: int            # nu points per tile
+    block: int           # lines per block
+    n_tiles: int
+    n_blocks: int        # total line blocks (padded line count / block)
+    max_blocks: int      # static bound on blocks any tile visits
+    starts: np.ndarray   # (n_tiles,) int32 — first block index per tile
+    counts: np.ndarray   # (n_tiles,) int32 — number of blocks per tile
+    k_line: np.ndarray   # (n_blocks, 1, block) int32 — floor grid index per line
+    frac0: np.ndarray    # (n_blocks, 1, block) f32 — fractional grid offset
+    max_wing: float      # cm^-1 — wing bound the bucketing guarantees
+
+
+def plan_buckets(
+    nu0,
+    grid: UniformGrid,
+    max_wing: float,
+    tile: int = 1024,
+    block: int = 256,
+) -> BucketPlan:
+    """Bucket sorted line centers onto nu-tiles (host-side, static).
+
+    ``max_wing`` must upper-bound every line's wing cutoff at runtime; the
+    kernel clamps wings to it so bucketing and masking stay consistent.
+    """
+    nu0 = np.asarray(nu0, dtype=np.float64)
+    if nu0.size == 0:
+        raise ValueError("empty line list")
+    if np.any(np.diff(nu0) < 0):
+        raise ValueError("line centers must be sorted")
+
+    n_tiles = -(-grid.n // tile)
+    n_lines_pad = -(-nu0.size // block) * block
+    n_blocks = n_lines_pad // block
+
+    # Grid-index decomposition of each line center (float64 -> int + frac).
+    u = (nu0 - grid.x0) / grid.dx
+    k_line = np.floor(u).astype(np.int64)
+    frac0 = (u - k_line).astype(np.float32)
+    k_line = k_line.astype(np.int32)
+
+    # Tile i covers nu in [x0 + i*tile*dx, x0 + (i+1)*tile*dx); a line can
+    # touch it if its center is within max_wing of that interval.
+    edges = grid.x0 + grid.dx * tile * np.arange(n_tiles + 1)
+    lo = np.searchsorted(nu0, edges[:-1] - max_wing, side="left")
+    hi = np.searchsorted(nu0, edges[1:] + max_wing, side="right")
+    b0 = (lo // block).astype(np.int32)
+    b1 = np.ceil(hi / block).astype(np.int32)
+    counts = np.maximum(b1 - b0, 0).astype(np.int32)
+    max_blocks = int(counts.max()) if counts.size else 0
+    max_blocks = max(max_blocks, 1)
+
+    pad = n_lines_pad - nu0.size
+    # Padded lines: park far outside any window (mask never selects them).
+    k_pad = np.full(pad, np.int32(-(2**30)), dtype=np.int32)
+    f_pad = np.zeros(pad, dtype=np.float32)
+    return BucketPlan(
+        grid=grid,
+        tile=tile,
+        block=block,
+        n_tiles=n_tiles,
+        n_blocks=n_blocks,
+        max_blocks=max_blocks,
+        starts=b0,
+        counts=counts,
+        k_line=np.concatenate([k_line, k_pad]).reshape(n_blocks, 1, block),
+        frac0=np.concatenate([frac0, f_pad]).reshape(n_blocks, 1, block),
+        max_wing=float(max_wing),
+    )
+
+
+def _pad_layered(a, n_blocks, block, fill):
+    """(nLay, L) -> (nLay, n_blocks, 1, block) with padding value ``fill``."""
+    n_lay, L = a.shape
+    pad = n_blocks * block - L
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.full((n_lay, pad), fill, dtype=a.dtype)], axis=1
+        )
+    return a.reshape(n_lay, n_blocks, 1, block)
+
+
+def _voigt_block(dnu, gd, g0, wei_a, wei_L):
+    """Voigt profile on a (BLOCK, TILE) block, branchless float32."""
+    cte = _SQRT_LN2 / gd
+    x = dnu * cte
+    y = g0 * cte
+
+    # Asymptotic (Humlicek region 1): (1/sqrt(pi)) * t/(0.5 + t^2), t = y - ix
+    dr = 0.5 + y * y - x * x
+    di = -2.0 * x * y
+    dmag = dr * dr + di * di
+    asym_r = _INV_SQRT_PI * (y * dr - x * di) / dmag
+
+    # Weideman-24 rational series in Z = (L + iz)/(L - iz)
+    nr, ni = wei_L - y, x
+    er, ei = wei_L + y, -x
+    emag = er * er + ei * ei
+    zr = (nr * er + ni * ei) / emag
+    zi = (ni * er - nr * ei) / emag
+    pr = jnp.full_like(zr, wei_a[0])
+    pi_ = jnp.zeros_like(zr)
+    for c in wei_a[1:]:
+        pr, pi_ = pr * zr - pi_ * zi + c, pr * zi + pi_ * zr
+    sr = er * er - ei * ei
+    si = 2.0 * er * ei
+    smag = sr * sr + si * si
+    wei_r = 2.0 * (pr * sr + pi_ * si) / smag + _INV_SQRT_PI * er / emag
+
+    wr = jnp.where(jnp.abs(x) + y < REGION_BOUND, wei_r, asym_r)
+    return cte * _INV_SQRT_PI * wr
+
+
+def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24):
+    dx = np.float32(dx)
+    wei_L_f, wei_a_f = weideman_coeffs(n_weideman)
+    wei_a = tuple(np.float32(c) for c in wei_a_f)
+    wei_L = np.float32(wei_L_f)
+
+    def kernel(starts_ref, counts_ref, k_ref, f0_ref, ds_ref, s_ref,
+               gd_ref, g0_ref, wu_ref, out_ref):
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(j < counts_ref[i])
+        def _accumulate():
+            # (BLOCK, 1) line data against (1, TILE) grid indices.
+            k_line = k_ref[0, 0, :].reshape(block, 1)
+            frac0 = f0_ref[0, 0, :].reshape(block, 1)
+            ds = ds_ref[0, 0, 0, :].reshape(block, 1)
+            strength = s_ref[0, 0, 0, :].reshape(block, 1)
+            gd = gd_ref[0, 0, 0, :].reshape(block, 1)
+            g0 = g0_ref[0, 0, 0, :].reshape(block, 1)
+            wingu = wu_ref[0, 0, 0, :].reshape(block, 1)
+
+            k_grid = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
+            rel = (k_grid - k_line).astype(jnp.float32)   # exact: small ints
+            dnu = (rel - frac0 - ds) * dx
+            prof = _voigt_block(dnu, gd, g0, wei_a, wei_L)
+            # hapi bisect window on the UNSHIFTED center:
+            # include iff nu0 - wing < g <= nu0 + wing
+            # in grid units: frac0 - wingu < rel - 0 ... rel > frac0 - wingu
+            u = rel - frac0
+            mask = (u > -wingu) & (u <= wingu)
+            contrib = jnp.where(mask, strength * prof, 0.0)
+            out_ref[...] += jnp.sum(contrib, axis=0).reshape(out_ref.shape)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def _xsect_pallas_call(cfg, k_line, frac0, ds, strength,
+                       gd, g0, wingu, starts, counts, interpret=False):
+    # cfg: hashable static tuple (tile, block, n_blocks, n_tiles, max_blocks,
+    # n_out, dx, n_weideman)
+    tile, block, nb, nt, mb, n_out, dx, n_wei = cfg
+    n_lay = strength.shape[0]
+    kernel = _make_kernel(tile, block, dx, n_wei)
+
+    # Mosaic block-shape rule: the last two dims of every block must be
+    # (8k, 128m) or equal to the array's; singleton axes are inserted so the
+    # trailing (1, block)/(1, tile) blocks match their arrays exactly.
+    def line_map(l, i, j, starts_ref, counts_ref):
+        return (jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
+
+    def line_map_lay(l, i, j, starts_ref, counts_ref):
+        return (l, jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_lay, nt, mb),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block), line_map_lay, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block), line_map_lay, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block), line_map_lay, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block), line_map_lay, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block), line_map_lay, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, tile), lambda l, i, j, s, c: (l, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    flops_per_eval = 8 * 24 + 60
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_lay, nt, 1, tile), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_lay * nt * mb * block * tile * flops_per_eval,
+            bytes_accessed=n_lay * nt * tile * 4 + n_lay * nt * mb * block * 5 * 4,
+            transcendentals=0,
+        ),
+    )(starts, counts, k_line, frac0, ds, strength, gd, g0, wingu)
+    return out.reshape(n_lay, nt * tile)[:, :n_out]
+
+
+def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = None,
+                 n_weideman: int = 24):
+    """Evaluate layered spectra with the Pallas kernel.
+
+    Parameters
+    ----------
+    plan : :class:`BucketPlan` built from the same (sorted) line list that
+        produced ``params``.
+    params : :class:`LineParams` with **layer-batched** arrays of shape
+        (n_layers, n_lines) (vmap :func:`compute_line_params` over layers;
+        a single layer may pass (n_lines,) arrays).
+    interpret : force interpreter mode (defaults to True off-TPU so tests
+        run on the CPU backend).
+
+    Returns
+    -------
+    (n_layers, grid.n) float32 spectra (squeezed to (grid.n,) for 1-D input).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    single = params.strength.ndim == 1
+    f32 = lambda a: jnp.atleast_2d(jnp.asarray(a, dtype=jnp.float32))
+    strength = f32(params.strength)
+    gd = f32(params.gamma_d)
+    g0 = f32(params.gamma_0)
+    dx = plan.grid.dx
+    ds = f32((params.nu0_shifted - params.nu0) / dx)
+    wingu = f32(jnp.minimum(params.wing, plan.max_wing) / dx)
+
+    nb, block = plan.n_blocks, plan.block
+    pad = lambda a, fill: _pad_layered(a, nb, block, fill)
+    cfg = (plan.tile, plan.block, plan.n_blocks, plan.n_tiles,
+           plan.max_blocks, plan.grid.n, plan.grid.dx, n_weideman)
+    out = _xsect_pallas_call(
+        cfg,
+        jnp.asarray(plan.k_line),
+        jnp.asarray(plan.frac0),
+        pad(ds, 0.0),
+        pad(strength, 0.0),
+        pad(gd, 1.0),
+        pad(g0, 1.0),
+        pad(wingu, 0.0),
+        jnp.asarray(plan.starts),
+        jnp.asarray(plan.counts),
+        interpret=interpret,
+    )
+    return out[0] if single else out

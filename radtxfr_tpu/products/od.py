@@ -111,15 +111,193 @@ def compute_od_layers(
     wing_abs: float = 0.0,
     wing_hw: float = 50.0,
     chunk: int = 512,
+    engine: str = "jnp",
+    plan=None,
 ):
     """(nL, nX) optical-depth tensor for a layered atmosphere.
 
-    Sequential ``lax.map`` over layers (each layer's lines x nu block fills
-    the vector unit); batching/sharding over atmospheres and nu happens a
-    level up in :mod:`radtxfr_tpu.dist`.
+    ``engine='jnp'``: chunked lines x nu evaluation under ``lax.map`` over
+    layers (dtype-polymorphic, any profile — the correctness path).
+    ``engine='pallas'``: the bucketed TPU kernel
+    (:mod:`radtxfr_tpu.kernels.pallas_xsect`) — float32, Voigt only, fastest.
+    Pass a prebuilt ``plan`` (:func:`make_od_plan`) to amortize bucketing.
     """
+    if engine == "pallas":
+        return _od_layers_pallas(
+            lines, iso, grid, atmos, profile=profile, wing_abs=wing_abs,
+            wing_hw=wing_hw, plan=plan,
+        )
     cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
     return _od_layers_jit(
         lines, iso, jnp.asarray(grid), atmos.T, atmos.p, atmos.pl, atmos.vmr,
         cols, profile, float(wing_abs), float(wing_hw), int(chunk), tuple(atmos.mol_ids),
     )
+
+
+def layer_line_params(lines, iso, atmos, species_cols, wing_abs=0.0,
+                      wing_hw=50.0, profile="voigt"):
+    """vmap :func:`compute_line_params` over layers with OD strength scaling.
+
+    Returns :class:`LineParams` with (n_layers, n_lines) arrays whose
+    ``strength`` already includes species column density x path length.
+    """
+    p_atm = atmos.p / PA_PER_ATM
+
+    def one(T, p, pl, vmr):
+        u = species_column(p * PA_PER_ATM, T, pl, vmr)
+        return compute_line_params(
+            lines, iso, T, p,
+            vmr_self=vmr[species_cols],
+            wing_abs=wing_abs, wing_hw=wing_hw,
+            strength_scale=u[species_cols],
+            profile=profile,
+        )
+
+    return jax.vmap(one)(atmos.T, p_atm, atmos.pl, atmos.vmr)
+
+
+def wing_bound_matrix(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> np.ndarray:
+    """Host-side (nLay, nLines) upper bound on each line's wing cutoff.
+
+    Requires a concrete (non-traced) atmosphere; replicates the wing rule of
+    :func:`~radtxfr_tpu.kernels.lineparams.compute_line_params` in NumPy
+    (with gamma_mix bounded by max(gamma_air, gamma_self)) to size the
+    static Pallas bucketing.
+    """
+    from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS, T_REF
+
+    nu0 = np.asarray(lines.nu0, dtype=np.float64)
+    g_mix_max = np.maximum(np.asarray(lines.gamma_air, dtype=np.float64),
+                           np.asarray(lines.gamma_self, dtype=np.float64))
+    n_air = np.asarray(lines.n_air, dtype=np.float64)
+    mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
+    mass_g = mass * C_MASS_MOL * 1000.0
+    gd_coeff = np.sqrt(2.0 * K_BOLTZMANN_CGS * np.log(2.0) / mass_g) / C_LIGHT_CGS * nu0
+
+    T = np.asarray(atmos.T, dtype=np.float64)          # (nLay,)
+    p_atm = np.asarray(atmos.p, dtype=np.float64) / PA_PER_ATM
+    t_pow = (T_REF / T)[:, None] ** n_air[None, :]      # (nLay, L)
+    g0 = p_atm[:, None] * t_pow * g_mix_max[None, :]
+    gd = np.sqrt(T)[:, None] * gd_coeff[None, :]
+    return np.maximum(wing_abs, wing_hw * np.maximum(g0, gd))
+
+
+def max_wing_per_layer(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> np.ndarray:
+    """Host-side per-layer upper bound on line wing cutoffs (nL,) [cm^-1]."""
+    return wing_bound_matrix(lines, iso, atmos, wing_abs, wing_hw).max(axis=1)
+
+
+def max_wing_bound(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> float:
+    """Host-side upper bound on every line's wing over all layers."""
+    return float(max_wing_per_layer(lines, iso, atmos, wing_abs, wing_hw).max())
+
+
+def group_by_wing(wings: np.ndarray, max_groups: int = 4, ratio: float = 2.5):
+    """Partition indices so each group's wings are within ``ratio`` of the
+    group max (sorted descending, contiguous groups).
+
+    Used both for layers (pressure spans orders of magnitude down the
+    atmosphere) and for lines (gamma spans a wide range within a band).
+    Returns a list of (indices, group_max_wing).
+    """
+    order = np.argsort(wings)[::-1]
+    groups = []
+    current = [order[0]]
+    w_max = wings[order[0]]
+    for idx in order[1:]:
+        if wings[idx] * ratio < w_max and len(groups) < max_groups - 1:
+            groups.append((np.array(current), float(w_max)))
+            current, w_max = [idx], wings[idx]
+        else:
+            current.append(idx)
+    groups.append((np.array(current), float(w_max)))
+    return groups
+
+
+# Backwards-compatible alias
+group_layers_by_wing = group_by_wing
+
+
+def make_od_plan(lines, iso, grid, atmos, wing_abs=0.0, wing_hw=50.0,
+                 tile: int = 1024, block: int = 256):
+    """Build the static Pallas bucket plan for (lines, grid, atmosphere class)."""
+    from ..kernels.pallas_xsect import UniformGrid, plan_buckets
+
+    g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
+    mw = max_wing_bound(lines, iso, atmos, wing_abs=wing_abs, wing_hw=wing_hw)
+    return plan_buckets(np.asarray(lines.nu0, dtype=np.float64), g, mw,
+                        tile=tile, block=block)
+
+
+def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
+                      max_groups: int = 4, max_classes: int = 4,
+                      tile: int = 512, block: int = 32, n_weideman: int = 16):
+    """Build a jitted (T, p_pa, pl, vmr) -> (nL, nX) OD function with static
+    Pallas bucket plans baked in.
+
+    Two-level static decomposition keeps visited work close to the hapi
+    window work:
+
+    * **layer groups** — wing bounds scale with pressure, spanning orders of
+      magnitude down the atmosphere; each group gets its own plans;
+    * **line classes** within a group — per-line wings (50 halfwidths) span
+      a wide range too; lines are partitioned into wing octaves so narrow
+      lines are not bucketed with the widest one.
+
+    ``atmos_class`` is a representative concrete atmosphere used only to
+    size the groups; the returned jitted function accepts traced
+    thermodynamics of the same layer count and wing envelope.
+    """
+    from ..kernels.pallas_xsect import UniformGrid, plan_buckets, xsect_pallas
+
+    g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
+    cols = jnp.asarray(_line_species_cols(lines, atmos_class.mol_ids))
+    W = wing_bound_matrix(lines, iso, atmos_class, wing_abs=wing_abs,
+                          wing_hw=wing_hw)                  # (nLay, L)
+    nu0 = np.asarray(lines.nu0, dtype=np.float64)
+
+    calls = []  # (layer_idx jnp, line_idx jnp, plan)
+    for lay_idx, _ in group_by_wing(W.max(axis=1), max_groups=max_groups):
+        w_line = W[lay_idx].max(axis=0)                     # (L,)
+        for cls_idx, w_cls in group_by_wing(w_line, max_groups=max_classes):
+            cls_idx = np.sort(cls_idx)                      # keep nu0 order
+            plan = plan_buckets(nu0[cls_idx], g, w_cls, tile=tile, block=block)
+            calls.append((jnp.asarray(np.sort(lay_idx)), jnp.asarray(cls_idx), plan))
+
+    @jax.jit
+    def od_fn(T, p_pa, pl, vmr):
+        p_atm = p_pa / PA_PER_ATM
+
+        def one(T_l, p_l, pl_l, vmr_l):
+            u = species_column(p_l * PA_PER_ATM, T_l, pl_l, vmr_l)
+            return compute_line_params(
+                lines, iso, T_l, p_l, vmr_self=vmr_l[cols],
+                wing_abs=wing_abs, wing_hw=wing_hw, strength_scale=u[cols],
+            )
+
+        params = jax.vmap(one)(T, p_atm, pl, vmr)
+        out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
+        sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
+        for lay_idx, cls_idx, plan in calls:
+            out = out.at[lay_idx].add(
+                xsect_pallas(plan, sub(params, lay_idx, cls_idx),
+                             n_weideman=n_weideman))
+        return out
+
+    return od_fn
+
+
+def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
+                      wing_abs=0.0, wing_hw=50.0, plan=None):
+    from ..kernels.pallas_xsect import UniformGrid, plan_buckets, xsect_pallas
+
+    if profile != "voigt":
+        raise NotImplementedError("pallas engine currently implements Voigt only")
+    if plan is not None:
+        cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
+        params = layer_line_params(lines, iso, atmos, cols,
+                                   wing_abs=wing_abs, wing_hw=wing_hw)
+        return xsect_pallas(plan, params)
+    fn = make_od_pallas_fn(lines, iso, grid, atmos,
+                           wing_abs=wing_abs, wing_hw=wing_hw)
+    return fn(atmos.T, atmos.p, atmos.pl, atmos.vmr)

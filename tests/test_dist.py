@@ -1,0 +1,54 @@
+"""Sharded ensemble TUD on the virtual 8-device CPU mesh vs unsharded."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radtxfr_tpu.atmos import std_atmosphere
+from radtxfr_tpu.core.grid import arange_drift_free
+from radtxfr_tpu.core.planck import planckian
+from radtxfr_tpu.dist.mesh import make_mesh
+from radtxfr_tpu.dist.ensemble import stack_states, tud_ensemble_sharded
+from radtxfr_tpu.lines.store import IsoTables
+from radtxfr_tpu.lines.synthetic import synthetic_lines
+from radtxfr_tpu.products import compute_od_layers, tud_from_od
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tud_ensemble_sharded_matches_unsharded(iso_tables):
+    lines = synthetic_lines(120, nu_min=790.0, nu_max=860.0, seed=31)
+    grid = jnp.asarray(arange_drift_free(800.0, 850.0, 0.05))  # 1001 pts
+    grid = grid[:1000]  # divisible by 2 spectral shards
+    base = std_atmosphere()
+
+    # Batch of 4 perturbed atmospheres
+    states = [base.replace(T=base.T + dt) for dt in (0.0, 5.0, -5.0, 10.0)]
+    batch = stack_states(states)
+    alts = jnp.asarray([2.0, 500.0])
+
+    mesh = make_mesh(4, 2)
+    tau_s, lu_s, ld_s = tud_ensemble_sharded(
+        lines, iso_tables, grid, batch, alts, mesh, n_angles=10
+    )
+    assert tau_s.shape == (4, 1000, 2, 1)
+    assert ld_s.shape == (4, 1000)
+
+    for i, st in enumerate(states):
+        od = compute_od_layers(lines, iso_tables, grid, st)
+        B = jnp.swapaxes(planckian(grid, st.T), 0, 1)
+        tud = tud_from_od(grid, od, B, st.z0, alts, n_angles=10)
+        np.testing.assert_allclose(np.asarray(tau_s[i]), np.asarray(tud.tau),
+                                   rtol=1e-10, atol=1e-300)
+        np.testing.assert_allclose(np.asarray(lu_s[i]), np.asarray(tud.Lu),
+                                   rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(ld_s[i]), np.asarray(tud.Ld),
+                                   rtol=1e-10, atol=1e-13)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_construction():
+    mesh = make_mesh(2, 4)
+    assert mesh.shape == {"ensemble": 2, "spectrum": 4}
+    with pytest.raises(ValueError):
+        make_mesh(4, 4)  # only 8 devices

@@ -23,9 +23,11 @@ grid = jnp.asarray(make_spectral_axis(690.0, 1410.0, 0.05), dtype=dt)
 print(f"grid {grid.shape[0]} pts, {lines.n_lines} lines, {atm.n_layers} layers")
 
 t0 = time.time()
-od = compute_od_layers(lines, iso, grid, atm)
+engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
+od = compute_od_layers(lines, iso, grid, atm, engine=engine)
+od = jnp.asarray(od)
 od.block_until_ready()
-print(f"OD tensor {od.shape} in {time.time()-t0:.1f}s; max={float(od.max()):.3f}")
+print(f"OD tensor {od.shape} ({engine}) in {time.time()-t0:.1f}s; max={float(od.max()):.3f}")
 
 B = jnp.swapaxes(planckian(grid, atm.T), 0, 1).astype(dt)
 alts = jnp.asarray([0.061, 2.0, 10.0, 500.0], dtype=dt)
