@@ -55,6 +55,8 @@ class LineParams:
     gamma_d: jax.Array      # (L,) Doppler HWHM [cm^-1]
     gamma_0: jax.Array      # (L,) collisional HWHM [cm^-1]
     wing: jax.Array         # (L,) wing cutoff [cm^-1]
+    gamma_2: jax.Array      # (L,) speed-dependent width [cm^-1] (SDVoigt/HT)
+    shift0: jax.Array       # (L,) pressure shift [cm^-1] (enters HT profiles)
 
 
 def compute_line_params(
@@ -143,11 +145,21 @@ def compute_line_params(
         # misc/hapi.py:11131
         wing = jnp.maximum(wa, jnp.maximum(wing_hw * gamma_0, wing_hw * gamma_d))
 
+    # SD width: Gamma2 = sum_d abun_d * SD_d * (p/pref) * Gamma0DB_d — the
+    # unscaled reference gamma, no T-power (misc/hapi.py:10870-10876).
+    # .par has no SD_self column, so only the air diluent term contributes.
+    gamma_2 = (1.0 - x_self) * lines.sd_air * lines.gamma_air * (p / P_REF)
+
+    # The SDVoigt driver evaluates the profile at the UNSHIFTED center and
+    # passes Shift0 into the HT profile instead (misc/hapi.py:10890).
+    shifted = lines.nu0 if profile in ("sdvoigt", "ht") else lines.nu0 + shift0
     return LineParams(
         nu0=lines.nu0,
-        nu0_shifted=lines.nu0 + shift0,
+        nu0_shifted=shifted,
         strength=strength,
         gamma_d=gamma_d,
         gamma_0=gamma_0,
         wing=wing,
+        gamma_2=gamma_2,
+        shift0=shift0,
     )

@@ -46,6 +46,8 @@ def pad_params(params: LineParams, multiple: int) -> LineParams:
         gamma_d=pad(params.gamma_d, 1.0),
         gamma_0=pad(params.gamma_0, 1.0),
         wing=pad(params.wing, 0.0),
+        gamma_2=pad(params.gamma_2, 0.0),
+        shift0=pad(params.shift0, 0.0),
     )
 
 
@@ -85,6 +87,13 @@ def xsect_from_params(
             vals = lorentz(dnu, p.gamma_0[:, None])
         elif profile == "doppler":
             vals = doppler(dnu, p.gamma_d[:, None])
+        elif profile == "sdvoigt":
+            from .htp import profile_sdvoigt
+
+            vals = profile_sdvoigt(
+                0.0, p.gamma_d[:, None], p.gamma_0[:, None],
+                p.gamma_2[:, None], p.shift0[:, None], 0.0, dnu,
+            )[0]
         else:
             raise ValueError(profile)
         # hapi bisect window: nu0 - wing < g <= nu0 + wing

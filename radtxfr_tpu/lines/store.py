@@ -89,6 +89,7 @@ class LineStore:
     delta_air: jax.Array   # (L,) air pressure shift [cm^-1/atm]
     iso_row: jax.Array     # (L,) int32 index into IsoTables
     mol_id: jax.Array      # (L,) int32 HITRAN molecule number
+    sd_air: jax.Array      # (L,) speed-dependence ratio Gamma2/Gamma0 ('SD_air')
 
     def __len__(self) -> int:
         return int(self.nu0.shape[0])
@@ -111,12 +112,14 @@ class LineStore:
 
 def from_arrays(
     nu0, sw, elower, gamma_air, gamma_self, n_air, delta_air, mol_id, local_iso_id,
-    dtype=jnp.float64,
+    sd_air=None, dtype=jnp.float64,
 ) -> LineStore:
     """Build a sorted :class:`LineStore` from NumPy columns.
 
     ``mol_id``/``local_iso_id`` are HITRAN numbers; they are mapped to the
-    compact ``iso_row`` index used by :class:`IsoTables`.
+    compact ``iso_row`` index used by :class:`IsoTables`. ``sd_air`` (the
+    SD-Voigt speed-dependence ratio) defaults to zero — absent from ``.par``
+    files, as in hapi (``misc/hapi.py:10870-10874``).
     """
     row_of = iso_row_index()
     nu0 = np.asarray(nu0, dtype=np.float64)
@@ -125,9 +128,11 @@ def from_arrays(
         [row_of[(int(m), int(i))] for m, i in zip(np.asarray(mol_id), np.asarray(local_iso_id))],
         dtype=np.int32,
     )
+    if sd_air is None:
+        sd_air = np.zeros_like(nu0)
     cols = dict(
         nu0=nu0, sw=sw, elower=elower, gamma_air=gamma_air,
-        gamma_self=gamma_self, n_air=n_air, delta_air=delta_air,
+        gamma_self=gamma_self, n_air=n_air, delta_air=delta_air, sd_air=sd_air,
     )
     f = lambda a: jnp.asarray(np.asarray(a, dtype=np.float64)[order], dtype=dtype)
     return LineStore(

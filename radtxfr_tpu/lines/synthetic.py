@@ -38,12 +38,13 @@ def synthetic_lines(
     gamma_self = gamma_air * rng.uniform(1.0, 5.0, n_lines)
     n_air = rng.uniform(0.4, 0.8, n_lines)
     delta_air = rng.normal(0.0, 0.005, n_lines)
+    sd_air = rng.uniform(0.05, 0.15, n_lines)  # typical Gamma2/Gamma0 ratios
     k = rng.integers(0, len(species), n_lines)
     mol_id = np.array([species[i][0] for i in k], dtype=np.int32)
     iso_id = np.array([species[i][1] for i in k], dtype=np.int32)
     return from_arrays(
         nu0, sw, elower, gamma_air, gamma_self, n_air, delta_air,
-        mol_id, iso_id, dtype=dtype,
+        mol_id, iso_id, sd_air=sd_air, dtype=dtype,
     )
 
 
@@ -63,6 +64,7 @@ def to_hapi_cache(store: LineStore, table_name: str, hapi_module) -> None:
         "delta_air": np.asarray(store.delta_air, dtype=np.float64),
         "molec_id": np.asarray(store.mol_id, dtype=np.int64),
         "local_iso_id": np.asarray(_iso_local_ids(store), dtype=np.int64),
+        "SD_air": np.asarray(store.sd_air, dtype=np.float64),
     }
     hapi_module.LOCAL_TABLE_CACHE[table_name] = {
         "header": {

@@ -1,0 +1,90 @@
+"""TUD Jacobians by forward-mode autodiff.
+
+The reference approximates Jacobians by brute force: 3*66+1 = 199 perturbed
+profiles with relative step 1e-3, each a full TUD run
+(``Generate_LWIR_TUD.py:55-71``). Being a JAX program end to end, the TPU
+framework differentiates the physics instead: ``jax.jacfwd`` over the
+(T, vmr-columns) of every layer yields machine-precision sensitivities in a
+single traced computation — one of the places a TPU-native rewrite is
+qualitatively better, not just faster.
+
+The differentiated path is the jnp line-by-line engine (the Pallas kernel is
+a forward-only fast path). Wing cutoffs are held fixed at the linearization
+point: the hapi window mask is piecewise-constant in (T, p), so its
+derivative is zero almost everywhere and ignoring it matches the reference's
+finite-difference convention for small steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.planck import planckian
+from .od import _line_species_cols, compute_od_layer
+from .tud import tud_from_od
+
+__all__ = ["tud_with_jacobian"]
+
+
+def tud_with_jacobian(
+    lines,
+    iso,
+    grid,
+    atmos,
+    altitudes,
+    wrt=("T", 1, 3),
+    mu=1.0,
+    n_angles: int = 30,
+    chunk: int = 512,
+):
+    """TUD products and their Jacobian w.r.t. per-layer state variables.
+
+    Parameters
+    ----------
+    wrt : sequence of "T" and/or HITRAN molecule ids present in
+        ``atmos.mol_ids`` — e.g. ``("T", 1, 3)`` for temperature, H2O and O3
+        (the reference's Jacobian set, ``Generate_LWIR_TUD.py:55-71``).
+
+    Returns
+    -------
+    (tud, jac) where ``jac`` maps each entry of ``wrt`` to a pytree with
+    fields tau/Lu/Ld whose arrays gain a trailing (nLayers,) axis:
+    d(product)/d(state_layer).
+    """
+    grid = jnp.asarray(grid)
+    altitudes = jnp.atleast_1d(jnp.asarray(altitudes))
+    cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
+    mol_col = {m: i for i, m in enumerate(atmos.mol_ids)}
+
+    def forward(T, vmr):
+        def one_layer(layer):
+            T_l, p_l, pl_l, vmr_l = layer
+            return compute_od_layer(lines, iso, grid, T_l, p_l, pl_l, vmr_l,
+                                    cols, chunk=chunk)
+
+        od = jax.lax.map(one_layer, (T, atmos.p, atmos.pl, vmr))
+        B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
+        tud = tud_from_od(grid, od, B, atmos.z0, altitudes, mu=mu,
+                          n_angles=n_angles)
+        return {"tau": tud.tau, "Lu": tud.Lu, "Ld": tud.Ld}
+
+    tud = forward(atmos.T, atmos.vmr)
+
+    jac = {}
+    for key in wrt:
+        if key == "T":
+            f = lambda T: forward(T, atmos.vmr)
+            jac["T"] = jax.jacfwd(f)(atmos.T)
+        else:
+            c = mol_col[int(key)]
+
+            def f(v_col, c=c):
+                vmr = atmos.vmr.at[:, c].set(v_col)
+                return forward(atmos.T, vmr)
+
+            jac[key] = jax.jacfwd(f)(atmos.vmr[:, c])
+    return tud, jac

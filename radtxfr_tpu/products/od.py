@@ -113,6 +113,7 @@ def compute_od_layers(
     chunk: int = 512,
     engine: str = "jnp",
     plan=None,
+    pallas_opts: dict | None = None,
 ):
     """(nL, nX) optical-depth tensor for a layered atmosphere.
 
@@ -125,7 +126,7 @@ def compute_od_layers(
     if engine == "pallas":
         return _od_layers_pallas(
             lines, iso, grid, atmos, profile=profile, wing_abs=wing_abs,
-            wing_hw=wing_hw, plan=plan,
+            wing_hw=wing_hw, plan=plan, **(pallas_opts or {}),
         )
     cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
     return _od_layers_jit(
@@ -288,7 +289,7 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
 
 
 def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
-                      wing_abs=0.0, wing_hw=50.0, plan=None):
+                      wing_abs=0.0, wing_hw=50.0, plan=None, **pallas_opts):
     from ..kernels.pallas_xsect import UniformGrid, plan_buckets, xsect_pallas
 
     if profile != "voigt":
@@ -299,5 +300,5 @@ def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
                                    wing_abs=wing_abs, wing_hw=wing_hw)
         return xsect_pallas(plan, params)
     fn = make_od_pallas_fn(lines, iso, grid, atmos,
-                           wing_abs=wing_abs, wing_hw=wing_hw)
+                           wing_abs=wing_abs, wing_hw=wing_hw, **pallas_opts)
     return fn(atmos.T, atmos.p, atmos.pl, atmos.vmr)

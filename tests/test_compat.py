@@ -1,0 +1,76 @@
+"""Compat layer: reference-named API drop-in behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import radtxfr_tpu.compat as rt
+from radtxfr_tpu.lines.synthetic import synthetic_lines
+
+
+def test_constants_and_stdatmos():
+    assert rt.c1 == 1.19104295315e-16
+    assert rt.c2 == 1.43877736830e-02
+    assert rt.StdAtmos.shape == (66, 15)
+    assert rt.StdAtmos[0, 5] == pytest.approx(287.87)
+
+
+def test_planckian_wavelength_heuristic():
+    # mean(X) < 50 -> interpreted as wavelength (radiative_transfer.py:836)
+    lam = np.linspace(8.0, 12.0, 16)
+    L_heur = rt.planckian(lam, 296.0)
+    L_expl = rt.planckian(lam, 296.0, wavelength=True)
+    np.testing.assert_allclose(L_heur, L_expl)
+
+
+def test_bt_round_trip_with_spectral_dim():
+    X = np.linspace(600, 1400, 32)
+    T = np.full((4, 32), 300.0)  # spectral axis LAST
+    L = rt.BT2L(X, T, spectral_dim=1)
+    Tb = rt.brightnessTemperature(X, L, spectral_dim=1)
+    np.testing.assert_allclose(Tb, T, rtol=1e-10)
+
+
+def test_rs_round_trip():
+    y = np.arange(24.0).reshape(2, 3, 4)
+    y1, dims = rt.rs1D(y)
+    assert y1.shape == (24,)
+    y2, dims2 = rt.rs2D(y)
+    assert y2.shape == (2, 12)
+    np.testing.assert_array_equal(rt.rsND(y2, dims2), y)
+
+
+def test_compute_od_requires_lines():
+    with pytest.raises(ValueError, match="line database"):
+        rt.compute_OD(800.0, 810.0)
+
+
+def test_compute_od_and_tud(iso_tables):
+    lines = synthetic_lines(60, nu_min=795.0, nu_max=815.0, seed=71)
+    X, od = rt.compute_OD(
+        800.0, 810.0, lines=lines, iso=iso_tables, DVOUT=0.01,
+        T=280.0, P=90000.0, PL=0.5,
+        MF_ID=np.array([1, 2, 3]), MF_VAL=np.array([7000.0, 380.0, 0.03]),
+    )
+    assert X.shape == od.shape and (od >= 0).all() and od.max() > 0
+
+    X, tau, Lu, Ld = rt.compute_TUD(
+        800.0, 810.0, lines=lines, iso=iso_tables, DVOUT=0.05, N_angle=8,
+        Altitudes=np.array([500.0]),
+    )
+    # reference squeeze: scalar altitude & mu -> 1-D outputs
+    assert tau.shape == X.shape and Lu.shape == X.shape and Ld.shape == X.shape
+    assert (tau >= 0).all() and (tau <= 1).all()
+
+    # defaults are not mutated across calls (divergence from the reference's
+    # aliasing behavior, by design)
+    assert rt.DEFAULT_OPTIONS["DVOUT"] == 0.0005
+    assert rt.DEFAULT_OPTIONS["lines"] is None
+
+
+def test_ils_mako_compat():
+    X = np.linspace(700.0, 1400.0, 2000)
+    x_out, y = rt.ILS_MAKO(X, np.ones(2000))
+    np.testing.assert_allclose(y, 1.0, rtol=1e-6)
+    y_only = rt.ILS_MAKO(X, np.ones(2000), returnX=False)
+    np.testing.assert_allclose(y_only, y)

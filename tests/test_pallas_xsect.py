@@ -38,11 +38,8 @@ def test_pallas_matches_jnp_engine_single_layer(store, iso_tables):
     got = np.asarray(xsect_pallas(plan, params, interpret=True))
 
     # jnp engine in float64 with the same wing clamp is the oracle.
-    clamped = params.__class__(
-        nu0=params.nu0, nu0_shifted=params.nu0_shifted,
-        strength=params.strength, gamma_d=params.gamma_d,
-        gamma_0=params.gamma_0, wing=jnp.minimum(params.wing, MAX_WING),
-    )
+    import dataclasses
+    clamped = dataclasses.replace(params, wing=jnp.minimum(params.wing, MAX_WING))
     want = np.asarray(xsect_from_params(jnp.asarray(GRID_AXIS), clamped))
     peak = np.abs(want).max()
     assert np.abs(got - want).max() < 3e-6 * peak
@@ -90,11 +87,8 @@ def test_pallas_grid_index_precision(iso_tables):
     params = compute_line_params(store, iso_tables, 250.0, 0.3)
     plan = plan_buckets(np.asarray(store.nu0), big_grid, MAX_WING, tile=512, block=128)
     got = np.asarray(xsect_pallas(plan, params, interpret=True))
-    clamped = params.__class__(
-        nu0=params.nu0, nu0_shifted=params.nu0_shifted,
-        strength=params.strength, gamma_d=params.gamma_d,
-        gamma_0=params.gamma_0, wing=jnp.minimum(params.wing, MAX_WING),
-    )
+    import dataclasses
+    clamped = dataclasses.replace(params, wing=jnp.minimum(params.wing, MAX_WING))
     want = np.asarray(xsect_from_params(jnp.asarray(big_axis), clamped))
     peak = np.abs(want).max()
     assert np.abs(got - want).max() < 3e-6 * peak

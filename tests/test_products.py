@@ -1,0 +1,151 @@
+"""TUD composition, apparent radiance, Jacobians, end-to-end OD vs oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radtxfr_tpu.atmos import std_atmosphere
+from radtxfr_tpu.core.grid import arange_drift_free
+from radtxfr_tpu.core.planck import planckian
+from radtxfr_tpu.lines.store import IsoTables
+from radtxfr_tpu.lines.synthetic import synthetic_lines
+from radtxfr_tpu.products import (
+    apparent_radiance,
+    compute_od_layers,
+    species_column,
+    tud_from_od,
+)
+from radtxfr_tpu.products.jacobian import tud_with_jacobian
+
+from oracle import hapi_xsect, load_hapi
+
+
+def _ref_tud(grid, od, B, z0, alts, mu, n_angles):
+    """Reference TUD recursions in plain NumPy (radiative_transfer.py:342-389)."""
+    nX = grid.size
+    n_alt = len(alts)
+    tau = np.zeros((nX, n_alt, 1))
+    Lu = np.zeros((nX, n_alt, 1))
+    for ii, zs in enumerate(alts):
+        ix = z0 <= zs
+        tau[:, ii, 0] = np.exp(-np.sum(od[ix, :] * mu, axis=0))
+        nb = ix.sum()
+        for kk in range(nb):
+            t = np.exp(-od[kk, :] * mu)
+            Lu[:, ii, 0] = t * Lu[:, ii, 0] + (1 - t) * B[kk, :]
+    angles = np.linspace(0, np.pi / 2, n_angles, endpoint=False)
+    Ld = np.zeros((nX, n_angles))
+    for ii, th in enumerate(angles):
+        for jj in range(od.shape[0])[::-1] if False else reversed(range(od.shape[0])):
+            t = np.exp(-od[jj, :] / np.cos(th))
+            Ld[:, ii] = t * Ld[:, ii] + (1 - t) * B[jj, :]
+    w = np.cos(angles) * np.sin(angles)
+    Ld = (Ld * w).sum(axis=1) / w.sum()
+    return tau, Lu, Ld
+
+
+def test_tud_matches_reference_recursions():
+    rng = np.random.default_rng(7)
+    nL, nX = 12, 200
+    grid = np.linspace(800, 820, nX)
+    od = rng.exponential(0.05, (nL, nX))
+    temps = np.linspace(290, 220, nL)
+    B = np.asarray(planckian(grid, temps)).T
+    z0 = np.linspace(0, 11, nL)
+    alts = [0.5, 3.0, 100.0]
+    mu = 1.1547  # sec(30 deg)
+    want_tau, want_lu, want_ld = _ref_tud(grid, od, B, z0, alts, mu, 16)
+    tud = tud_from_od(jnp.asarray(grid), jnp.asarray(od), jnp.asarray(B),
+                      jnp.asarray(z0), jnp.asarray(alts), mu=mu, n_angles=16)
+    np.testing.assert_allclose(np.asarray(tud.tau), want_tau, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(tud.Lu), want_lu, rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(tud.Ld), want_ld, rtol=1e-10, atol=1e-13)
+
+
+def test_tud_return_od():
+    grid = np.linspace(800, 805, 50)
+    od = np.full((3, 50), 0.1)
+    B = np.ones((3, 50))
+    z0 = np.array([0.0, 1.0, 2.0])
+    tud = tud_from_od(jnp.asarray(grid), jnp.asarray(od), jnp.asarray(B),
+                      jnp.asarray(z0), jnp.asarray([1.5]), return_od=True)
+    np.testing.assert_allclose(np.asarray(tud.tau)[:, 0, 0], 0.2, rtol=1e-12)
+
+
+def test_od_layer_matches_hapi_with_density_scaling(iso_tables):
+    """Engine layer OD == hapi xsect * species column density (config 1/2)."""
+    hapi = load_hapi()
+    store = synthetic_lines(80, nu_min=795.0, nu_max=855.0, seed=51,
+                            species=((1, 1),))
+    grid = arange_drift_free(800.0, 850.0, 0.01)
+    atm = std_atmosphere()
+    layer = 3
+    T = float(atm.T[layer]); p_pa = float(atm.p[layer])
+    pl = float(atm.pl[layer]); x_h2o = float(atm.vmr[layer, 0])
+    _, k = hapi_xsect(store, grid, T, p_pa / 101325.0,
+                      diluent={"air": 1.0 - x_h2o, "self": x_h2o})
+    u = float(species_column(p_pa, T, pl, x_h2o))
+    sub = atm.replace(T=atm.T[layer:layer+1], p=atm.p[layer:layer+1],
+                      pl=atm.pl[layer:layer+1], vmr=atm.vmr[layer:layer+1],
+                      z0=atm.z0[layer:layer+1], z1=atm.z1[layer:layer+1])
+    od = np.asarray(compute_od_layers(store, iso_tables, jnp.asarray(grid), sub))[0]
+    np.testing.assert_allclose(od, k * u, rtol=1e-8, atol=1e-12 * (k * u).max())
+
+
+def test_apparent_radiance_shapes_and_physics():
+    nX, nE, nA, nT = 50, 3, 2, 5
+    X = np.linspace(800, 900, nX)
+    emis = np.linspace(0.7, 1.0, nE)[None, :] * np.ones((nX, nE))
+    Ts = np.array([290.0, 300.0])
+    tau = np.full((nX, nA), 0.8)
+    Lu = np.full((nX, nA), 1.0)
+    Ld = np.full((nX, nA), 2.0)
+    dT = np.linspace(-2, 2, nT)
+    L = np.asarray(apparent_radiance(X, emis, Ts, tau, Lu, Ld, dT=dT))
+    assert L.shape == (nX, nE, nA, nT)
+    # epsilon = 1 blackbody, dT = 0 -> tau*B(Ts) + Lu exactly
+    B = np.asarray(planckian(X, Ts))
+    np.testing.assert_allclose(L[:, 2, :, 2], 0.8 * B + 1.0, rtol=1e-10)
+    # radiance increases with surface temperature delta
+    assert (np.diff(L[:, 0, 0, :], axis=1) > 0).all()
+    L2, Ls = apparent_radiance(X, emis, Ts, tau, Lu, Ld, return_Ls=True)
+    assert np.asarray(Ls).shape == (nX, nE, nA)
+
+
+def test_jacobian_matches_finite_differences(iso_tables):
+    store = synthetic_lines(40, nu_min=798.0, nu_max=812.0, seed=61)
+    grid = jnp.asarray(arange_drift_free(800.0, 810.0, 0.02))
+    full = std_atmosphere()
+    sl = slice(0, 5)
+    atm = full.replace(**{f: getattr(full, f)[sl] for f in
+                          ("z0", "z1", "pl", "p", "T")},
+                       vmr=full.vmr[sl])
+    alts = jnp.asarray([100.0])
+
+    tud, jac = tud_with_jacobian(store, iso_tables, grid, atm, alts,
+                                 wrt=("T", 1), n_angles=8)
+    assert jac["T"]["tau"].shape == tud["tau"].shape + (5,)
+
+    # central finite differences on layer 2
+    from radtxfr_tpu.core.planck import planckian as B_of
+    from radtxfr_tpu.products import compute_od_layers as od_of
+
+    def f(atm_):
+        od = od_of(store, iso_tables, grid, atm_, chunk=64)
+        B = jnp.swapaxes(B_of(grid, atm_.T), 0, 1)
+        t = tud_from_od(grid, od, B, atm_.z0, alts, n_angles=8)
+        return t
+
+    for var, col, h in (("T", None, 1e-3), (1, 0, 1e-9)):
+        k = 2
+        if var == "T":
+            up = atm.replace(T=atm.T.at[k].add(h))
+            dn = atm.replace(T=atm.T.at[k].add(-h))
+        else:
+            up = atm.replace(vmr=atm.vmr.at[k, col].add(h))
+            dn = atm.replace(vmr=atm.vmr.at[k, col].add(-h))
+        fd_tau = (np.asarray(f(up).tau) - np.asarray(f(dn).tau)) / (2 * h)
+        got = np.asarray(jac[var]["tau"][..., k])
+        scale = np.abs(fd_tau).max() + 1e-30
+        np.testing.assert_allclose(got, fd_tau, rtol=0, atol=5e-5 * scale)

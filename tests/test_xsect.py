@@ -80,3 +80,19 @@ def test_xsect_chunk_invariance(iso_tables):
     a = np.asarray(xsect_from_params(jnp.asarray(GRID), params, chunk=32))
     b = np.asarray(xsect_from_params(jnp.asarray(GRID), params, chunk=512))
     np.testing.assert_allclose(a, b, rtol=1e-12, atol=0)
+
+
+def test_sdvoigt_xsect_matches_hapi(iso_tables):
+    store = synthetic_lines(150, nu_min=540.0, nu_max=610.0, seed=14)
+    _, k_ref = hapi_xsect(store, GRID, 280.0, 0.7, profile="SDVoigt")
+    k = engine_xsect(store, iso_tables, 280.0, 0.7, profile="sdvoigt")
+    np.testing.assert_allclose(k, k_ref, rtol=1e-8, atol=1e-12 * np.abs(k_ref).max())
+
+
+def test_sdvoigt_xsect_self_diluent_matches_hapi(iso_tables):
+    store = synthetic_lines(100, nu_min=540.0, nu_max=610.0, seed=15)
+    x = 0.25
+    _, k_ref = hapi_xsect(store, GRID, 300.0, 1.1,
+                          diluent={"air": 1.0 - x, "self": x}, profile="SDVoigt")
+    k = engine_xsect(store, iso_tables, 300.0, 1.1, vmr_self=x, profile="sdvoigt")
+    np.testing.assert_allclose(k, k_ref, rtol=1e-8, atol=1e-12 * np.abs(k_ref).max())

@@ -24,7 +24,8 @@ print(f"grid {grid.shape[0]} pts, {lines.n_lines} lines, {atm.n_layers} layers")
 
 t0 = time.time()
 engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
-od = compute_od_layers(lines, iso, grid, atm, engine=engine)
+od = compute_od_layers(lines, iso, grid, atm, engine=engine,
+                       pallas_opts=dict(max_groups=2, max_classes=2))
 od = jnp.asarray(od)
 od.block_until_ready()
 print(f"OD tensor {od.shape} ({engine}) in {time.time()-t0:.1f}s; max={float(od.max()):.3f}")
@@ -44,6 +45,27 @@ Tb = np.asarray(brightness_temperature(grid, L[:, 0, 0]))
 assert 150 < np.nanmin(Tb) and np.nanmax(Tb) < 400
 x_mako, L_mako = ils_mako(np.asarray(grid, dtype=np.float64), L[:, :, 0])
 assert x_mako.shape[0] == 128
+
+# resolution reduction (compat-style pipeline step)
+from radtxfr_tpu.sensor.resolution import reduce_resolution
+x_lo, tau_lo = reduce_resolution(np.asarray(grid, dtype=np.float64), tau[:, 3, 0], 0.25)
+assert x_lo.size < grid.shape[0] and np.isfinite(np.asarray(tau_lo)).all()
+
+# compat drop-in surface (reference-named API)
+import radtxfr_tpu.compat as rt
+X_c, od_c = rt.compute_OD(800.0, 805.0, lines=lines.select_band(790, 815), iso=iso,
+                          DVOUT=0.01, T=280.0, P=90000.0, PL=0.5,
+                          MF_ID=np.array([1, 2, 3]),
+                          MF_VAL=np.array([7000.0, 380.0, 0.03]))
+assert (od_c >= 0).all()
+
+# SDVoigt profile path
+from radtxfr_tpu.kernels.lineparams import compute_line_params
+from radtxfr_tpu.kernels.xsect import xsect_from_params
+sd_params = compute_line_params(lines.select_band(800, 810), iso, 280.0, 0.9,
+                                profile="sdvoigt")
+k_sd = xsect_from_params(jnp.asarray(X_c, dtype=dt), sd_params, profile="sdvoigt")
+assert np.isfinite(np.asarray(k_sd)).all()
 
 bt_bad = np.asarray(brightness_temperature(np.array([1000.0]), np.array([-5.0])))
 assert np.isnan(bt_bad).all()
