@@ -1,0 +1,85 @@
+"""IO layer: HDF5 units metadata, MBI and AFIT_XS binaries, LBLRTM interop."""
+
+import numpy as np
+import pytest
+
+from radtxfr_tpu.io import (
+    Var, write_h5, read_h5, gen_indices,
+    mbi_export, mbi_read,
+    xs_write, xs_read, xs_default_filename,
+    read_tape12, write_tape12, write_tape5,
+)
+
+
+def test_h5_round_trip_with_metadata(tmp_path):
+    f = str(tmp_path / "tud.h5")
+    X = np.linspace(800, 900, 100)
+    tau = np.random.default_rng(0).random((100, 3))
+    write_h5(f, {
+        "X": Var(X, units="cm^{-1}", name="Wavenumbers",
+                 label=r"$\tilde{\nu}$"),
+        "tau": Var(tau, units="none", name="Transmittance",
+                   info="monochromatic transmittance"),
+    }, attrs={"generator": "radtxfr_tpu"})
+    back = read_h5(f)
+    np.testing.assert_array_equal(back["X"].data, X)
+    assert back["X"].units == "cm^{-1}"
+    assert back["tau"].info == "monochromatic transmittance"
+
+
+def test_gen_indices_split():
+    tr, te, va = gen_indices(1000)
+    assert len(tr) == 750 and len(te) == 125 and len(va) == 125
+    all_idx = np.sort(np.concatenate([tr, te, va]))
+    np.testing.assert_array_equal(all_idx, np.arange(1000))
+    tr2, _, _ = gen_indices(1000)
+    np.testing.assert_array_equal(tr, tr2)  # deterministic
+
+
+@pytest.mark.parametrize("ext", ["bsq", "bip"])
+def test_mbi_round_trip(tmp_path, ext):
+    rng = np.random.default_rng(1)
+    data = rng.random((4, 8, 6)).astype(np.float32)  # (nB, nR, nC)
+    f = str(tmp_path / f"cube.{ext}")
+    mbi_export(f, data, bands=np.arange(4) * 10.0, sensor="MAKO", run=3)
+    back, rows, cols, bands, header = mbi_read(f)
+    np.testing.assert_allclose(back, data)
+    np.testing.assert_array_equal(bands, np.arange(4) * 10.0)
+    np.testing.assert_array_equal(rows, np.arange(8))
+
+
+def test_afit_xs_round_trip(tmp_path):
+    X = np.linspace(400.0, 7100.0, 5000)
+    Y = np.random.default_rng(2).random(5000)
+    f = str(tmp_path / xs_default_filename(1, 296, 101325))
+    xs_write(X, Y, 296.0, 101325.0, 1, "HITRAN2016 - test", fname=f)
+    X2, Y2, meta = xs_read(f)
+    np.testing.assert_allclose(X2, X)
+    np.testing.assert_allclose(Y2, Y)
+    assert meta["mol_id"] == 1 and meta["T"] == 296.0
+    assert meta["db_name"] == "HITRAN2016 - test"
+
+
+def test_tape12_round_trip(tmp_path):
+    f = str(tmp_path / "TAPE12")
+    nu = np.linspace(800.0, 820.0, 5001)
+    od = np.random.default_rng(3).exponential(0.2, 5001).astype(np.float32)
+    write_tape12(f, nu, od, panel_size=1200)  # multiple panels + remainder
+    nu2, od2 = read_tape12(f)
+    np.testing.assert_allclose(nu2, nu, rtol=1e-12)
+    np.testing.assert_array_equal(od2, od)
+
+
+def test_tape5_deck_structure(tmp_path):
+    f = str(tmp_path / "TAPE5")
+    write_tape5(f, 690.0, 1410.0, T=280.0, P_pa=90000.0, PL_km=0.5,
+                mf_ppmv=np.array([7000.0, 380.0]), mf_ids=np.array([1, 2]),
+                dvout=0.0025)
+    text = open(f).read().splitlines()
+    assert text[-1] == "%%"
+    assert any("HI=1 F4=1 CN=6" in ln for ln in text)
+    # continuum flags: H2O (self+foreign) and CO2 present -> 1 1 1 0 0 0 0
+    cn_line = text[5]
+    assert cn_line.split()[:4] == ["1.000000", "1.000000", "1.000000", "0.000000"]
+    # species card holds H2O ppmv in first column
+    assert "7.00000000E+03" in "".join(text)

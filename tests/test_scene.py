@@ -1,0 +1,165 @@
+"""Scene layer: emissivity DB, HSI generator, PCA+GMM generative model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radtxfr_tpu.scene.emissivity import EmissivityDB, synthetic_db
+from radtxfr_tpu.scene.hsi import hsi_generate
+from radtxfr_tpu.scene import generative as gen
+
+
+def test_synthetic_db_physical():
+    db = synthetic_db(16)
+    e = np.asarray(db.emis)
+    assert e.shape[0] == 16
+    assert (e >= 0).all() and (e <= 1).all()
+
+
+def test_emissivity_from_spectra_and_resample():
+    x = np.linspace(7.0, 14.0, 200)  # µm
+    refl = 0.2 + 0.1 * np.sin(x)
+    X_out = np.arange(800.0, 1200.0, 2.0)
+    db = EmissivityDB.from_spectra([(x, refl)], X_out, reflectance=True,
+                                   wavelength_um=True)
+    e = np.asarray(db.emis)[0]
+    assert (e >= 0).all() and (e <= 1).all()
+    # eps = 1 - R at a checkpoint: R(10 µm) -> eps(1000 cm^-1)
+    want = 1.0 - (0.2 + 0.1 * np.sin(10.0))
+    got = e[np.argmin(np.abs(X_out - 1000.0))]
+    assert abs(got - want) < 1e-3
+
+    db2 = db.resample(np.arange(850.0, 1150.0, 5.0))
+    assert np.asarray(db2.emis).shape == (1, 60)
+
+
+def test_pairwise_mixtures():
+    db = synthetic_db(5)
+    mixed = db.pairwise_mixtures(n_fractions=11)
+    assert mixed.n_materials == 10 * 11  # C(5,2) pairs x 11 fractions
+    e = np.asarray(mixed.emis)
+    assert (e >= 1e-3).all() and (e <= 1 - 1e-3).all()
+
+
+def test_hsi_generate_shapes_and_physics():
+    nA, nX = 7, 64
+    X = np.linspace(800, 900, nX)
+    rng = np.random.default_rng(0)
+    tau = rng.uniform(0.5, 0.95, (nA, nX))
+    Lu = rng.uniform(0.5, 2.0, (nA, nX))
+    Ld = rng.uniform(1.0, 3.0, (nA, nX))
+    Ts = rng.uniform(280, 300, nA)
+    db = synthetic_db(12, X=X)
+    out = hsi_generate(jax.random.key(0), X, tau, Lu, Ld, Ts,
+                       db.emis, n_pixels=20, dT=3.0, n_emis=5, n_mix=2, n_atm=3)
+    assert out["L"].shape == (3, 20, nX)
+    assert out["mix_frac"].shape == (3, 20, 2)
+    np.testing.assert_allclose(np.asarray(out["mix_frac"]).sum(-1), 1.0, rtol=1e-6)
+    assert np.isfinite(np.asarray(out["L"])).all() and (np.asarray(out["L"]) > 0).all()
+    # deterministic per key
+    out2 = hsi_generate(jax.random.key(0), X, tau, Lu, Ld, Ts,
+                        db.emis, n_pixels=20, dT=3.0, n_emis=5, n_mix=2, n_atm=3)
+    np.testing.assert_array_equal(np.asarray(out["L"]), np.asarray(out2["L"]))
+
+
+def test_pca_round_trip():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(200, 10)) @ rng.normal(size=(10, 10))
+    pca = gen.pca_fit(X, 10)
+    Z = pca.transform(X)
+    np.testing.assert_allclose(np.asarray(Z).std(axis=0), 1.0, atol=0.02)  # whitened
+    Xr = pca.inverse_transform(Z)
+    np.testing.assert_allclose(np.asarray(Xr), X, atol=1e-8)
+
+
+def test_pca_matches_sklearn():
+    from sklearn.decomposition import PCA
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(300, 8)) * np.array([5, 3, 2, 1, 1, 0.5, 0.2, 0.1])
+    ours = gen.pca_fit(X, 4)
+    sk = PCA(n_components=4, whiten=True).fit(X)
+    np.testing.assert_allclose(np.asarray(ours.explained_variance_ratio),
+                               sk.explained_variance_ratio_, rtol=1e-8)
+    # components equal up to sign
+    dots = np.abs(np.sum(np.asarray(ours.components) * sk.components_, axis=1))
+    np.testing.assert_allclose(dots, 1.0, rtol=1e-8)
+
+
+def test_gmm_fit_and_sample_recovers_clusters():
+    rng = np.random.default_rng(3)
+    X = np.concatenate([rng.normal(-4, 0.5, (300, 2)), rng.normal(4, 0.5, (300, 2))])
+    model = gen.gmm_fit(jax.random.key(0), jnp.asarray(X), 2, n_iter=100)
+    means = np.sort(np.asarray(model.means)[:, 0])
+    np.testing.assert_allclose(means, [-4, 4], atol=0.3)
+    np.testing.assert_allclose(np.asarray(model.weights), [0.5, 0.5], atol=0.05)
+    samples = np.asarray(gen.gmm_sample(jax.random.key(1), model, 2000))
+    assert abs((samples[:, 0] > 0).mean() - 0.5) < 0.08
+    ll = np.asarray(gen.gmm_log_prob(model, X))
+    assert np.isfinite(ll).all()
+
+
+def test_mol_cum_round_trip():
+    rng = np.random.default_rng(4)
+    P = np.linspace(101325, 1000, 20)
+    T = rng.uniform(210, 300, (5, 20))
+    x = rng.uniform(0, 1e-2, (5, 20))
+    c = gen.mf2mol_cum(x, P, T)
+    x2 = np.asarray(gen.mol_cum2mf(np.asarray(c), P, T))
+    np.testing.assert_allclose(x2, x, rtol=1e-10)
+
+
+def test_rh_filter():
+    P = np.array([101325.0, 80000.0])
+    T = np.array([[290.0, 280.0], [300.0, 290.0]])
+    # sat vmr at 290 K, 1 atm is ~1.9% — 10% vmr is supersaturated
+    H2O = np.array([[0.10, 0.001], [0.001, 0.0005]])
+    ok = np.asarray(gen.rh_filter(P, T, H2O))
+    assert not ok[0] and ok[1]
+
+
+def test_trans_T_round_trip():
+    rng = np.random.default_rng(5)
+    P = np.linspace(101325, 100, 12)
+    T = 250.0 + rng.normal(0, 10, (50, 12)).cumsum(axis=1) * 0.1 \
+        + rng.uniform(-20, 20, (50, 1))
+    Tm = T.mean(axis=0)
+    feats, tv, w = gen.trans_T(jnp.asarray(T), jnp.asarray(P), Tm=jnp.asarray(Tm))
+    T2, ok = gen.itrans_T(feats, tv, Tm=jnp.asarray(Tm))
+    np.testing.assert_allclose(np.asarray(T2), T, rtol=1e-8)
+    assert np.asarray(ok).all()
+
+
+def test_trans_C_round_trip():
+    rng = np.random.default_rng(6)
+    P = np.linspace(101325, 100, 12)
+    T = np.full((40, 12), 260.0) + rng.normal(0, 5, (40, 12))
+    x = 10.0 ** rng.uniform(-6, -2, (40, 12))
+    feats, tv, w = gen.trans_C(jnp.asarray(x), jnp.asarray(P), jnp.asarray(T))
+    x2, ok = gen.itrans_C(feats, tv, jnp.asarray(P), jnp.asarray(T))
+    np.testing.assert_allclose(np.asarray(x2), x, rtol=1e-6)
+
+
+def test_atmos_generator_end_to_end():
+    """Fit on a toy TIGR-like ensemble; generated profiles must be plausible."""
+    rng = np.random.default_rng(7)
+    n, nz = 150, 16
+    P = np.logspace(np.log10(101325), np.log10(500), nz)
+    z = np.linspace(0, 20, nz)
+    Tg = rng.uniform(270, 305, n)
+    T = Tg[:, None] - 6.0 * z[None, :] + rng.normal(0, 1.0, (n, nz))
+    T = np.maximum(T, 200.0)
+    H2O = 0.01 * np.exp(-z / 2.5)[None, :] * rng.uniform(0.3, 1.2, (n, 1))
+    O3 = 1e-8 + 5e-6 * np.exp(-((z - 18) / 6.0) ** 2)[None, :] \
+        * rng.uniform(0.7, 1.3, (n, 1))
+    sample_fn, diag = gen.atmos_generator(
+        jax.random.key(0), P, T, H2O, O3, n_pca=8, n_gmm=4)
+    T_n, H_n, O_n, ll = sample_fn(jax.random.key(1), 40)
+    assert T_n.shape[0] > 0 and T_n.shape[1] == nz
+    assert (T_n > 180).all() and (T_n < 340).all()
+    assert (H_n >= 0).all() and (O_n >= 0).all()
+    assert np.isfinite(ll).all()
+
+    labels = gen.airmass_labels(jax.random.key(2), z, P, T, H2O, O3, n_airmass=3)
+    assert labels.shape == (n,) and len(np.unique(labels)) >= 1

@@ -67,6 +67,25 @@ sd_params = compute_line_params(lines.select_band(800, 810), iso, 280.0, 0.9,
 k_sd = xsect_from_params(jnp.asarray(X_c, dtype=dt), sd_params, profile="sdvoigt")
 assert np.isfinite(np.asarray(k_sd)).all()
 
+# scene: emissivity DB -> HSI cube on the freshly computed TUD
+from radtxfr_tpu.scene import synthetic_db, hsi_generate
+db = synthetic_db(16, X=np.asarray(grid, dtype=np.float64))
+hsi = hsi_generate(jax.random.key(0), grid, tau[None, :, 3, 0], Lu[None, :, 3, 0],
+                   Ld[None, :], jnp.asarray([296.0]), db.emis,
+                   n_pixels=8, n_emis=4, n_mix=2, n_atm=2)
+assert np.isfinite(np.asarray(hsi["L"])).all() and (np.asarray(hsi["L"]) > 0).all()
+
+# io: HDF5 with units metadata + MBI cube round trip
+import tempfile, os
+from radtxfr_tpu.io import Var, write_h5, read_h5, mbi_export, mbi_read
+with tempfile.TemporaryDirectory() as td:
+    write_h5(os.path.join(td, "t.h5"),
+             {"X": Var(np.asarray(grid), units="cm^{-1}"), "tau": Var(tau)})
+    assert read_h5(os.path.join(td, "t.h5"))["X"].units == "cm^{-1}"
+    mbi_export(os.path.join(td, "c.bip"), np.asarray(hsi["L"][0]).T[None, :, :])
+    back = mbi_read(os.path.join(td, "c.bip"))[0]
+    assert back.shape[0] == 1
+
 bt_bad = np.asarray(brightness_temperature(np.array([1000.0]), np.array([-5.0])))
 assert np.isnan(bt_bad).all()
 try:
