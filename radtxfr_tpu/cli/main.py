@@ -1,0 +1,311 @@
+"""Command-line entry points reproducing the reference's five production
+configurations (BASELINE.json configs 1-5).
+
+    python -m radtxfr_tpu.cli.main <command> [options]
+
+Commands
+--------
+planck     Config 1: Planck/apparent radiance sanity run (StdAtmos).
+xsect      Config 2: single-layer absorption cross-sections on a fine grid
+           (the RT_gen_AbsXS path), AFIT_XS binary output.
+tud        Config 3: 66-layer multi-altitude TUD over the LWIR band with
+           resolution reduction, resumable checkpointing, HDF5 export
+           (the Generate_LWIR_TUD path).
+mako       Config 4: MAKO-channelized TUD (the Generate_LWIR_TUD_MAKO path).
+hsi        Config 5: generative-ensemble HSI radiance cubes
+           (the LWIR_HSI_Generator path).
+
+Line data comes from ``--par FILE`` (HITRAN .par, native parser) or
+``--synthetic N`` (deterministic synthetic list) — the reference's TAPE3 /
+hapi-download sources have no offline equivalent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--par", help="HITRAN .par line database")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic lines instead of --par")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--numin", type=float, default=690.0)
+    p.add_argument("--numax", type=float, default=1410.0)
+    p.add_argument("--dv", type=float, default=0.0025)
+    p.add_argument("--output", default=None)
+    p.add_argument("--engine", default="auto", choices=["auto", "jnp", "pallas"])
+
+
+def _load_lines(args, margin=25.0):
+    import jax.numpy as jnp
+
+    from ..lines.store import parse_par
+    from ..lines.synthetic import synthetic_lines
+
+    if args.par:
+        store = parse_par(args.par, dtype=jnp.float32)
+        return store.select_band(args.numin, args.numax, margin=margin)
+    n = args.synthetic or 20000
+    return synthetic_lines(n, nu_min=args.numin - margin,
+                           nu_max=args.numax + margin, seed=args.seed,
+                           dtype=jnp.float32)
+
+
+def _engine(args):
+    import jax
+
+    if args.engine != "auto":
+        return args.engine
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+def cmd_planck(args):
+    import jax.numpy as jnp
+
+    from ..atmos import std_atmosphere
+    from ..core.grid import make_spectral_axis
+    from ..core.planck import brightness_temperature, planckian
+
+    atm = std_atmosphere()
+    X = make_spectral_axis(args.numin, args.numax, max(args.dv, 0.25))
+    B = planckian(X, atm.T[0])
+    Tb = brightness_temperature(X, B)
+    print(f"Planck @ ground T={float(atm.T[0]):.2f} K: "
+          f"L in [{float(jnp.min(B)):.3f}, {float(jnp.max(B)):.3f}] "
+          f"µW/(cm^2 sr cm^-1); BT round-trip max err "
+          f"{float(jnp.max(jnp.abs(Tb - atm.T[0]))):.2e} K")
+
+
+def cmd_xsect(args):
+    import jax.numpy as jnp
+
+    from ..core.grid import arange_drift_free
+    from ..io.afit_xs import xs_write
+    from ..kernels.lineparams import compute_line_params
+    from ..kernels.xsect import xsect_from_params
+    from ..lines.store import IsoTables
+
+    store = _load_lines(args, margin=50.0)
+    iso = IsoTables.load(dtype=jnp.float32)
+    X = arange_drift_free(args.numin, args.numax, args.dv)
+    params = compute_line_params(store, iso, args.T, args.p,
+                                 wing_hw=args.wing_hw, profile=args.profile)
+    k = np.asarray(xsect_from_params(jnp.asarray(X, dtype=jnp.float32),
+                                     params, profile=args.profile))
+    print(f"xsect: {X.size} points, max {k.max():.3e} cm^2/molec")
+    if args.output:
+        mols = np.unique(np.asarray(store.mol_id))
+        mol = int(mols[0]) if mols.size == 1 else 0
+        xs_write(X, k, args.T, args.p * 101325.0, mol,
+                 "radtxfr_tpu synthetic" if not args.par else args.par,
+                 fname=args.output)
+        print(f"wrote {args.output}")
+
+
+def cmd_tud(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..atmos import std_atmosphere
+    from ..core.grid import arange_drift_free
+    from ..core.planck import planckian
+    from ..dist.checkpoint import EnsembleCheckpoint, run_batched
+    from ..io.h5 import Var, write_h5
+    from ..lines.store import IsoTables
+    from ..products import compute_od_layers, tud_from_od
+    from ..sensor.resolution import reduce_resolution
+    from ..utils import PhaseTimer
+
+    store = _load_lines(args)
+    iso = IsoTables.load(dtype=jnp.float32)
+    base = std_atmosphere(dtype=jnp.float32)
+    X = arange_drift_free(args.numin, args.numax, args.dv)
+    grid = jnp.asarray(X, dtype=jnp.float32)
+    alts = jnp.asarray(args.altitudes, dtype=jnp.float32)
+    timer = PhaseTimer()
+
+    rng = np.random.default_rng(args.seed)
+    dT = rng.normal(0.0, 5.0, (args.n_atmos, 1)).astype(np.float32)
+    scale_h2o = rng.uniform(0.5, 1.5, args.n_atmos).astype(np.float32)
+
+    engine = _engine(args)
+    od_fn = None
+    if engine == "pallas":
+        from ..products.od import make_od_pallas_fn
+
+        od_fn = make_od_pallas_fn(store, iso, X, base)
+
+    def one_atmos(i):
+        vmr = base.vmr.at[:, 0].mul(scale_h2o[i])
+        T = base.T + jnp.asarray(dT[i])
+        with timer.phase("od", work_items=store.n_lines * base.n_layers):
+            if od_fn is not None:
+                od = od_fn(T, base.p, base.pl, vmr)
+            else:
+                od = compute_od_layers(
+                    store, iso, grid, base.replace(T=T, vmr=vmr), engine="jnp")
+        B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
+        with timer.phase("tud", work_items=X.size):
+            tud = tud_from_od(grid, od, B, base.z0, alts,
+                              n_angles=args.n_angles)
+        with timer.phase("reduce"):
+            x_lo, tau_lo = reduce_resolution(X, tud.tau[:, -1, 0], args.dv_out)
+            lu_lo = reduce_resolution(X, tud.Lu[:, -1, 0], args.dv_out, X_out=x_lo)
+            ld_lo = reduce_resolution(X, tud.Ld, args.dv_out, X_out=x_lo)
+        return x_lo, np.asarray(tau_lo), np.asarray(lu_lo), np.asarray(ld_lo)
+
+    x_lo = None
+
+    def compute_batch(indices):
+        nonlocal x_lo
+        taus, lus, lds = [], [], []
+        for i in indices:
+            x_lo, tau, lu, ld = one_atmos(int(i))
+            taus.append(tau); lus.append(lu); lds.append(ld)
+        return {"tau": np.stack(taus), "Lu": np.stack(lus), "Ld": np.stack(lds)}
+
+    if args.checkpoint:
+        ckpt = EnsembleCheckpoint(args.checkpoint, args.n_atmos, args.batch)
+        out = run_batched(ckpt, compute_batch)
+    else:
+        out = compute_batch(np.arange(args.n_atmos))
+    print(timer.report())
+    if args.output:
+        write_h5(args.output, {
+            "X": Var(np.asarray(x_lo), units="cm^{-1}", name="Wavenumbers",
+                     label=r"$\tilde{\nu}$"),
+            "tau": Var(out["tau"], units="none", name="Transmittance"),
+            "La": Var(out["Lu"], units="µW/(cm^2 sr cm^{-1})",
+                      name="Upwelling (path) radiance"),
+            "Ld": Var(out["Ld"], units="µW/(cm^2 sr cm^{-1})",
+                      name="Hemispherically averaged downwelling radiance"),
+        })
+        print(f"wrote {args.output}")
+
+
+def cmd_mako(args):
+    import jax.numpy as jnp
+
+    from ..io.h5 import Var, read_h5, write_h5
+    from ..sensor.ils import ils_mako
+
+    data = read_h5(args.input)
+    X = data["X"].data
+    x_out = None
+    out = {}
+    for name in ("tau", "La", "Ld"):
+        Y = data[name].data
+        Y2 = Y.T if Y.ndim == 2 else Y[:, None]
+        x_out, y = ils_mako(X, Y2, fwhm_sf=args.fwhm_sf, shift=args.shift,
+                            scale=args.scale)
+        out[name] = Var(np.asarray(y).T, units=data[name].units,
+                        name=data[name].name + " (MAKO)")
+    out["X"] = Var(x_out, units="cm^{-1}", name="MAKO channel centers")
+    print(f"MAKO: {x_out.size} channels")
+    if args.output:
+        write_h5(args.output, out)
+        print(f"wrote {args.output}")
+
+
+def cmd_hsi(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..io.h5 import Var, read_h5, write_h5
+    from ..scene.emissivity import synthetic_db
+    from ..scene.hsi import hsi_generate
+
+    data = read_h5(args.input)
+    X = data["X"].data
+    tau = data["tau"].data
+    Lu = data["La"].data
+    Ld = data["Ld"].data
+    Ts = np.full(tau.shape[0], 296.0)
+    db = synthetic_db(args.n_materials, X=X, seed=args.seed)
+    out = hsi_generate(jax.random.key(args.seed), X, tau, Lu, Ld, Ts, db.emis,
+                       n_pixels=args.n_pixels, dT=args.dT,
+                       n_emis=args.n_emis, n_mix=args.n_mix,
+                       n_atm=min(args.n_atm, tau.shape[0]))
+    L = np.asarray(out["L"])
+    print(f"HSI cube: {L.shape}, L in [{L.min():.3f}, {L.max():.3f}]")
+    if args.output:
+        write_h5(args.output, {
+            "L": Var(L, units="µW/(cm^2 sr cm^{-1})",
+                     name="At-sensor apparent spectral radiance"),
+            "X": Var(X, units="cm^{-1}", name="Wavenumbers"),
+            "Ts_pix": Var(np.asarray(out["Ts_pix"]), units="K",
+                          name="Pixel surface temperature"),
+            "mix_frac": Var(np.asarray(out["mix_frac"]), units="none",
+                            name="Material mixing fractions"),
+            "emis_labels": Var(np.asarray(out["emis_labels"]), units="none",
+                               name="End-member indices"),
+            "atmos_labels": Var(np.asarray(out["atmos_labels"]), units="none",
+                                name="Atmosphere indices"),
+        })
+        print(f"wrote {args.output}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="radtxfr_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    p1 = sub.add_parser("planck", help="config 1: Planck sanity run")
+    _add_common(p1)
+    p1.set_defaults(fn=cmd_planck)
+
+    p2 = sub.add_parser("xsect", help="config 2: single-layer cross-sections")
+    _add_common(p2)
+    p2.add_argument("--T", type=float, default=296.0)
+    p2.add_argument("--p", type=float, default=1.0, help="pressure [atm]")
+    p2.add_argument("--profile", default="voigt",
+                    choices=["voigt", "lorentz", "doppler", "sdvoigt"])
+    p2.add_argument("--wing-hw", dest="wing_hw", type=float, default=50.0)
+    p2.set_defaults(fn=cmd_xsect)
+
+    p3 = sub.add_parser("tud", help="config 3: ensemble TUD production")
+    _add_common(p3)
+    p3.add_argument("--n-atmos", type=int, default=4)
+    p3.add_argument("--batch", type=int, default=24)
+    p3.add_argument("--n-angles", type=int, default=30)
+    p3.add_argument("--dv-out", type=float, default=0.25)
+    p3.add_argument("--altitudes", type=float, nargs="+",
+                    default=[0.061, 0.305, 1.524, 3.048, 6.096, 9.144,
+                             12.192, 15.24, 500.0])
+    p3.add_argument("--checkpoint", default=None)
+    p3.set_defaults(fn=cmd_tud)
+
+    p4 = sub.add_parser("mako", help="config 4: MAKO-channelized TUD")
+    p4.add_argument("--input", required=True)
+    p4.add_argument("--output", default=None)
+    p4.add_argument("--fwhm-sf", dest="fwhm_sf", type=float, default=1.0)
+    p4.add_argument("--shift", type=float, default=0.0)
+    p4.add_argument("--scale", type=float, default=1.0)
+    p4.set_defaults(fn=cmd_mako)
+
+    p5 = sub.add_parser("hsi", help="config 5: HSI radiance cubes")
+    p5.add_argument("--input", required=True)
+    p5.add_argument("--output", default=None)
+    p5.add_argument("--seed", type=int, default=0)
+    p5.add_argument("--n-pixels", type=int, default=100)
+    p5.add_argument("--n-materials", type=int, default=24)
+    p5.add_argument("--n-emis", type=int, default=6)
+    p5.add_argument("--n-mix", type=int, default=2)
+    p5.add_argument("--n-atm", type=int, default=3)
+    p5.add_argument("--dT", type=float, default=3.0)
+    p5.set_defaults(fn=cmd_hsi)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

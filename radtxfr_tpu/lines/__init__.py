@@ -1,3 +1,5 @@
 from .store import LineStore, IsoTables, from_arrays, parse_par  # noqa: F401
 from .synthetic import synthetic_lines, to_hapi_cache  # noqa: F401
 from .tips import partition_sum, partition_sum_ratio  # noqa: F401
+from .query import select, sort, evaluate  # noqa: F401
+from .hapi_db import HapiDatabase, load_table  # noqa: F401

@@ -163,8 +163,24 @@ _PAR_FIELDS = {
 _ISO_CHAR = {**{str(d): d for d in range(10)}, "0": 10, "A": 11, "B": 12}
 
 
-def parse_par(path_or_lines, dtype=jnp.float64) -> LineStore:
-    """Parse a HITRAN ``.par`` file (160-char fixed-column records)."""
+def parse_par(path_or_lines, dtype=jnp.float64, native: bool = True) -> LineStore:
+    """Parse a HITRAN ``.par`` file (160-char fixed-column records).
+
+    File paths go through the native C++ streaming parser when available
+    (``native/par_parser.cpp``; hundreds of MB/s); lists of record strings
+    and toolchain-less environments use the Python path.
+    """
+    if isinstance(path_or_lines, (str, os.PathLike)) and native:
+        from .native_parser import parse_par_native
+
+        cols = parse_par_native(str(path_or_lines))
+        if cols is not None:
+            return from_arrays(
+                nu0=cols["nu"], sw=cols["sw"], elower=cols["elower"],
+                gamma_air=cols["gamma_air"], gamma_self=cols["gamma_self"],
+                n_air=cols["n_air"], delta_air=cols["delta_air"],
+                mol_id=cols["mol"], local_iso_id=cols["iso"], dtype=dtype,
+            )
     if isinstance(path_or_lines, (str, os.PathLike)):
         with open(path_or_lines) as f:
             lines = f.read().splitlines()

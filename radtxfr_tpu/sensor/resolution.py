@@ -17,7 +17,10 @@ linear operators:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["smooth", "reduce_resolution", "cubic_resample_weights", "apply_resample"]
@@ -118,13 +121,17 @@ def reduce_resolution(X, Y, dX, N: int = 4, window: str = "hanning", X_out=None)
         X_out = np.linspace(x_sm[sm], x_sm[-sm - 1], n_pts)
     idx, w = cubic_resample_weights(x_sm, np.asarray(X_out, dtype=np.float64))
 
-    import jax
+    y_out = _reduce_apply(jnp.asarray(Y), jnp.asarray(idx), jnp.asarray(w),
+                          sm, window)
+    return (X_out, y_out) if return_x else y_out
 
-    Y = jnp.asarray(Y)
+
+@functools.partial(jax.jit, static_argnames=("sm", "window"))
+def _reduce_apply(Y, idx, w, sm, window):
+    """Jitted smooth+resample (one compile per shape/window combination)."""
     if Y.ndim == 1:
         y_sm = _sym_smooth(Y, sm, window)
     else:
         y_sm = jax.vmap(lambda col: _sym_smooth(col, sm, window),
                         in_axes=1, out_axes=1)(Y)
-    y_out = apply_resample(idx, w, y_sm)
-    return (X_out, y_out) if return_x else y_out
+    return apply_resample(idx, w, y_sm)

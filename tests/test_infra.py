@@ -1,0 +1,121 @@
+"""Checkpoint/resume, profiling, retry, CLI smoke tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from radtxfr_tpu.dist.checkpoint import EnsembleCheckpoint, run_batched
+from radtxfr_tpu.utils import MetricsLog, PhaseTimer, retry
+
+
+def test_checkpoint_resume(tmp_path):
+    d = str(tmp_path / "ck")
+    calls = []
+
+    def compute(indices):
+        calls.append(list(indices))
+        return {"x": indices.astype(float) * 2.0}
+
+    ck = EnsembleCheckpoint(d, n_items=10, batch_size=4)
+    assert ck.n_batches == 3 and ck.pending == [0, 1, 2]
+    # simulate a crash after two batches
+    for b in [0, 1]:
+        ck.write_batch(b, compute(ck.batch_indices(b)))
+
+    # fresh process resumes: only batch 2 recomputed
+    ck2 = EnsembleCheckpoint(d, n_items=10, batch_size=4)
+    assert ck2.pending == [2]
+    out = run_batched(ck2, compute, log=None)
+    assert len(calls) == 3
+    np.testing.assert_allclose(out["x"], np.arange(10) * 2.0)
+
+    with pytest.raises(ValueError, match="was created for"):
+        EnsembleCheckpoint(d, n_items=10, batch_size=5)
+
+
+def test_phase_timer_and_metrics(tmp_path):
+    t = PhaseTimer()
+    with t.phase("work", work_items=100):
+        pass
+    assert t.phases["work"] >= 0 and "work" in t.report()
+    m = MetricsLog(str(tmp_path / "m.jsonl"))
+    m.log(metric="spectra_per_s", value=12.5)
+    rows = m.read()
+    assert rows[0]["metric"] == "spectra_per_s"
+
+
+def test_retry():
+    attempts = []
+
+    @retry(n_attempts=3, backoff_s=0.0)
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert flaky() == "ok" and len(attempts) == 3
+
+    @retry(n_attempts=2, backoff_s=0.0)
+    def broken():
+        raise ValueError("permanent")
+
+    with pytest.raises(RuntimeError, match="failed after 2"):
+        broken()
+
+
+def _run_cli(*args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = env.get("JAX_PLATFORMS", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from radtxfr_tpu.cli.main import main; main(%r)" % (list(args),)
+    )
+    return subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, cwd=os.path.dirname(os.path.dirname(__file__)))
+
+
+def test_cli_planck():
+    r = _run_cli("planck")
+    assert r.returncode == 0, r.stderr
+    assert "BT round-trip" in r.stdout
+
+
+def test_cli_xsect_and_tud_pipeline(tmp_path):
+    xs = str(tmp_path / "xs.bin")
+    r = _run_cli("xsect", "--synthetic", "100", "--numin", "800",
+                 "--numax", "805", "--dv", "0.01", "--output", xs)
+    assert r.returncode == 0, r.stderr
+    from radtxfr_tpu.io.afit_xs import xs_read
+
+    X, Y, meta = xs_read(xs)
+    assert X.size == Y.size and meta["T"] == 296.0
+
+    h5 = str(tmp_path / "tud.h5")
+    ck = str(tmp_path / "ck")
+    r = _run_cli("tud", "--synthetic", "80", "--numin", "800", "--numax", "810",
+                 "--dv", "0.01", "--dv-out", "0.25", "--n-atmos", "3",
+                 "--batch", "2", "--n-angles", "6", "--altitudes", "2.0", "500.0",
+                 "--checkpoint", ck, "--output", h5)
+    assert r.returncode == 0, r.stderr
+    from radtxfr_tpu.io.h5 import read_h5
+
+    data = read_h5(h5)
+    assert data["tau"].data.shape[0] == 3
+    assert json.load(open(os.path.join(ck, "manifest.json")))["completed"] == [0, 1]
+
+    # config 4 + 5 downstream
+    mk = str(tmp_path / "mako.h5")
+    r = _run_cli("mako", "--input", h5, "--output", mk)
+    assert r.returncode == 0, r.stderr
+
+    hs = str(tmp_path / "hsi.h5")
+    r = _run_cli("hsi", "--input", h5, "--output", hs, "--n-pixels", "5",
+                 "--n-atm", "2")
+    assert r.returncode == 0, r.stderr
+    cube = read_h5(hs)
+    assert cube["L"].data.shape[0] == 2

@@ -107,3 +107,68 @@ def test_select_band():
     nu = np.asarray(sub.nu0)
     assert ((nu >= 790.0) & (nu <= 910.0)).all()
     assert sub.n_lines > 0
+
+
+def _synthetic_par_text(n=2000, seed=19):
+    """Generate valid 160-char .par records from a synthetic store."""
+    from radtxfr_tpu.lines.tips import load_tips_tables
+
+    store = synthetic_lines(n, seed=seed)
+    _, iso_ids, _, _ = load_tips_tables()
+    recs = []
+    for k in range(n):
+        m = int(store.mol_id[k])
+        i = int(iso_ids[int(store.iso_row[k])])
+        ic = "0" if i == 10 else str(i)
+        rec = (
+            f"{m:2d}{ic}{float(store.nu0[k]):12.6f}{float(store.sw[k]):10.3E}"
+            f"{1.0:10.3E}{float(store.gamma_air[k]):5.3f}{float(store.gamma_self[k]):5.3f}"
+            f"{float(store.elower[k]):10.4f}{float(store.n_air[k]):4.2f}"
+            f"{float(store.delta_air[k]):8.5f}"
+        )
+        recs.append(rec.ljust(160))
+    return recs
+
+
+def test_native_parser_matches_python(tmp_path):
+    from radtxfr_tpu.lines.native_parser import load_library
+    from radtxfr_tpu.lines.store import parse_par
+
+    if load_library() is None:
+        pytest.skip("native toolchain unavailable")
+    recs = _synthetic_par_text(3000)
+    f = str(tmp_path / "test.par")
+    open(f, "w").write("\n".join(recs) + "\n")
+    nat = parse_par(f, native=True)
+    py = parse_par(recs, dtype=nat.nu0.dtype)
+    for field in ("nu0", "sw", "elower", "gamma_air", "gamma_self",
+                  "n_air", "delta_air"):
+        np.testing.assert_allclose(np.asarray(getattr(nat, field)),
+                                   np.asarray(getattr(py, field)),
+                                   rtol=0, atol=0, err_msg=field)
+    np.testing.assert_array_equal(np.asarray(nat.mol_id), np.asarray(py.mol_id))
+    np.testing.assert_array_equal(np.asarray(nat.iso_row), np.asarray(py.iso_row))
+
+
+def test_native_parser_throughput(tmp_path):
+    """Native parser should stream a large file well under a second."""
+    import time
+
+    from radtxfr_tpu.lines.native_parser import load_library, parse_par_native
+
+    if load_library() is None:
+        pytest.skip("native toolchain unavailable")
+    recs = _synthetic_par_text(2000)
+    f = str(tmp_path / "big.par")
+    with open(f, "w") as fh:
+        for _ in range(50):  # 100k records, ~16 MB
+            fh.write("\n".join(recs) + "\n")
+    t0 = time.perf_counter()
+    cols = parse_par_native(f)
+    dt = time.perf_counter() - t0
+    assert cols["nu"].size == 100_000
+    rate = os.path.getsize(f) / dt / 1e6
+    assert rate > 30, f"native parse too slow: {rate:.1f} MB/s"
+
+
+import os  # noqa: E402

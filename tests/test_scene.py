@@ -163,3 +163,23 @@ def test_atmos_generator_end_to_end():
 
     labels = gen.airmass_labels(jax.random.key(2), z, P, T, H2O, O3, n_airmass=3)
     assert labels.shape == (n,) and len(np.unique(labels)) >= 1
+
+
+def test_robust_stats():
+    from radtxfr_tpu.scene.robust import mad, qn_scale, robust_z, estimate_tau
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(10.0, 2.0, 5000)
+    assert abs(float(mad(x)) - 2.0) < 0.1          # sigma-consistent
+    assert abs(float(qn_scale(x[:500])) - 2.0) < 0.3
+    z = np.asarray(robust_z(x))
+    assert abs(np.median(z)) < 0.05
+
+    # tau estimation: scene std shaped by a known transmittance
+    nX = 400
+    tau_true = 0.5 + 0.4 * np.exp(-0.5 * ((np.arange(nX) - 200) / 60.0) ** 2)
+    surface = rng.uniform(5, 15, (300, 1))
+    L = tau_true[None, :] * surface + 2.0
+    est = np.asarray(estimate_tau(L, smooth_window=5))
+    corr = np.corrcoef(est, tau_true)[0, 1]
+    assert corr > 0.98, corr
