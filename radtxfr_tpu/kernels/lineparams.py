@@ -90,8 +90,13 @@ def compute_line_params(
     dtype = lines.nu0.dtype
 
     # --- intensity temperature scaling -------------------------------------
-    q_t = partition_sum(iso.q, lines.iso_row, T)
-    q_ref = partition_sum(iso.q, lines.iso_row, jnp.asarray(T_REF, dtype=T.dtype))
+    # Evaluate Q(T) once per isotopologue (a ~143-row table), then gather per
+    # line — far cheaper than the per-line 4-point Lagrange gathers when
+    # vmapped over layers.
+    all_rows = jnp.arange(iso.q.shape[0])
+    q_t = partition_sum(iso.q, all_rows, T)[lines.iso_row]
+    q_ref = partition_sum(iso.q, all_rows,
+                          jnp.asarray(T_REF, dtype=T.dtype))[lines.iso_row]
     c2 = jnp.asarray(C2_CM_K, dtype=dtype)
     ch = jnp.exp(-c2 * lines.elower / T) * (1.0 - jnp.exp(-c2 * lines.nu0 / T))
     zn = jnp.exp(-c2 * lines.elower / T_REF) * (1.0 - jnp.exp(-c2 * lines.nu0 / T_REF))

@@ -87,23 +87,49 @@ class BucketPlan:
     max_wing: float      # cm^-1 — wing bound the bucketing guarantees
 
 
+def auto_block(nu0, grid: UniformGrid, max_wing: float, tile: int,
+               lo: int = 8, hi: int = 256) -> int:
+    """Pick a line-block size matched to the local line density.
+
+    A fixed block wastes up to block/lines-per-tile of the compute on
+    sparse line classes (the kernel evaluates whole blocks); sizing the
+    block near the 75th-percentile per-tile line count keeps the padding
+    slop small while leaving the tail to extra grid steps.
+    """
+    nu0 = np.asarray(nu0, dtype=np.float64)
+    n_tiles = -(-grid.n // tile)
+    edges = grid.x0 + grid.dx * tile * np.arange(n_tiles + 1)
+    lo_i = np.searchsorted(nu0, edges[:-1] - max_wing, side="left")
+    hi_i = np.searchsorted(nu0, edges[1:] + max_wing, side="right")
+    counts = hi_i - lo_i
+    counts = counts[counts > 0]
+    if counts.size == 0:
+        return lo
+    q = float(np.quantile(counts, 0.75))
+    b = 8 * int(np.ceil(q / 8.0))
+    return int(np.clip(b, lo, hi))
+
+
 def plan_buckets(
     nu0,
     grid: UniformGrid,
     max_wing: float,
     tile: int = 1024,
-    block: int = 256,
+    block="auto",
 ) -> BucketPlan:
     """Bucket sorted line centers onto nu-tiles (host-side, static).
 
     ``max_wing`` must upper-bound every line's wing cutoff at runtime; the
     kernel clamps wings to it so bucketing and masking stay consistent.
+    ``block='auto'`` sizes line blocks from the local line density.
     """
     nu0 = np.asarray(nu0, dtype=np.float64)
     if nu0.size == 0:
         raise ValueError("empty line list")
     if np.any(np.diff(nu0) < 0):
         raise ValueError("line centers must be sorted")
+    if block == "auto":
+        block = auto_block(nu0, grid, max_wing, tile)
 
     n_tiles = -(-grid.n // tile)
     n_lines_pad = -(-nu0.size // block) * block
@@ -156,19 +182,28 @@ def _pad_layered(a, n_blocks, block, fill):
     return a.reshape(n_lay, n_blocks, 1, block)
 
 
-def _voigt_block(dnu, gd, g0, wei_a, wei_L):
-    """Voigt profile on a (BLOCK, TILE) block, branchless float32."""
-    cte = _SQRT_LN2 / gd
-    x = dnu * cte
-    y = g0 * cte
+def _pad_fused(a, n_blocks, block, fill):
+    """(nLay, L) -> (n_blocks, nLay, block) for the layer-fused kernel."""
+    n_lay, L = a.shape
+    pad = n_blocks * block - L
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.full((n_lay, pad), fill, dtype=a.dtype)], axis=1
+        )
+    return a.reshape(n_lay, n_blocks, block).transpose(1, 0, 2)
 
-    # Asymptotic (Humlicek region 1): (1/sqrt(pi)) * t/(0.5 + t^2), t = y - ix
+
+def _asym_re_w(x, y):
+    """Humlicek region-1 asymptotic Re w: (1/sqrt(pi)) Re[t/(0.5+t^2)],
+    t = y - ix. ~12 flops — hum1_wei uses this wherever |x| + y >= 15."""
     dr = 0.5 + y * y - x * x
     di = -2.0 * x * y
     dmag = dr * dr + di * di
-    asym_r = _INV_SQRT_PI * (y * dr - x * di) / dmag
+    return _INV_SQRT_PI * (y * dr - x * di) / dmag
 
-    # Weideman-24 rational series in Z = (L + iz)/(L - iz)
+
+def _weideman_re_w(x, y, wei_a, wei_L):
+    """Weideman rational-series Re w (the |x| + y < 15 region)."""
     nr, ni = wei_L - y, x
     er, ei = wei_L + y, -x
     emag = er * er + ei * ei
@@ -181,13 +216,40 @@ def _voigt_block(dnu, gd, g0, wei_a, wei_L):
     sr = er * er - ei * ei
     si = 2.0 * er * ei
     smag = sr * sr + si * si
-    wei_r = 2.0 * (pr * sr + pi_ * si) / smag + _INV_SQRT_PI * er / emag
+    return 2.0 * (pr * sr + pi_ * si) / smag + _INV_SQRT_PI * er / emag
 
-    wr = jnp.where(jnp.abs(x) + y < REGION_BOUND, wei_r, asym_r)
+
+def _voigt_block(dnu, gd, g0, wei_a, wei_L, mode: str = "full"):
+    """Voigt profile on a (BLOCK, TILE) block, branchless float32.
+
+    ``mode`` supports the two-pass far-wing decomposition:
+
+    * ``'full'`` — hum1_wei blend (Weideman inside |x|+y<15, asymptotic
+      outside);
+    * ``'asym'`` — asymptotic everywhere (the cheap far-wing pass; exact
+      outside the core region, wrong-but-corrected inside it);
+    * ``'core'`` — (Weideman - asymptotic) inside |x|+y<15, zero outside:
+      the correction the core pass adds on top of an 'asym' pass, so
+      asym + core == full pointwise.
+    """
+    cte = _SQRT_LN2 / gd
+    x = dnu * cte
+    y = g0 * cte
+    if mode == "asym":
+        wr = _asym_re_w(x, y)
+    else:
+        in_core = (jnp.abs(x) + y) < REGION_BOUND
+        asym = _asym_re_w(x, y)
+        wei = _weideman_re_w(x, y, wei_a, wei_L)
+        if mode == "core":
+            wr = jnp.where(in_core, wei - asym, 0.0)
+        else:
+            wr = jnp.where(in_core, wei, asym)
     return cte * _INV_SQRT_PI * wr
 
 
-def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24):
+def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24,
+                 mode: str = "full"):
     dx = np.float32(dx)
     wei_L_f, wei_a_f = weideman_coeffs(n_weideman)
     wei_a = tuple(np.float32(c) for c in wei_a_f)
@@ -216,7 +278,7 @@ def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24):
             k_grid = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
             rel = (k_grid - k_line).astype(jnp.float32)   # exact: small ints
             dnu = (rel - frac0 - ds) * dx
-            prof = _voigt_block(dnu, gd, g0, wei_a, wei_L)
+            prof = _voigt_block(dnu, gd, g0, wei_a, wei_L, mode=mode)
             # hapi bisect window on the UNSHIFTED center:
             # include iff nu0 - wing < g <= nu0 + wing
             # in grid units: frac0 - wingu < rel - 0 ... rel > frac0 - wingu
@@ -228,14 +290,98 @@ def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24):
     return kernel
 
 
+def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
+                       n_weideman: int, mode: str):
+    """Layer-fused variant: one grid step evaluates ALL layers for a
+    (line-block x nu-tile) pair via an in-kernel loop.
+
+    Amortizes per-step pipeline overhead so narrow tiles become viable —
+    essential for the 'core' pass, whose useful region is only a few tens of
+    grid points around each line center.
+    """
+    dx = np.float32(dx)
+    wei_L_f, wei_a_f = weideman_coeffs(n_weideman)
+    wei_a = tuple(np.float32(c) for c in wei_a_f)
+    wei_L = np.float32(wei_L_f)
+
+    def kernel(starts_ref, counts_ref, k_ref, f0_ref, ds_ref, s_ref,
+               gd_ref, g0_ref, wu_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(j < counts_ref[i])
+        def _accumulate():
+            k_line = k_ref[0, 0, :].reshape(block, 1)
+            frac0 = f0_ref[0, 0, :].reshape(block, 1)
+            k_grid = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
+            rel = (k_grid - k_line).astype(jnp.float32)
+            u = rel - frac0
+
+            def body(l, _):
+                ds = ds_ref[0, l, :].reshape(block, 1)
+                strength = s_ref[0, l, :].reshape(block, 1)
+                gd = gd_ref[0, l, :].reshape(block, 1)
+                g0 = g0_ref[0, l, :].reshape(block, 1)
+                wingu = wu_ref[0, l, :].reshape(block, 1)
+                dnu = (rel - frac0 - ds) * dx
+                prof = _voigt_block(dnu, gd, g0, wei_a, wei_L, mode=mode)
+                mask = (u > -wingu) & (u <= wingu)
+                contrib = jnp.where(mask, strength * prof, 0.0)
+                out_ref[0, l, :] += jnp.sum(contrib, axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, n_lay, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
+                      gd, g0, wingu, starts, counts, interpret=False):
+    # cfg: (tile, block, n_blocks, n_tiles, max_blocks, n_out, dx,
+    # n_weideman, mode); layered arrays are (n_blocks, n_lay, block).
+    tile, block, nb, nt, mb, n_out, dx, n_wei, mode = cfg
+    n_lay = strength.shape[1]
+    kernel = _make_fused_kernel(tile, block, n_lay, dx, n_wei, mode)
+
+    def line_map(i, j, starts_ref, counts_ref):
+        return (jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt, mb),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, n_lay, block), line_map, memory_space=pltpu.VMEM)
+        ] * 5,
+        out_specs=pl.BlockSpec(
+            (1, n_lay, tile), lambda i, j, s, c: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, n_lay, tile), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, counts, k_line, frac0, ds, strength, gd, g0, wingu)
+    return out.transpose(1, 0, 2).reshape(n_lay, nt * tile)[:, :n_out]
+
+
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
 def _xsect_pallas_call(cfg, k_line, frac0, ds, strength,
                        gd, g0, wingu, starts, counts, interpret=False):
     # cfg: hashable static tuple (tile, block, n_blocks, n_tiles, max_blocks,
-    # n_out, dx, n_weideman)
-    tile, block, nb, nt, mb, n_out, dx, n_wei = cfg
+    # n_out, dx, n_weideman, mode)
+    tile, block, nb, nt, mb, n_out, dx, n_wei, mode = cfg
     n_lay = strength.shape[0]
-    kernel = _make_kernel(tile, block, dx, n_wei)
+    kernel = _make_kernel(tile, block, dx, n_wei, mode)
 
     # Mosaic block-shape rule: the last two dims of every block must be
     # (8k, 128m) or equal to the array's; singleton axes are inserted so the
@@ -279,7 +425,8 @@ def _xsect_pallas_call(cfg, k_line, frac0, ds, strength,
 
 
 def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = None,
-                 n_weideman: int = 24):
+                 n_weideman: int = 24, mode: str = "full",
+                 fused_layers: bool = False):
     """Evaluate layered spectra with the Pallas kernel.
 
     Parameters
@@ -309,10 +456,15 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
     wingu = f32(jnp.minimum(params.wing, plan.max_wing) / dx)
 
     nb, block = plan.n_blocks, plan.block
-    pad = lambda a, fill: _pad_layered(a, nb, block, fill)
     cfg = (plan.tile, plan.block, plan.n_blocks, plan.n_tiles,
-           plan.max_blocks, plan.grid.n, plan.grid.dx, n_weideman)
-    out = _xsect_pallas_call(
+           plan.max_blocks, plan.grid.n, plan.grid.dx, n_weideman, mode)
+    if fused_layers:
+        pad = lambda a, fill: _pad_fused(a, nb, block, fill)
+        call = _xsect_fused_call
+    else:
+        pad = lambda a, fill: _pad_layered(a, nb, block, fill)
+        call = _xsect_pallas_call
+    out = call(
         cfg,
         jnp.asarray(plan.k_line),
         jnp.asarray(plan.frac0),

@@ -188,6 +188,28 @@ def max_wing_per_layer(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> np.ndar
     return wing_bound_matrix(lines, iso, atmos, wing_abs, wing_hw).max(axis=1)
 
 
+def core_wing_bound(lines, iso, atmos) -> float:
+    """Host-side bound on the Weideman-core half-width [cm^-1].
+
+    The hum1_wei region |x| + y < 15 lies within |dnu| < 15 * gamma_D /
+    sqrt(ln2) of the *shifted* center; adding the pressure-shift bound gives
+    a distance from the unshifted center, which is what the bucketing uses.
+    """
+    from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS
+    from ..kernels.faddeeva import REGION_BOUND
+
+    nu0 = np.asarray(lines.nu0, dtype=np.float64)
+    mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
+    mass_g = mass * C_MASS_MOL * 1000.0
+    t_max = float(np.asarray(atmos.T).max())
+    gd_max = np.sqrt(2.0 * K_BOLTZMANN_CGS * t_max * np.log(2.0) / mass_g) \
+        / C_LIGHT_CGS * nu0
+    p_max = float(np.asarray(atmos.p).max()) / PA_PER_ATM
+    shift_max = np.abs(np.asarray(lines.delta_air, dtype=np.float64)) * p_max
+    w = REGION_BOUND / np.sqrt(np.log(2.0)) * gd_max + shift_max
+    return float(w.max())
+
+
 def max_wing_bound(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> float:
     """Host-side upper bound on every line's wing over all layers."""
     return float(max_wing_per_layer(lines, iso, atmos, wing_abs, wing_hw).max())
@@ -231,19 +253,28 @@ def make_od_plan(lines, iso, grid, atmos, wing_abs=0.0, wing_hw=50.0,
 
 
 def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
-                      max_groups: int = 4, max_classes: int = 4,
-                      tile: int = 512, block: int = 32, n_weideman: int = 16):
+                      max_groups: int = 8, max_classes: int = 4,
+                      tile: int = 512, block: int = 32, n_weideman: int = 16,
+                      two_pass: bool = True, far_tile: int | None = None,
+                      far_block: int | None = None, group_ratio: float = 1.6,
+                      class_ratio: float = 2.5):
     """Build a jitted (T, p_pa, pl, vmr) -> (nL, nX) OD function with static
     Pallas bucket plans baked in.
 
-    Two-level static decomposition keeps visited work close to the hapi
-    window work:
+    Static work decomposition keeps the evaluated work close to — and the
+    cost far below — the hapi window work:
 
     * **layer groups** — wing bounds scale with pressure, spanning orders of
       magnitude down the atmosphere; each group gets its own plans;
     * **line classes** within a group — per-line wings (50 halfwidths) span
       a wide range too; lines are partitioned into wing octaves so narrow
-      lines are not bucketed with the widest one.
+      lines are not bucketed with the widest one;
+    * **two-pass far-wing split** (``two_pass=True``): everywhere in the
+      window the ~12-flop Humlicek asymptotic form is exact except inside
+      hum1_wei's tiny |x|+y<15 core (a few tens of grid points around each
+      line center), so the wing passes run in 'asym' mode and one narrow
+      'core' pass adds the (Weideman - asymptotic) correction. The sum is
+      pointwise identical to the single-pass blend.
 
     ``atmos_class`` is a representative concrete atmosphere used only to
     size the groups; the returned jitted function accepts traced
@@ -256,14 +287,34 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
     W = wing_bound_matrix(lines, iso, atmos_class, wing_abs=wing_abs,
                           wing_hw=wing_hw)                  # (nLay, L)
     nu0 = np.asarray(lines.nu0, dtype=np.float64)
+    all_layers = jnp.arange(W.shape[0])
+    all_lines = jnp.arange(nu0.size)
 
-    calls = []  # (layer_idx jnp, line_idx jnp, plan)
-    for lay_idx, _ in group_by_wing(W.max(axis=1), max_groups=max_groups):
+    wing_mode = "asym" if two_pass else "full"
+    # The asym wing passes are ~12 flops/eval — grid-step overhead bound —
+    # so they get bigger tiles/blocks than the flop-heavy core pass.
+    f_tile = far_tile or (2 * tile if two_pass else tile)
+    f_block = far_block or "auto"
+    calls = []  # (layer_idx jnp, line_idx jnp, plan, mode)
+    for lay_idx, _ in group_by_wing(W.max(axis=1), max_groups=max_groups,
+                                    ratio=group_ratio):
         w_line = W[lay_idx].max(axis=0)                     # (L,)
-        for cls_idx, w_cls in group_by_wing(w_line, max_groups=max_classes):
+        for cls_idx, w_cls in group_by_wing(w_line, max_groups=max_classes,
+                                            ratio=class_ratio):
             cls_idx = np.sort(cls_idx)                      # keep nu0 order
-            plan = plan_buckets(nu0[cls_idx], g, w_cls, tile=tile, block=block)
-            calls.append((jnp.asarray(np.sort(lay_idx)), jnp.asarray(cls_idx), plan))
+            plan = plan_buckets(
+                nu0[cls_idx], g, w_cls, tile=f_tile,
+                block=(block if not two_pass and far_block is None else f_block))
+            calls.append((jnp.asarray(np.sort(lay_idx)), jnp.asarray(cls_idx),
+                          plan, wing_mode))
+    if two_pass:
+        # Core pass: the Weideman region spans only a few tens of grid
+        # points around each line, so use narrow tiles with the layer-fused
+        # kernel (per-step overhead amortized over all layers).
+        w_core = core_wing_bound(lines, iso, atmos_class)
+        core_tile = max(128, min(tile, 8 * int(np.ceil(2.0 * w_core / g.dx / 8.0))))
+        core_plan = plan_buckets(nu0, g, w_core, tile=core_tile, block="auto")
+        calls.append((all_layers, all_lines, core_plan, "core"))
 
     @jax.jit
     def od_fn(T, p_pa, pl, vmr):
@@ -279,10 +330,11 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
         params = jax.vmap(one)(T, p_atm, pl, vmr)
         out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
         sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
-        for lay_idx, cls_idx, plan in calls:
+        for lay_idx, cls_idx, plan, mode in calls:
             out = out.at[lay_idx].add(
                 xsect_pallas(plan, sub(params, lay_idx, cls_idx),
-                             n_weideman=n_weideman))
+                             n_weideman=n_weideman, mode=mode,
+                             fused_layers=True))
         return out
 
     return od_fn

@@ -113,3 +113,20 @@ def test_grouped_od_pallas_matches_jnp_engine(iso_tables):
     fn = make_od_pallas_fn(lines, iso_tables, axis, atm)
     got2 = np.asarray(fn(atm.T, atm.p, atm.pl, atm.vmr))
     np.testing.assert_allclose(got2, got, rtol=0, atol=1e-12)
+
+
+def test_two_pass_equals_single_pass(iso_tables):
+    """asym + core decomposition must equal the single-pass blend."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(200, nu_min=795.0, nu_max=855.0, seed=43)
+    axis = arange_drift_free(800.0, 850.0, 0.005)
+    fn1 = make_od_pallas_fn(lines, iso_tables, axis, atm, two_pass=False)
+    fn2 = make_od_pallas_fn(lines, iso_tables, axis, atm, two_pass=True)
+    args = (atm.T, atm.p, atm.pl, atm.vmr)
+    a = np.asarray(fn1(*args))
+    b = np.asarray(fn2(*args))
+    peak = np.abs(a).max()
+    assert np.abs(a - b).max() < 2e-6 * peak, np.abs(a - b).max() / peak
