@@ -304,7 +304,7 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
     wei_a = tuple(np.float32(c) for c in wei_a_f)
     wei_L = np.float32(wei_L_f)
 
-    def kernel(starts_ref, counts_ref, k_ref, f0_ref, ds_ref, s_ref,
+    def kernel(starts_ref, counts_ref, off_ref, k_ref, f0_ref, ds_ref, s_ref,
                gd_ref, g0_ref, wu_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -317,7 +317,10 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
         def _accumulate():
             k_line = k_ref[0, 0, :].reshape(block, 1)
             frac0 = f0_ref[0, 0, :].reshape(block, 1)
-            k_grid = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
+            # off_ref: global grid index of this device's first point (for
+            # spectrum-sharded SPMD execution; 0 single-device)
+            k_grid = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+                      + i * tile + off_ref[0])
             rel = (k_grid - k_line).astype(jnp.float32)
             u = rel - frac0
 
@@ -341,18 +344,18 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
 def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
-                      gd, g0, wingu, starts, counts, interpret=False):
+                      gd, g0, wingu, starts, counts, offset, interpret=False):
     # cfg: (tile, block, n_blocks, n_tiles, max_blocks, n_out, dx,
     # n_weideman, mode); layered arrays are (n_blocks, n_lay, block).
     tile, block, nb, nt, mb, n_out, dx, n_wei, mode = cfg
     n_lay = strength.shape[1]
     kernel = _make_fused_kernel(tile, block, n_lay, dx, n_wei, mode)
 
-    def line_map(i, j, starts_ref, counts_ref):
+    def line_map(i, j, starts_ref, counts_ref, off_ref):
         return (jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt, mb),
         in_specs=[
             pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
@@ -361,7 +364,7 @@ def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
             pl.BlockSpec((1, n_lay, block), line_map, memory_space=pltpu.VMEM)
         ] * 5,
         out_specs=pl.BlockSpec(
-            (1, n_lay, tile), lambda i, j, s, c: (i, 0, 0),
+            (1, n_lay, tile), lambda i, j, s, c, o: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -370,7 +373,7 @@ def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
         out_shape=jax.ShapeDtypeStruct((nt, n_lay, tile), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, counts, k_line, frac0, ds, strength, gd, g0, wingu)
+    )(starts, counts, offset, k_line, frac0, ds, strength, gd, g0, wingu)
     return out.transpose(1, 0, 2).reshape(n_lay, nt * tile)[:, :n_out]
 
 
@@ -426,7 +429,9 @@ def _xsect_pallas_call(cfg, k_line, frac0, ds, strength,
 
 def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = None,
                  n_weideman: int = 24, mode: str = "full",
-                 fused_layers: bool = False):
+                 fused_layers: bool = False, starts=None, counts=None,
+                 k_offset=None, n_tiles: int | None = None,
+                 n_out: int | None = None):
     """Evaluate layered spectra with the Pallas kernel.
 
     Parameters
@@ -456,25 +461,46 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
     wingu = f32(jnp.minimum(params.wing, plan.max_wing) / dx)
 
     nb, block = plan.n_blocks, plan.block
-    cfg = (plan.tile, plan.block, plan.n_blocks, plan.n_tiles,
-           plan.max_blocks, plan.grid.n, plan.grid.dx, n_weideman, mode)
+    # starts/counts/k_offset/n_tiles overrides support spectrum-sharded SPMD
+    # execution: each device passes its local tile ranges and global offset.
+    starts = jnp.asarray(plan.starts) if starts is None else starts
+    counts = jnp.asarray(plan.counts) if counts is None else counts
+    nt = plan.n_tiles if n_tiles is None else n_tiles
+    n_out = (plan.grid.n if n_out is None else n_out)
+    cfg = (plan.tile, plan.block, plan.n_blocks, nt,
+           plan.max_blocks, n_out, plan.grid.dx, n_weideman, mode)
     if fused_layers:
         pad = lambda a, fill: _pad_fused(a, nb, block, fill)
-        call = _xsect_fused_call
+        if k_offset is None:
+            k_offset = jnp.zeros((1,), dtype=jnp.int32)
+        else:
+            k_offset = jnp.asarray(k_offset, dtype=jnp.int32).reshape(1)
+        out = _xsect_fused_call(
+            cfg,
+            jnp.asarray(plan.k_line),
+            jnp.asarray(plan.frac0),
+            pad(ds, 0.0),
+            pad(strength, 0.0),
+            pad(gd, 1.0),
+            pad(g0, 1.0),
+            pad(wingu, 0.0),
+            starts, counts, k_offset,
+            interpret=interpret,
+        )
     else:
+        if k_offset is not None:
+            raise ValueError("k_offset requires fused_layers=True")
         pad = lambda a, fill: _pad_layered(a, nb, block, fill)
-        call = _xsect_pallas_call
-    out = call(
-        cfg,
-        jnp.asarray(plan.k_line),
-        jnp.asarray(plan.frac0),
-        pad(ds, 0.0),
-        pad(strength, 0.0),
-        pad(gd, 1.0),
-        pad(g0, 1.0),
-        pad(wingu, 0.0),
-        jnp.asarray(plan.starts),
-        jnp.asarray(plan.counts),
-        interpret=interpret,
-    )
+        out = _xsect_pallas_call(
+            cfg,
+            jnp.asarray(plan.k_line),
+            jnp.asarray(plan.frac0),
+            pad(ds, 0.0),
+            pad(strength, 0.0),
+            pad(gd, 1.0),
+            pad(g0, 1.0),
+            pad(wingu, 0.0),
+            starts, counts,
+            interpret=interpret,
+        )
     return out[0] if single else out

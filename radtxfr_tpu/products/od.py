@@ -252,6 +252,66 @@ def make_od_plan(lines, iso, grid, atmos, wing_abs=0.0, wing_hw=50.0,
                         tile=tile, block=block)
 
 
+
+def _pow2_tile(n: int, lo: int = 128, hi: int = 1024) -> int:
+    """Round up to a power-of-two tile in [lo, hi] (keeps tiles divisors of
+    any multiple of ``hi`` — required for even spectral sharding)."""
+    t = lo
+    while t < n and t < hi:
+        t *= 2
+    return t
+
+
+def _as_states(atmos_class):
+    return list(atmos_class) if isinstance(atmos_class, (list, tuple)) else [atmos_class]
+
+
+def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
+                    max_classes, tile, block, two_pass, far_tile, far_block,
+                    group_ratio, class_ratio):
+    """The static (layer-group x wing-class [+ core]) call decomposition.
+
+    ``atmos_class`` may be a single representative state or a list of
+    envelope states (e.g. the coldest and hottest ensemble members); wing
+    bounds are taken elementwise over all of them.
+    """
+    from ..kernels.pallas_xsect import plan_buckets
+
+    states = _as_states(atmos_class)
+    W = np.max([wing_bound_matrix(lines, iso, s, wing_abs=wing_abs,
+                                  wing_hw=wing_hw) for s in states], axis=0)
+    nu0 = np.asarray(lines.nu0, dtype=np.float64)
+    all_layers = jnp.arange(W.shape[0])
+    all_lines = jnp.arange(nu0.size)
+
+    wing_mode = "asym" if two_pass else "full"
+    # The asym wing passes are ~12 flops/eval — grid-step overhead bound —
+    # so they get bigger tiles/blocks than the flop-heavy core pass.
+    f_tile = far_tile or (2 * tile if two_pass else tile)
+    f_block = far_block or "auto"
+    calls = []  # (layer_idx jnp, line_idx jnp, plan, mode)
+    for lay_idx, _ in group_by_wing(W.max(axis=1), max_groups=max_groups,
+                                    ratio=group_ratio):
+        w_line = W[lay_idx].max(axis=0)                     # (L,)
+        for cls_idx, w_cls in group_by_wing(w_line, max_groups=max_classes,
+                                            ratio=class_ratio):
+            cls_idx = np.sort(cls_idx)                      # keep nu0 order
+            plan = plan_buckets(
+                nu0[cls_idx], g, w_cls, tile=f_tile,
+                block=(block if not two_pass and far_block is None else f_block))
+            calls.append((jnp.asarray(np.sort(lay_idx)), jnp.asarray(cls_idx),
+                          plan, wing_mode))
+    if two_pass:
+        # Core pass: the Weideman region spans only a few tens of grid
+        # points around each line, so use narrow power-of-two tiles with the
+        # layer-fused kernel (per-step overhead amortized over all layers).
+        w_core = max(core_wing_bound(lines, iso, s) for s in states)
+        core_tile = _pow2_tile(int(np.ceil(2.0 * w_core / g.dx)), hi=tile)
+        core_plan = plan_buckets(nu0, g, w_core, tile=core_tile, block="auto")
+        calls.append((all_layers, all_lines, core_plan, "core"))
+    return calls
+
+
 def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
                       max_groups: int = 8, max_classes: int = 4,
                       tile: int = 512, block: int = 32, n_weideman: int = 16,
@@ -280,41 +340,15 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
     size the groups; the returned jitted function accepts traced
     thermodynamics of the same layer count and wing envelope.
     """
-    from ..kernels.pallas_xsect import UniformGrid, plan_buckets, xsect_pallas
+    from ..kernels.pallas_xsect import UniformGrid, xsect_pallas
 
     g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
-    cols = jnp.asarray(_line_species_cols(lines, atmos_class.mol_ids))
-    W = wing_bound_matrix(lines, iso, atmos_class, wing_abs=wing_abs,
-                          wing_hw=wing_hw)                  # (nLay, L)
-    nu0 = np.asarray(lines.nu0, dtype=np.float64)
-    all_layers = jnp.arange(W.shape[0])
-    all_lines = jnp.arange(nu0.size)
-
-    wing_mode = "asym" if two_pass else "full"
-    # The asym wing passes are ~12 flops/eval — grid-step overhead bound —
-    # so they get bigger tiles/blocks than the flop-heavy core pass.
-    f_tile = far_tile or (2 * tile if two_pass else tile)
-    f_block = far_block or "auto"
-    calls = []  # (layer_idx jnp, line_idx jnp, plan, mode)
-    for lay_idx, _ in group_by_wing(W.max(axis=1), max_groups=max_groups,
-                                    ratio=group_ratio):
-        w_line = W[lay_idx].max(axis=0)                     # (L,)
-        for cls_idx, w_cls in group_by_wing(w_line, max_groups=max_classes,
-                                            ratio=class_ratio):
-            cls_idx = np.sort(cls_idx)                      # keep nu0 order
-            plan = plan_buckets(
-                nu0[cls_idx], g, w_cls, tile=f_tile,
-                block=(block if not two_pass and far_block is None else f_block))
-            calls.append((jnp.asarray(np.sort(lay_idx)), jnp.asarray(cls_idx),
-                          plan, wing_mode))
-    if two_pass:
-        # Core pass: the Weideman region spans only a few tens of grid
-        # points around each line, so use narrow tiles with the layer-fused
-        # kernel (per-step overhead amortized over all layers).
-        w_core = core_wing_bound(lines, iso, atmos_class)
-        core_tile = max(128, min(tile, 8 * int(np.ceil(2.0 * w_core / g.dx / 8.0))))
-        core_plan = plan_buckets(nu0, g, w_core, tile=core_tile, block="auto")
-        calls.append((all_layers, all_lines, core_plan, "core"))
+    cols = jnp.asarray(_line_species_cols(lines, _as_states(atmos_class)[0].mol_ids))
+    calls = _build_od_calls(
+        lines, iso, atmos_class, g, wing_abs=wing_abs, wing_hw=wing_hw,
+        max_groups=max_groups, max_classes=max_classes, tile=tile, block=block,
+        two_pass=two_pass, far_tile=far_tile, far_block=far_block,
+        group_ratio=group_ratio, class_ratio=class_ratio)
 
     @jax.jit
     def od_fn(T, p_pa, pl, vmr):
@@ -354,3 +388,81 @@ def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
     fn = make_od_pallas_fn(lines, iso, grid, atmos,
                            wing_abs=wing_abs, wing_hw=wing_hw, **pallas_opts)
     return fn(atmos.T, atmos.p, atmos.pl, atmos.vmr)
+
+
+def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
+                            wing_abs=0.0, wing_hw=50.0, max_groups: int = 8,
+                            max_classes: int = 4, tile: int = 512,
+                            block: int = 32, n_weideman: int = 16,
+                            two_pass: bool = True, far_tile: int | None = None,
+                            far_block: int | None = None,
+                            group_ratio: float = 1.6, class_ratio: float = 2.5):
+    """SPMD building block: per-shard OD over a spectrum-sharded grid.
+
+    All shards run the *same* program (one set of static bucket plans built
+    on a padded global grid whose tiles never straddle shard boundaries);
+    what differs per shard is data: its slice of the per-tile line-block
+    ranges and its global grid offset. Returns::
+
+        (local_fn, spec_data, padded_grid)
+
+    * ``local_fn(T, p_pa, pl, vmr, local_spec, k_offset) -> (nLay, n_local)``
+      — call inside ``shard_map``; ``local_spec`` is the shard's slice of
+      ``spec_data`` (shard axis leading), ``k_offset`` the shard's first
+      global grid index (``axis_index * n_local``).
+    * ``spec_data`` — list over kernel calls of (starts, counts) arrays of
+      shape (n_shards, local_tiles) to pass sharded over the spectrum axis.
+    * ``padded_grid`` — the padded :class:`UniformGrid`; ``n_local =
+      padded_grid.n // n_shards`` (trailing pad points carry wing spill,
+      slice them off after gathering).
+    """
+    from ..kernels.pallas_xsect import UniformGrid, xsect_pallas
+
+    g0 = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
+    # Pad so every call's tile divides the per-shard point count (tiles are
+    # powers of two <= 1024 by construction).
+    align = 1024 * n_shards
+    n_pad = -(-g0.n // align) * align
+    g = UniformGrid(x0=g0.x0, dx=g0.dx, n=n_pad)
+    n_local = n_pad // n_shards
+
+    cols = jnp.asarray(_line_species_cols(lines, _as_states(atmos_class)[0].mol_ids))
+    calls = _build_od_calls(
+        lines, iso, atmos_class, g, wing_abs=wing_abs, wing_hw=wing_hw,
+        max_groups=max_groups, max_classes=max_classes, tile=tile, block=block,
+        two_pass=two_pass, far_tile=far_tile, far_block=far_block,
+        group_ratio=group_ratio, class_ratio=class_ratio)
+
+    spec_data = []
+    for _, _, plan, _ in calls:
+        nt_loc = n_local // plan.tile
+        spec_data.append((
+            jnp.asarray(plan.starts.reshape(n_shards, nt_loc)),
+            jnp.asarray(plan.counts.reshape(n_shards, nt_loc)),
+        ))
+
+    def local_fn(T, p_pa, pl, vmr, local_spec, k_offset):
+        p_atm = p_pa / PA_PER_ATM
+
+        def one(T_l, p_l, pl_l, vmr_l):
+            u = species_column(p_l * PA_PER_ATM, T_l, pl_l, vmr_l)
+            return compute_line_params(
+                lines, iso, T_l, p_l, vmr_self=vmr_l[cols],
+                wing_abs=wing_abs, wing_hw=wing_hw, strength_scale=u[cols],
+            )
+
+        params = jax.vmap(one)(T, p_atm, pl, vmr)
+        out = jnp.zeros((T.shape[0], n_local), dtype=jnp.float32)
+        sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
+        for (lay_idx, cls_idx, plan, mode), (starts, counts) in zip(calls, local_spec):
+            od_c = xsect_pallas(
+                plan, sub(params, lay_idx, cls_idx), n_weideman=n_weideman,
+                mode=mode, fused_layers=True,
+                starts=starts.reshape(-1), counts=counts.reshape(-1),
+                k_offset=k_offset,
+                n_tiles=n_local // plan.tile, n_out=n_local,
+            )
+            out = out.at[lay_idx].add(od_c)
+        return out
+
+    return local_fn, spec_data, g

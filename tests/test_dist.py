@@ -52,3 +52,42 @@ def test_mesh_construction():
     assert mesh.shape == {"ensemble": 2, "spectrum": 4}
     with pytest.raises(ValueError):
         make_mesh(4, 4)  # only 8 devices
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tud_ensemble_pallas_matches_unsharded(iso_tables):
+    """Pallas SPMD path (sharded plans + grid offsets) vs single-device
+    pallas engine."""
+    from radtxfr_tpu.dist.pallas_ensemble import tud_ensemble_pallas
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    lines = synthetic_lines(150, nu_min=790.0, nu_max=860.0, seed=33)
+    grid = arange_drift_free(800.0, 850.0, 0.02)  # 2501 pts -> padded
+    base = std_atmosphere()
+    states = [base.replace(T=base.T + dt) for dt in (0.0, 4.0, -4.0, 8.0)]
+    batch = stack_states(states)
+    alts = jnp.asarray([2.0, 500.0])
+    mesh = make_mesh(4, 2)
+
+    gpad, tau_s, lu_s, ld_s = tud_ensemble_pallas(
+        lines, iso_tables, grid, batch, alts, mesh, n_angles=8)
+    n = grid.size
+    x_pad = jnp.asarray(gpad.values(), dtype=jnp.float32)
+    assert gpad.n % 2 == 0 and gpad.n >= n
+    assert tau_s.shape[0] == 4
+
+    # unsharded reference: same pallas decomposition on the padded grid
+    from radtxfr_tpu.kernels.pallas_xsect import UniformGrid
+    from radtxfr_tpu.core.planck import planckian as planck_of
+
+    for i, st in enumerate(states):
+        fn = make_od_pallas_fn(lines, iso_tables, gpad, st)
+        od = fn(st.T, st.p, st.pl, st.vmr)
+        B = jnp.swapaxes(planck_of(jnp.asarray(x_pad), st.T), 0, 1).astype(od.dtype)
+        from radtxfr_tpu.products.tud import tud_from_od
+
+        tud = tud_from_od(jnp.asarray(x_pad), od, B, st.z0, alts, n_angles=8)
+        np.testing.assert_allclose(np.asarray(tau_s[i])[:n], np.asarray(tud.tau)[:n],
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ld_s[i])[:n], np.asarray(tud.Ld)[:n],
+                                   rtol=2e-4, atol=1e-5)
