@@ -83,3 +83,18 @@ def test_tape5_deck_structure(tmp_path):
     assert cn_line.split()[:4] == ["1.000000", "1.000000", "1.000000", "0.000000"]
     # species card holds H2O ppmv in first column
     assert "7.00000000E+03" in "".join(text)
+
+
+@pytest.mark.parametrize("interleave", ["bsq", "bil", "bip"])
+def test_envi_round_trip(tmp_path, interleave):
+    from radtxfr_tpu.io.envi import read_envi, write_envi
+
+    rng = np.random.default_rng(4)
+    cube = rng.random((5, 7, 9)).astype(np.float32)
+    hdr = str(tmp_path / "cube.hdr")
+    wl = np.linspace(7.5, 13.2, 5)
+    write_envi(hdr, cube, interleave=interleave, wavelength=wl)
+    back, h = read_envi(hdr)
+    np.testing.assert_array_equal(back, cube)
+    np.testing.assert_allclose(h["wavelength"], wl, rtol=1e-6)
+    assert h["interleave"] == interleave

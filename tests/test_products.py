@@ -149,3 +149,26 @@ def test_jacobian_matches_finite_differences(iso_tables):
         got = np.asarray(jac[var]["tau"][..., k])
         scale = np.abs(fd_tau).max() + 1e-30
         np.testing.assert_allclose(got, fd_tau, rtol=0, atol=5e-5 * scale)
+
+
+def test_continuum_models():
+    from radtxfr_tpu.atmos.continuum import continuum_od, register_continuum
+
+    atm = std_atmosphere()
+    nu = jnp.linspace(800.0, 1200.0, 64)
+    zero = np.asarray(continuum_od(nu, atm, model="none"))
+    assert zero.shape == (66, 64) and (zero == 0).all()
+
+    od = np.asarray(continuum_od(nu, atm, model="h2o_empirical"))
+    assert od.shape == (66, 64)
+    assert (od >= 0).all() and np.isfinite(od).all()
+    # continuum concentrated in the moist lower atmosphere
+    assert od[0].mean() > 100 * od[40].mean()
+    # scale factors act linearly on the self term
+    od_half = np.asarray(continuum_od(nu, atm, model="h2o_empirical",
+                                      continuum_factors=[0.0, 1.0] + [1.0] * 5))
+    assert od_half.mean() < od.mean()
+
+    register_continuum("flat", lambda nu, T, p, vmr, mids, pl, cf: jnp.ones_like(nu))
+    flat = np.asarray(continuum_od(nu, atm, model="flat"))
+    np.testing.assert_array_equal(flat, 1.0)
