@@ -249,6 +249,43 @@ def cmd_hsi(args):
         print(f"wrote {args.output}")
 
 
+def cmd_radiance(args):
+    import jax.numpy as jnp
+
+    from ..io.h5 import Var, gen_indices, read_h5, write_h5
+    from ..products.radiance import apparent_radiance
+    from ..scene.emissivity import synthetic_db
+
+    data = read_h5(args.input)
+    X = data["X"].data
+    tau = data["tau"].data.T if data["tau"].data.ndim == 2 else data["tau"].data
+    Lu = data["La"].data.T if data["La"].data.ndim == 2 else data["La"].data
+    Ld = data["Ld"].data.T if data["Ld"].data.ndim == 2 else data["Ld"].data
+    # atmosphere-major inputs -> (nX, nA)
+    n_atm = tau.shape[1]
+    db = synthetic_db(args.n_materials, X=X, seed=args.seed)
+    emis = np.asarray(db.emis).T                       # (nX, nE)
+    Ts = np.full(n_atm, 296.0)
+    dT = np.arange(-10.0, 10.0 + args.dT_step, args.dT_step)  # ref: -10..10 K
+    L = np.asarray(apparent_radiance(X, emis, Ts, tau, Lu, Ld, dT=dT))
+    n_samples = L.shape[1] * L.shape[2] * L.shape[3]
+    tr, te, va = gen_indices(n_samples, seed=args.seed)
+    print(f"radiance tensor {L.shape} -> {n_samples} samples "
+          f"(train {len(tr)}/test {len(te)}/val {len(va)})")
+    if args.output:
+        write_h5(args.output, {
+            "X": Var(X, units="cm^{-1}", name="Wavenumbers"),
+            "L": Var(L.astype(np.float32),
+                     units="µW/(cm^2 sr cm^{-1})",
+                     name="At-sensor apparent spectral radiance",
+                     info="(nX, nE, nA, nT) broadcast tensor"),
+            "dT": Var(dT, units="K", name="Surface temperature deltas"),
+            "emis": Var(emis, units="none", name="Surface emissivities"),
+            "ix_train": Var(tr), "ix_test": Var(te), "ix_val": Var(va),
+        })
+        print(f"wrote {args.output}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="radtxfr_tpu",
                                 description=__doc__,
@@ -287,6 +324,15 @@ def build_parser():
     p4.add_argument("--shift", type=float, default=0.0)
     p4.add_argument("--scale", type=float, default=1.0)
     p4.set_defaults(fn=cmd_mako)
+
+    p6 = sub.add_parser("radiance", help="apparent-radiance ML dataset "
+                        "(Compute_LWIR_Apparent_Radiance path)")
+    p6.add_argument("--input", required=True, help="TUD HDF5 from 'tud'")
+    p6.add_argument("--output", default=None)
+    p6.add_argument("--seed", type=int, default=42)
+    p6.add_argument("--n-materials", type=int, default=24)
+    p6.add_argument("--dT-step", dest="dT_step", type=float, default=0.5)
+    p6.set_defaults(fn=cmd_radiance)
 
     p5 = sub.add_parser("hsi", help="config 5: HSI radiance cubes")
     p5.add_argument("--input", required=True)

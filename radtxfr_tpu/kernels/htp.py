@@ -79,9 +79,15 @@ def pcqsdhc(sg0, gamma_d, gamma0, gamma2, shift0, shift2, anuvc, eta, sg):
     sg = jnp.asarray(sg)
     dtype = jnp.result_type(sg, gamma_d, jnp.float32)
     c = lambda a: jnp.asarray(a, dtype=dtype)
-    sg0, gamma_d, gamma0, gamma2, shift0, shift2, anuvc, eta = map(
-        c, (sg0, gamma_d, gamma0, gamma2, shift0, shift2, anuvc, eta)
+    sg0, gamma_d, gamma0, gamma2, shift0, shift2, anuvc = map(
+        c, (sg0, gamma_d, gamma0, gamma2, shift0, shift2, anuvc)
     )
+    # eta may be complex (the HT driver's correlation parameter is
+    # Sum eta_d abun_d (Gamma0T + i Shift0T) / (Gamma0 + i Shift0),
+    # misc/hapi.py:10640-10642)
+    eta = jnp.asarray(eta)
+    if not jnp.iscomplexobj(eta):
+        eta = jnp.asarray(eta, dtype=dtype)
 
     cte = _SQRT_LN2 / gamma_d
     c0 = gamma0 + 1j * shift0

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..sensor.resolution import apply_resample, cubic_resample_weights
 
-__all__ = ["EmissivityDB", "synthetic_db"]
+__all__ = ["EmissivityDB", "synthetic_db", "save_db", "load_db"]
 
 
 @jax.tree_util.register_dataclass
@@ -98,6 +98,47 @@ class EmissivityDB:
             emis=jnp.asarray(mixes),
             material_id=jnp.arange(mixes.shape[0], dtype=jnp.int32),
             names=(),
+        )
+
+
+def save_db(db: EmissivityDB, basename: str) -> None:
+    """Export an emissivity DB the way the reference does
+    (``Generate_ASTER_emissivity_DB.py:123-170``): NPZ + HDF5 with units
+    metadata + a CSV material-label map."""
+    import csv
+
+    import numpy as np
+
+    from ..io.h5 import Var, write_h5
+
+    X = np.asarray(db.X)
+    emis = np.asarray(db.emis)
+    ids = np.asarray(db.material_id)
+    np.savez(basename + ".npz", X=X, emis=emis, material_ID=ids)
+    write_h5(basename + ".h5", {
+        "X": Var(X, units="cm^{-1}", name="Wavenumbers"),
+        "emis": Var(emis, units="none", name="Emissivity",
+                    info="(n_materials, nX), 0 <= emis <= 1"),
+        "material_ID": Var(ids, units="none", name="Material ID"),
+    })
+    with open(basename + ".csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["material_ID", "name"])
+        names = db.names or tuple(f"material_{i}" for i in range(db.n_materials))
+        for i, name in zip(ids.tolist(), names):
+            w.writerow([i, name])
+
+
+def load_db(basename: str) -> EmissivityDB:
+    """Load a DB written by :func:`save_db` (or the reference's NPZ layout,
+    cf. ``LWIR_HSI_Generator.py:86-90``)."""
+    import numpy as np
+
+    with np.load(basename + ".npz") as f:
+        return EmissivityDB(
+            X=jnp.asarray(f["X"]),
+            emis=jnp.asarray(f["emis"]),
+            material_id=jnp.asarray(f["material_ID"], dtype=jnp.int32),
         )
 
 

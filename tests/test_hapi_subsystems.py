@@ -137,3 +137,70 @@ def test_fetch_url_construction():
     assert url.startswith("http://hitran.org/lbl/api?")
     assert "iso_ids_list=1%2C2%2C4" in url
     assert "numin=690.0" in url and "numax=1410.0" in url
+
+
+def _ht_extras(store, rng):
+    """Synthetic HT parameter columns for every line."""
+    n = store.n_lines
+    return {
+        "gamma_HT_0_air_296": np.asarray(store.gamma_air) * rng.uniform(0.9, 1.1, n),
+        "n_HT_air_296": rng.uniform(0.4, 0.8, n),
+        "delta_HT_0_air_296": rng.normal(0.0, 0.005, n),
+        "deltap_HT_air_296": rng.normal(0.0, 1e-5, n),
+        "gamma_HT_2_air_296": np.asarray(store.gamma_air) * rng.uniform(0.05, 0.15, n),
+        "delta_HT_2_air_296": rng.normal(0.0, 5e-4, n),
+        "nu_HT_air": rng.uniform(0.0, 0.05, n),
+        "kappa_HT_air": rng.uniform(0.0, 1.0, n),
+        "eta_HT_air": rng.uniform(0.0, 0.3, n),
+    }
+
+
+def test_ht_driver_matches_hapi(iso_tables):
+    """absorptionCoefficient_HT parity with full HT columns present."""
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.kernels.ht_driver import xsect_ht
+    from radtxfr_tpu.lines.synthetic import synthetic_lines, to_hapi_cache
+
+    hapi = load_hapi()
+    rng = np.random.default_rng(91)
+    store = synthetic_lines(80, nu_min=795.0, nu_max=815.0, seed=91)
+    extras = _ht_extras(store, rng)
+    to_hapi_cache(store, "ht_tbl", hapi)
+    for k, v in extras.items():
+        hapi.LOCAL_TABLE_CACHE["ht_tbl"]["data"][k] = np.asarray(v, dtype=np.float64)
+
+    grid = arange_drift_free(800.0, 810.0, 0.005)
+    mols = sorted(set(np.asarray(store.mol_id).tolist()))
+    from radtxfr_tpu.lines.tips import load_tips_tables
+    _, iso_ids, _, _ = load_tips_tables()
+    comps = sorted(set(zip(np.asarray(store.mol_id).tolist(),
+                           iso_ids[np.asarray(store.iso_row)].tolist())))
+    _, want = hapi.absorptionCoefficient_HT(
+        Components=comps, SourceTables="ht_tbl",
+        Environment={"T": 280.0, "p": 0.8},
+        OmegaGrid=grid, OmegaWing=0.0, OmegaWingHW=50.0, HITRAN_units=True)
+    got = np.asarray(xsect_ht(jnp.asarray(grid), store, iso_tables,
+                              280.0, 0.8, extras=extras))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12 * np.abs(want).max())
+
+
+def test_ht_driver_fallback_to_voigt_columns(iso_tables):
+    """Without HT columns the driver must fall back to gamma_air/SD_air."""
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.kernels.ht_driver import xsect_ht
+    from radtxfr_tpu.lines.synthetic import synthetic_lines, to_hapi_cache
+
+    hapi = load_hapi()
+    store = synthetic_lines(60, nu_min=795.0, nu_max=815.0, seed=92)
+    to_hapi_cache(store, "ht_tbl2", hapi)
+    grid = arange_drift_free(800.0, 810.0, 0.01)
+    from radtxfr_tpu.lines.tips import load_tips_tables
+    _, iso_ids, _, _ = load_tips_tables()
+    comps = sorted(set(zip(np.asarray(store.mol_id).tolist(),
+                           iso_ids[np.asarray(store.iso_row)].tolist())))
+    _, want = hapi.absorptionCoefficient_HT(
+        Components=comps, SourceTables="ht_tbl2",
+        Environment={"T": 296.0, "p": 1.0},
+        OmegaGrid=grid, HITRAN_units=True)
+    got = np.asarray(xsect_ht(jnp.asarray(grid), store, iso_tables, 296.0, 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12 * np.abs(want).max())

@@ -119,3 +119,22 @@ def test_cli_xsect_and_tud_pipeline(tmp_path):
     assert r.returncode == 0, r.stderr
     cube = read_h5(hs)
     assert cube["L"].data.shape[0] == 2
+
+
+def test_cli_radiance(tmp_path):
+    h5 = str(tmp_path / "tud.h5")
+    r = _run_cli("tud", "--synthetic", "60", "--numin", "800", "--numax", "806",
+                 "--dv", "0.02", "--dv-out", "0.5", "--n-atmos", "2",
+                 "--n-angles", "4", "--altitudes", "500.0", "--output", h5)
+    assert r.returncode == 0, r.stderr
+    out = str(tmp_path / "rad.h5")
+    r = _run_cli("radiance", "--input", h5, "--output", out,
+                 "--n-materials", "4", "--dT-step", "5.0")
+    assert r.returncode == 0, r.stderr
+    from radtxfr_tpu.io.h5 import read_h5
+
+    d = read_h5(out)
+    L = d["L"].data
+    assert L.ndim == 4 and L.shape[1] == 4 and L.shape[2] == 2
+    n = L.shape[1] * L.shape[2] * L.shape[3]
+    assert len(d["ix_train"].data) + len(d["ix_test"].data) + len(d["ix_val"].data) == n

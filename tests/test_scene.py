@@ -183,3 +183,17 @@ def test_robust_stats():
     est = np.asarray(estimate_tau(L, smooth_window=5))
     corr = np.corrcoef(est, tau_true)[0, 1]
     assert corr > 0.98, corr
+
+
+def test_emissivity_db_save_load(tmp_path):
+    from radtxfr_tpu.scene.emissivity import load_db, save_db
+
+    db = synthetic_db(6)
+    base = str(tmp_path / "emisdb")
+    save_db(db, base)
+    back = load_db(base)
+    np.testing.assert_allclose(np.asarray(back.emis), np.asarray(db.emis))
+    import csv
+
+    rows = list(csv.reader(open(base + ".csv")))
+    assert rows[0] == ["material_ID", "name"] and len(rows) == 7
