@@ -219,6 +219,74 @@ def _weideman_re_w(x, y, wei_a, wei_L):
     return 2.0 * (pr * sr + pi_ * si) / smag + _INV_SQRT_PI * er / emag
 
 
+def _cpf3_re_w(x, y):
+    """Real part of the 15-term asymptotic CPF (``cpf3``,
+    ``misc/hapi.py:9645-9670``) in real arithmetic."""
+    m = x * x + y * y
+    ar = x / m
+    ai = -y / m
+    # zm2 = zm1^2
+    m2r = ar * ar - ai * ai
+    m2i = 2.0 * ar * ai
+    sr = jnp.ones_like(x)
+    si = jnp.zeros_like(x)
+    tr_ = jnp.ones_like(x)
+    ti_ = jnp.zeros_like(x)
+    for tt in (0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5, 8.5, 9.5, 10.5,
+               11.5, 12.5, 13.5, 14.5):
+        tr_, ti_ = (tr_ * m2r - ti_ * m2i) * tt, (tr_ * m2i + ti_ * m2r) * tt
+        sr = sr + tr_
+        si = si + ti_
+    # Re(i * zm1 * zsum) / sqrt(pi) = -(ar*si + ai*sr)/sqrt(pi)
+    return -(ar * si + ai * sr) * _INV_SQRT_PI
+
+
+def _re_w_select(x, y, wei_a, wei_L):
+    """Re w via hum1_wei's region rule (Weideman inside |x|+y<15)."""
+    return jnp.where(jnp.abs(x) + y < REGION_BOUND,
+                     _weideman_re_w(x, y, wei_a, wei_L), _asym_re_w(x, y))
+
+
+def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L):
+    """SD-Voigt profile value on a (BLOCK, TILE) block, real arithmetic.
+
+    Follows ``pcqsdhc`` with anuVC = eta = Shift2 = 0 (the SDVoigt driver's
+    configuration, ``misc/hapi.py:10117-10129,10890``): c2t = Gamma2 is
+    real, so Y and csqrtY are real and the PART4 terms share an imaginary
+    part. PART2/PART3 cannot trigger for physical SDVoigt parameters
+    (|X| ~ Gamma0/Gamma2 >> 3e-8 |Y| and |Y| >> 1e-15 |X|); the PART4
+    CPF3-vs-CPF sub-selection is reproduced exactly. Callers must route
+    Gamma2 == 0 lines to the Voigt path (c2t = 0 is hapi's PART1).
+    """
+    cte = _SQRT_LN2 / gd
+    inv_g2 = 1.0 / g2
+    c0tr = (g0 - 1.5 * g2) * inv_g2          # Re X (per line)
+    xr = jnp.broadcast_to(c0tr, dnu.shape)
+    xi = (s0 - dnu) * inv_g2                 # Im X per element
+    c = 0.5 / (cte * g2)                     # csqrtY (real, per line)
+    Y = c * c
+
+    # sqrt(X + Y): complex sqrt of (xr + Y, xi)
+    a = xr + Y
+    r = jnp.sqrt(a * a + xi * xi)
+    u = jnp.sqrt(jnp.maximum((r + a) * 0.5, 0.0))
+    v = jnp.sign(xi) * jnp.sqrt(jnp.maximum((r - a) * 0.5, 0.0))
+
+    # Z1 = sXY - c, Z2 = sXY + c; w at (x, y) = (-Im Z, Re Z)
+    x12 = -v
+    y1 = u - c
+    y2 = u + c
+    sz1 = jnp.sqrt(v * v + y1 * y1)
+    sz2 = jnp.sqrt(v * v + y2 * y2)
+    szmx = jnp.maximum(sz1, sz2)
+    szmn = jnp.minimum(sz1, sz2)
+    use3 = (jnp.abs(sz1 - sz2) <= 1.0) & (szmx > 8.0) & (szmn <= 8.0)
+    w1 = jnp.where(use3, _cpf3_re_w(x12, y1), _re_w_select(x12, y1, wei_a, wei_L))
+    w2 = jnp.where(use3, _cpf3_re_w(x12, y2), _re_w_select(x12, y2, wei_a, wei_L))
+    # LS = (1/pi) * sqrt(pi) * cte * (w1 - w2)
+    return cte * _INV_SQRT_PI * (w1 - w2)
+
+
 def _voigt_block(dnu, gd, g0, wei_a, wei_L, mode: str = "full"):
     """Voigt profile on a (BLOCK, TILE) block, branchless float32.
 
@@ -305,7 +373,7 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
     wei_L = np.float32(wei_L_f)
 
     def kernel(starts_ref, counts_ref, off_ref, k_ref, f0_ref, ds_ref, s_ref,
-               gd_ref, g0_ref, wu_ref, out_ref):
+               gd_ref, g0_ref, g2_ref, s0_ref, wu_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -331,7 +399,12 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                 g0 = g0_ref[0, l, :].reshape(block, 1)
                 wingu = wu_ref[0, l, :].reshape(block, 1)
                 dnu = (rel - frac0 - ds) * dx
-                prof = _voigt_block(dnu, gd, g0, wei_a, wei_L, mode=mode)
+                if mode == "sdvoigt":
+                    g2 = g2_ref[0, l, :].reshape(block, 1)
+                    s0 = s0_ref[0, l, :].reshape(block, 1)
+                    prof = _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L)
+                else:
+                    prof = _voigt_block(dnu, gd, g0, wei_a, wei_L, mode=mode)
                 mask = (u > -wingu) & (u <= wingu)
                 contrib = jnp.where(mask, strength * prof, 0.0)
                 out_ref[0, l, :] += jnp.sum(contrib, axis=0)
@@ -344,7 +417,8 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
 def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
-                      gd, g0, wingu, starts, counts, offset, interpret=False):
+                      gd, g0, g2, s0, wingu, starts, counts, offset,
+                      interpret=False):
     # cfg: (tile, block, n_blocks, n_tiles, max_blocks, n_out, dx,
     # n_weideman, mode); layered arrays are (n_blocks, n_lay, block).
     tile, block, nb, nt, mb, n_out, dx, n_wei, mode = cfg
@@ -362,7 +436,7 @@ def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
             pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((1, n_lay, block), line_map, memory_space=pltpu.VMEM)
-        ] * 5,
+        ] * 7,
         out_specs=pl.BlockSpec(
             (1, n_lay, tile), lambda i, j, s, c, o: (i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -373,7 +447,8 @@ def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
         out_shape=jax.ShapeDtypeStruct((nt, n_lay, tile), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, counts, offset, k_line, frac0, ds, strength, gd, g0, wingu)
+    )(starts, counts, offset, k_line, frac0, ds, strength, gd, g0, g2, s0,
+      wingu)
     return out.transpose(1, 0, 2).reshape(n_lay, nt * tile)[:, :n_out]
 
 
@@ -475,6 +550,8 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
             k_offset = jnp.zeros((1,), dtype=jnp.int32)
         else:
             k_offset = jnp.asarray(k_offset, dtype=jnp.int32).reshape(1)
+        g2 = f32(params.gamma_2)
+        s0 = f32(params.shift0)
         out = _xsect_fused_call(
             cfg,
             jnp.asarray(plan.k_line),
@@ -483,6 +560,8 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
             pad(strength, 0.0),
             pad(gd, 1.0),
             pad(g0, 1.0),
+            pad(g2, 1.0),
+            pad(s0, 0.0),
             pad(wingu, 0.0),
             starts, counts, k_offset,
             interpret=interpret,

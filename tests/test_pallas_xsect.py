@@ -130,3 +130,22 @@ def test_two_pass_equals_single_pass(iso_tables):
     b = np.asarray(fn2(*args))
     peak = np.abs(a).max()
     assert np.abs(a - b).max() < 2e-6 * peak, np.abs(a - b).max() / peak
+
+
+def test_sdvoigt_pallas_matches_jnp_engine(iso_tables):
+    """Pallas sdvoigt mode (layer-fused) vs the float64 jnp HTP engine."""
+    import dataclasses
+
+    store = synthetic_lines(120, nu_min=795.0, nu_max=815.0, seed=71)
+    axis = arange_drift_free(800.0, 810.0, 0.005)
+    grid = UniformGrid.from_axis(axis)
+    params = compute_line_params(store, iso_tables, 280.0, 0.8, profile="sdvoigt")
+    plan = plan_buckets(np.asarray(store.nu0), grid, 12.0, tile=512, block=32)
+    got = np.asarray(xsect_pallas(plan, params, interpret=True,
+                                  mode="sdvoigt", fused_layers=True))
+    clamped = dataclasses.replace(params, wing=jnp.minimum(params.wing, 12.0))
+    want = np.asarray(xsect_from_params(jnp.asarray(axis), clamped,
+                                        profile="sdvoigt"))
+    peak = np.abs(want).max()
+    # f32 complex-sqrt cancellations cost a little accuracy vs pure Voigt
+    assert np.abs(got - want).max() < 2e-5 * peak, np.abs(got - want).max() / peak
