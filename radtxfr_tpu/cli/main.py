@@ -173,6 +173,19 @@ def cmd_tud(args):
         out = run_batched(ckpt, compute_batch)
     else:
         out = compute_batch(np.arange(args.n_atmos))
+
+    jac_out = {}
+    if args.jacobian:
+        from ..products.jacobian import tud_with_jacobian
+
+        with timer.phase("jacobian"):
+            _, jac = tud_with_jacobian(store, iso, grid, base, alts,
+                                       wrt=("T", 1, 3),
+                                       n_angles=args.n_angles)
+        for key, name in (("T", "T"), (1, "H2O"), (3, "O3")):
+            for prod in ("tau", "Lu", "Ld"):
+                jac_out[f"d{prod}_d{name}"] = np.asarray(jac[key][prod])
+        print(f"jacobian: {sum(v.size for v in jac_out.values())} elements")
     print(timer.report())
     if args.output:
         write_h5(args.output, {
@@ -183,6 +196,8 @@ def cmd_tud(args):
                       name="Upwelling (path) radiance"),
             "Ld": Var(out["Ld"], units="µW/(cm^2 sr cm^{-1})",
                       name="Hemispherically averaged downwelling radiance"),
+            **{k: Var(v, info="TUD Jacobian (trailing axis = layer)")
+               for k, v in jac_out.items()},
         })
         print(f"wrote {args.output}")
 
@@ -205,6 +220,15 @@ def cmd_mako(args):
         out[name] = Var(np.asarray(y).T, units=data[name].units,
                         name=data[name].name + " (MAKO)")
     out["X"] = Var(x_out, units="cm^{-1}", name="MAKO channel centers")
+    if args.sort_atmos:
+        # reference: sort atmospheres by band-mean transmittance
+        # (Generate_LWIR_TUD_MAKO.py:39-44)
+        order = np.argsort(out["tau"].data.mean(axis=1))
+        for name in ("tau", "La", "Ld"):
+            out[name] = Var(out[name].data[order], units=out[name].units,
+                            name=out[name].name)
+        out["atmos_order"] = Var(order, units="none",
+                                 name="Atmosphere sort order (by mean tau)")
     print(f"MAKO: {x_out.size} channels")
     if args.output:
         write_h5(args.output, out)
@@ -315,6 +339,10 @@ def build_parser():
                     default=[0.061, 0.305, 1.524, 3.048, 6.096, 9.144,
                              12.192, 15.24, 500.0])
     p3.add_argument("--checkpoint", default=None)
+    p3.add_argument("--jacobian", action="store_true",
+                    help="also write d(tau,Lu,Ld)/d(T,H2O,O3) for the "
+                         "standard atmosphere (autodiff; replaces the "
+                         "reference's 199-profile finite differences)")
     p3.set_defaults(fn=cmd_tud)
 
     p4 = sub.add_parser("mako", help="config 4: MAKO-channelized TUD")
@@ -323,6 +351,8 @@ def build_parser():
     p4.add_argument("--fwhm-sf", dest="fwhm_sf", type=float, default=1.0)
     p4.add_argument("--shift", type=float, default=0.0)
     p4.add_argument("--scale", type=float, default=1.0)
+    p4.add_argument("--sort-atmos", dest="sort_atmos", action="store_true",
+                    help="sort atmospheres by band-mean transmittance")
     p4.set_defaults(fn=cmd_mako)
 
     p6 = sub.add_parser("radiance", help="apparent-radiance ML dataset "

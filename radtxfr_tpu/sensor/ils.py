@@ -152,6 +152,11 @@ def ils_mako(X, Y, res_factor=None, return_x: bool = True,
     """
     X = np.asarray(X)
     x_out = mako_axis_wn(X, res_factor)
+    if x_out.size < 2:
+        raise ValueError(
+            f"only {x_out.size} MAKO channel(s) fall inside "
+            f"[{X.min():.1f}, {X.max():.1f}] cm^-1; the MAKO band is "
+            f"~760-1321 cm^-1 (7.57-13.16 µm)")
     sigma = fwhm_sf * np.abs(np.gradient(x_out)) * 1.6
     W = ils_matrix(X, x_out, sigma, shape=shape, shift=shift, scale=scale)
     y_out = apply_ils(W, Y)

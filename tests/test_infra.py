@@ -138,3 +138,25 @@ def test_cli_radiance(tmp_path):
     assert L.ndim == 4 and L.shape[1] == 4 and L.shape[2] == 2
     n = L.shape[1] * L.shape[2] * L.shape[3]
     assert len(d["ix_train"].data) + len(d["ix_test"].data) + len(d["ix_val"].data) == n
+
+
+def test_cli_tud_jacobian_and_mako_sort(tmp_path):
+    h5 = str(tmp_path / "tud.h5")
+    r = _run_cli("tud", "--synthetic", "50", "--numin", "800", "--numax", "830",
+                 "--dv", "0.02", "--dv-out", "0.5", "--n-atmos", "2",
+                 "--n-angles", "4", "--altitudes", "500.0",
+                 "--jacobian", "--output", h5)
+    assert r.returncode == 0, r.stderr
+    from radtxfr_tpu.io.h5 import read_h5
+
+    d = read_h5(h5)
+    assert "dtau_dT" in d and d["dtau_dT"].data.shape[-1] == 66
+    assert "dLd_dH2O" in d
+
+    mk = str(tmp_path / "mako.h5")
+    r = _run_cli("mako", "--input", h5, "--output", mk, "--sort-atmos")
+    assert r.returncode == 0, r.stderr
+    m = read_h5(mk)
+    assert "atmos_order" in m
+    means = m["tau"].data.mean(axis=1)
+    assert (np.diff(means) >= 0).all()

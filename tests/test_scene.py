@@ -197,3 +197,15 @@ def test_emissivity_db_save_load(tmp_path):
 
     rows = list(csv.reader(open(base + ".csv")))
     assert rows[0] == ["material_ID", "name"] and len(rows) == 7
+
+
+def test_fit_planck_recovers_graybody():
+    from radtxfr_tpu.scene.planck_fit import fit_planck
+
+    X = np.linspace(700.0, 1300.0, 400)
+    from radtxfr_tpu.core.planck import planckian
+
+    L = 0.93 * np.asarray(planckian(X, 301.5)).ravel()
+    T, eps, resid = fit_planck(jnp.asarray(X), jnp.asarray(L))
+    assert abs(float(T) - 301.5) < 0.1
+    assert abs(float(eps) - 0.93) < 1e-3
