@@ -506,7 +506,7 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
                  n_weideman: int = 24, mode: str = "full",
                  fused_layers: bool = False, starts=None, counts=None,
                  k_offset=None, n_tiles: int | None = None,
-                 n_out: int | None = None):
+                 n_out: int | None = None, k_line=None, frac0=None):
     """Evaluate layered spectra with the Pallas kernel.
 
     Parameters
@@ -536,10 +536,13 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
     wingu = f32(jnp.minimum(params.wing, plan.max_wing) / dx)
 
     nb, block = plan.n_blocks, plan.block
-    # starts/counts/k_offset/n_tiles overrides support spectrum-sharded SPMD
-    # execution: each device passes its local tile ranges and global offset.
+    # starts/counts/k_line/frac0/k_offset/n_tiles overrides support
+    # spectrum- and line-sharded SPMD execution: each device passes its local
+    # tile ranges, (optionally) its local line positions, and grid offset.
     starts = jnp.asarray(plan.starts) if starts is None else starts
     counts = jnp.asarray(plan.counts) if counts is None else counts
+    k_line = jnp.asarray(plan.k_line) if k_line is None else k_line.reshape(plan.k_line.shape)
+    frac0 = jnp.asarray(plan.frac0) if frac0 is None else frac0.reshape(plan.frac0.shape)
     nt = plan.n_tiles if n_tiles is None else n_tiles
     n_out = (plan.grid.n if n_out is None else n_out)
     cfg = (plan.tile, plan.block, plan.n_blocks, nt,
@@ -554,8 +557,8 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
         s0 = f32(params.shift0)
         out = _xsect_fused_call(
             cfg,
-            jnp.asarray(plan.k_line),
-            jnp.asarray(plan.frac0),
+            k_line,
+            frac0,
             pad(ds, 0.0),
             pad(strength, 0.0),
             pad(gd, 1.0),
@@ -572,8 +575,8 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
         pad = lambda a, fill: _pad_layered(a, nb, block, fill)
         out = _xsect_pallas_call(
             cfg,
-            jnp.asarray(plan.k_line),
-            jnp.asarray(plan.frac0),
+            k_line,
+            frac0,
             pad(ds, 0.0),
             pad(strength, 0.0),
             pad(gd, 1.0),

@@ -91,3 +91,49 @@ def test_tud_ensemble_pallas_matches_unsharded(iso_tables):
                                    rtol=2e-5, atol=1e-7)
         np.testing.assert_allclose(np.asarray(ld_s[i])[:n], np.asarray(tud.Ld)[:n],
                                    rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_line_sharded_od_matches_replicated(iso_tables):
+    """Line-sharded SPMD OD (in-band + halo lines per shard) vs the
+    replicated-lines local fn."""
+    from jax.sharding import PartitionSpec as P
+
+    from radtxfr_tpu.dist.mesh import SPECTRUM
+    from radtxfr_tpu.products.od import make_od_pallas_local_fn
+    from radtxfr_tpu.products.od_sharded_lines import make_od_sharded_lines_fn
+
+    lines = synthetic_lines(400, nu_min=780.0, nu_max=880.0, seed=35)
+    grid = arange_drift_free(800.0, 860.0, 0.02)
+    atm = std_atmosphere()
+    n_spec = 4
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), (SPECTRUM,))
+
+    loc_fn, shard_data, gpad = make_od_sharded_lines_fn(
+        lines, iso_tables, grid, atm, n_spec)
+    # per-shard line sets must be smaller than the full list + halo slack
+    assert shard_data["lines"]["nu0"].shape[0] == n_spec
+    assert shard_data["lines"]["nu0"].shape[1] < lines.n_lines + 1
+
+    n_local = gpad.n // n_spec
+
+    def body(T, p, pl, vmr, local):
+        off = jax.lax.axis_index(SPECTRUM) * n_local
+        return loc_fn(T, p, pl, vmr, local, off)
+
+    sharded = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(),
+                  jax.tree.map(lambda _: P(SPECTRUM), shard_data)),
+        out_specs=P(None, SPECTRUM), check_vma=False))
+    got = np.asarray(sharded(atm.T, atm.p, atm.pl, atm.vmr, shard_data))
+
+    ref_fn, ref_spec, gpad2 = make_od_pallas_local_fn(
+        lines, iso_tables, grid, atm, 1)
+    ref_local = [(s[0], c[0]) for s, c in ref_spec]
+    n = grid.size
+    want = np.asarray(ref_fn(atm.T, atm.p, atm.pl, atm.vmr, ref_local,
+                             jnp.zeros((1,), jnp.int32)))[:, :n]
+    got = got[:, :n]
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 5e-6 * peak, np.abs(got - want).max() / peak
