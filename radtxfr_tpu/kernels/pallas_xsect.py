@@ -532,7 +532,14 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
     gd = f32(params.gamma_d)
     g0 = f32(params.gamma_0)
     dx = plan.grid.dx
-    ds = f32((params.nu0_shifted - params.nu0) / dx)
+    # Pressure shift in grid units from the shift0 field directly:
+    # (nu0_shifted - nu0) in float32 loses the shift to cancellation at
+    # nu ~ 1000 cm^-1. SDVoigt centers the profile on nu0 and applies the
+    # shift inside the HT profile, so its ds is exactly zero.
+    if mode == "sdvoigt":
+        ds = f32(jnp.zeros_like(params.shift0))
+    else:
+        ds = f32(params.shift0 / dx)
     wingu = f32(jnp.minimum(params.wing, plan.max_wing) / dx)
 
     nb, block = plan.n_blocks, plan.block

@@ -131,11 +131,18 @@ def from_arrays(
     if sd_air is None:
         sd_air = np.zeros_like(nu0)
     cols = dict(
-        nu0=nu0, sw=sw, elower=elower, gamma_air=gamma_air,
+        sw=sw, elower=elower, gamma_air=gamma_air,
         gamma_self=gamma_self, n_air=n_air, delta_air=delta_air, sd_air=sd_air,
     )
     f = lambda a: jnp.asarray(np.asarray(a, dtype=np.float64)[order], dtype=dtype)
     return LineStore(
+        # nu0 stays a HOST float64 array: the Pallas bucket plans decompose
+        # line centers into exact (int grid index, fraction) pairs host-side,
+        # and a float32 device copy would quantize centers by ~6e-5 cm^-1 —
+        # a ~0.1% profile error at sharp line cores. As a pytree leaf it is
+        # converted (and on float32 backends downcast) only where traced
+        # math actually consumes it.
+        nu0=nu0[order],
         **{k: f(v) for k, v in cols.items()},
         iso_row=jnp.asarray(iso_row[order]),
         mol_id=jnp.asarray(np.asarray(mol_id, dtype=np.int32)[order]),

@@ -1,0 +1,98 @@
+"""North-star acceptance: the float32 TPU engine vs the float64 reference
+engine at production resolution (BASELINE.json correctness criterion).
+
+Chain checked directly here (not just transitively): the full Pallas OD
+path (wing-grouped two-pass kernels, float32) against hapi's
+``absorptionCoefficient_Voigt`` composed into layer OD in float64, at
+0.0025 cm^-1 on 1976 US Standard Atmosphere layers, plus the TUD
+composition on top.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radtxfr_tpu.atmos import std_atmosphere
+from radtxfr_tpu.core.grid import arange_drift_free
+from radtxfr_tpu.core.planck import planckian
+from radtxfr_tpu.lines.store import IsoTables
+from radtxfr_tpu.lines.synthetic import synthetic_lines
+from radtxfr_tpu.products import species_column, tud_from_od
+from radtxfr_tpu.products.od import make_od_pallas_fn
+
+from oracle import hapi_xsect
+
+
+@pytest.fixture(scope="module")
+def setup(iso_tables):
+    lines = synthetic_lines(300, nu_min=795.0, nu_max=835.0, seed=101)
+    axis = arange_drift_free(800.0, 830.0, 0.0025)  # 12001 pts, prod step
+    atm = std_atmosphere()
+    # representative layers: moist ground, mid-troposphere, stratosphere
+    layer_ids = [0, 20, 45]
+    sub = jax.tree.map(
+        lambda a: a[np.asarray(layer_ids)] if hasattr(a, "shape") and a.ndim else a,
+        atm)
+    return lines, axis, atm, sub, layer_ids
+
+
+def _oracle_od(lines, axis, atm, layer_ids, iso_tables):
+    """float64 layer OD from hapi: per molecule, per layer."""
+    out = np.zeros((len(layer_ids), axis.size))
+    mol_col = {m: i for i, m in enumerate(atm.mol_ids)}
+    for r, l in enumerate(layer_ids):
+        T = float(atm.T[l]); p_pa = float(atm.p[l]); pl = float(atm.pl[l])
+        for m in np.unique(np.asarray(lines.mol_id)):
+            mol_lines = lines.select_molecules([int(m)])
+            x = float(atm.vmr[l, mol_col[int(m)]])
+            _, k = hapi_xsect(mol_lines, axis, T, p_pa / 101325.0,
+                              diluent={"air": 1.0 - x, "self": x})
+            out[r] += k * float(species_column(p_pa, T, pl, x))
+    return out
+
+
+def test_f32_pallas_od_allclose_vs_hapi_f64(setup, iso_tables):
+    lines, axis, atm, sub, layer_ids = setup
+    want = _oracle_od(lines, axis, atm, layer_ids, iso_tables)
+
+    # float32 engine path: float32 iso/atmos; the line store keeps exact
+    # float64 centers for the static plans (params are cast inside the
+    # kernel wrapper)
+    lines32 = lines
+    iso32 = IsoTables.load(dtype=jnp.float32)
+    atm32 = jax.tree.map(lambda a: jnp.asarray(a, dtype=jnp.float32)
+                         if hasattr(a, "dtype") and a.dtype.kind == "f" else a, sub)
+    fn = make_od_pallas_fn(lines32, iso32, axis, atm32)
+    got = np.asarray(fn(atm32.T, atm32.p, atm32.pl, atm32.vmr))
+
+    for r, l in enumerate(layer_ids):
+        peak = np.abs(want[r]).max()
+        err = np.abs(got[r] - want[r]).max()
+        # OD agreement scales with the optically-thick peak (f32 strength
+        # rounding accumulates over lines)
+        assert err < 1e-4 * peak, (l, err / peak)
+        # the physical quantity: layer transmittance agrees absolutely
+        # (~3e-4 noise floor from f32 accumulation of thousands of wing
+        # contributions -> <0.03% of typical LWIR radiance)
+        tau_err = np.abs(np.exp(-got[r]) - np.exp(-want[r])).max()
+        assert tau_err < 1e-4, (l, tau_err)
+
+
+def test_f32_tud_allclose_vs_f64_composition(setup, iso_tables):
+    """TUD composed from f32 OD vs fully-f64 composition."""
+    lines, axis, atm, sub, layer_ids = setup
+    od64 = jnp.asarray(_oracle_od(lines, axis, atm, layer_ids, iso_tables))
+    B64 = jnp.swapaxes(planckian(jnp.asarray(axis), sub.T), 0, 1)
+    alts = jnp.asarray([500.0])
+    tud64 = tud_from_od(jnp.asarray(axis), od64, B64, sub.z0, alts, n_angles=30)
+
+    od32 = od64.astype(jnp.float32)
+    tud32 = tud_from_od(jnp.asarray(axis, dtype=jnp.float32), od32,
+                        B64.astype(jnp.float32), sub.z0.astype(jnp.float32),
+                        alts.astype(jnp.float32), n_angles=30)
+    np.testing.assert_allclose(np.asarray(tud32.tau), np.asarray(tud64.tau),
+                               atol=3e-6, rtol=0)
+    peak = float(jnp.abs(tud64.Ld).max())
+    np.testing.assert_allclose(np.asarray(tud32.Ld), np.asarray(tud64.Ld),
+                               atol=3e-5 * peak, rtol=0)
