@@ -310,6 +310,116 @@ def cmd_radiance(args):
         print(f"wrote {args.output}")
 
 
+def cmd_emis(args):
+    """Emissivity DB build: ingest/synthesize spectra, pairwise mixtures,
+    optional MAKO channelization + feature compression, multi-format export
+    (Generate_ASTER_emissivity_DB.py + Generate_Emissivity_DB.py paths)."""
+    import jax.numpy as jnp
+
+    from ..scene.emissivity import EmissivityDB, save_db, synthetic_db
+
+    if args.input:
+        with np.load(args.input) as f:
+            X_in = np.asarray(f["X"])
+            spectra = [(X_in, e) for e in np.asarray(f["emis"])]
+        X_out = np.arange(np.ceil(X_in.min()), np.floor(X_in.max()) + 1.0)
+        db = EmissivityDB.from_spectra(spectra, X_out,
+                                       reflectance=args.reflectance)
+    else:
+        db = synthetic_db(args.n_materials, seed=args.seed)
+    print(f"emissivity DB: {db.n_materials} materials x {db.X.size} points")
+
+    if args.mixtures:
+        db = db.pairwise_mixtures(n_fractions=args.n_fractions)
+        print(f"with pairwise mixtures: {db.n_materials} entries "
+              f"({args.n_fractions} fractions)")
+
+    if args.output:
+        save_db(db, args.output)
+        print(f"wrote {args.output}.npz/.h5/.csv")
+
+    if args.mako:
+        from ..sensor.ils import ils_mako
+
+        Xc, emis_c = ils_mako(np.asarray(db.X), np.asarray(db.emis).T)
+        db_mako = EmissivityDB(X=jnp.asarray(Xc),
+                               emis=jnp.clip(jnp.asarray(emis_c).T, 0.0, 1.0),
+                               material_id=db.material_id, names=db.names)
+        print(f"MAKO-channelized: {db_mako.n_materials} x {Xc.size} channels")
+        if args.output:
+            save_db(db_mako, args.output + "_MAKO")
+            print(f"wrote {args.output}_MAKO.npz/.h5/.csv")
+
+    if args.features:
+        from ..scene.emis_features import (bspline_fit_emissivity, nmf,
+                                           od_transform, pca_compress)
+
+        emis_t = np.asarray(db.emis)            # (n_mat, nX)
+        k = min(args.features, db.n_materials - 1, int(db.X.size) - 1)
+        _, feats, recon = pca_compress(emis_t, n_components=k)
+        err_pca = float(np.abs(np.asarray(recon) - np.clip(emis_t, 1e-4, 1 - 1e-4)).max())
+        m = nmf(np.asarray(od_transform(emis_t)), n_components=k)
+        fit = bspline_fit_emissivity(np.asarray(db.X), emis_t.T,
+                                     n_knots=min(48, int(db.X.size) // 4))
+        err_spl = float(np.abs(np.asarray(fit.reconstruct()).T
+                               - np.clip(emis_t, 1e-4, 1 - 1e-4)).max())
+        print(f"feature compression (k={k}): PCA max err {err_pca:.2e}, "
+              f"NMF basis {tuple(np.asarray(m.H).shape)}, "
+              f"B-spline max err {err_spl:.2e}")
+
+
+def cmd_atmosgen(args):
+    """Atmosphere-ensemble augmentation: PCA+GMM generative model with
+    air-mass clustering (GenerativeModel_AtmosInputs.py main path)."""
+    import jax
+
+    from ..atmos import std_atmosphere
+    from ..scene.generative import airmass_labels, gen_samples_per_airmass
+
+    atm = std_atmosphere()
+    z = np.asarray(atm.z0)
+    P = np.asarray(atm.p)
+    if args.input:
+        with np.load(args.input) as f:
+            T, H2O, O3 = (np.asarray(f[k]) for k in ("T", "H2O", "O3"))
+    else:
+        # synthesize a plausible ensemble by smooth perturbations of the
+        # 1976 StdAtmos (stand-in for the TIGR .mat input the reference
+        # loads, Generate_LWIR_TUD.py:16)
+        rng = np.random.default_rng(args.seed)
+        n = args.n_ensemble
+        h2o = np.asarray(atm.vmr[:, 0])
+        o3 = np.asarray(atm.vmr[:, 2])
+        zz = z / z.max()
+        def perturb(base, scale):
+            a = rng.normal(scale=scale, size=(n, 3))
+            mod = 1.0 + a[:, :1] * np.exp(-zz * 4) + a[:, 1:2] * np.exp(-zz) \
+                + a[:, 2:] * zz
+            return base[None, :] * np.clip(mod, 0.3, 3.0)
+        T = np.asarray(atm.T)[None, :] * np.clip(
+            1.0 + rng.normal(scale=0.02, size=(n, 1))
+            * np.exp(-zz[None, :] * 3), 0.9, 1.1)
+        H2O = perturb(h2o, 0.3)
+        O3 = perturb(o3, 0.2)
+    key = jax.random.key(args.seed)
+    k1, k2 = jax.random.split(key)
+    n_air = min(args.n_airmass, T.shape[0])
+    labels = airmass_labels(k1, z, P, T, H2O, O3, n_airmass=n_air)
+    out = gen_samples_per_airmass(
+        k2, z, P, T, H2O, O3, np.asarray(labels),
+        n_pca=min(args.n_pca, T.shape[0] - 1, 3 * T.shape[1]),
+        n_gmm=args.n_gmm, n_aug=args.n_aug)
+    n_gen = out["T"].shape[0]
+    print(f"augmented ensemble: {T.shape[0]} -> {n_gen} profiles "
+          f"({n_air} air masses, x{args.n_aug} target)")
+    if args.output:
+        np.savez(args.output, z=z, P=P,
+                 T=out["T"], H2O=out["H2O"], O3=out["O3"],
+                 airmass=out["labels"], loglik=out["ll"],
+                 T_in=T, H2O_in=H2O, O3_in=O3)
+        print(f"wrote {args.output}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="radtxfr_tpu",
                                 description=__doc__,
@@ -375,6 +485,40 @@ def build_parser():
     p5.add_argument("--n-atm", type=int, default=3)
     p5.add_argument("--dT", type=float, default=3.0)
     p5.set_defaults(fn=cmd_hsi)
+
+    p7 = sub.add_parser("emis", help="emissivity DB build (ASTER-pipeline "
+                        "equivalent + mixtures + MAKO + features)")
+    p7.add_argument("--input", default=None,
+                    help="npz with X (nX,) and emis (n_mat, nX); default: "
+                    "synthetic DB (ASTER 2.0 data is licensed)")
+    p7.add_argument("--reflectance", action="store_true",
+                    help="input spectra are reflectance (emis = 1 - R)")
+    p7.add_argument("--n-materials", type=int, default=24)
+    p7.add_argument("--mixtures", action="store_true",
+                    help="add pairwise linear mixtures")
+    p7.add_argument("--n-fractions", type=int, default=11)
+    p7.add_argument("--mako", action="store_true",
+                    help="also write a MAKO-channelized DB")
+    p7.add_argument("--features", type=int, default=0, metavar="K",
+                    help="run PCA/NMF/B-spline feature compression at K "
+                    "components and report errors")
+    p7.add_argument("--seed", type=int, default=0)
+    p7.add_argument("--output", default=None)
+    p7.set_defaults(fn=cmd_emis)
+
+    p8 = sub.add_parser("atmosgen", help="atmosphere-ensemble augmentation "
+                        "(PCA+GMM generative model, air-mass clustered)")
+    p8.add_argument("--input", default=None,
+                    help="npz with T/H2O/O3 (n, 66) profile ensembles; "
+                    "default: perturbed 1976 StdAtmos ensemble")
+    p8.add_argument("--n-ensemble", type=int, default=64)
+    p8.add_argument("--n-airmass", type=int, default=5)
+    p8.add_argument("--n-pca", type=int, default=15)
+    p8.add_argument("--n-gmm", type=int, default=10)
+    p8.add_argument("--n-aug", type=int, default=10)
+    p8.add_argument("--seed", type=int, default=0)
+    p8.add_argument("--output", default=None)
+    p8.set_defaults(fn=cmd_atmosgen)
     return p
 
 

@@ -19,7 +19,10 @@ import numpy as np
 
 from .store import LineStore, from_arrays, parse_par
 
-__all__ = ["parse_format", "load_table_columns", "load_table", "HapiDatabase"]
+__all__ = [
+    "parse_format", "load_table_columns", "load_table", "save_table",
+    "write_par", "HapiDatabase",
+]
 
 _FMT_RE = re.compile(r"^%(\d*)(?:\.(\d*))?([edfsEDFS])$")
 
@@ -105,6 +108,105 @@ def load_table(data_path: str, header_path: str | None = None,
     )
 
 
+def _store_rows(store: LineStore):
+    """LineStore -> per-line hapi-named numeric columns (host arrays)."""
+    from .tips import iso_row_index
+
+    rev = {r: (m, i) for (m, i), r in iso_row_index().items()}
+    iso_rows = np.asarray(store.iso_row)
+    local_iso = np.array([rev[int(r)][1] for r in iso_rows], dtype=np.int64)
+    return {
+        "molec_id": np.asarray(store.mol_id, dtype=np.int64),
+        "local_iso_id": local_iso,
+        "nu": np.asarray(store.nu0, dtype=np.float64),
+        "sw": np.asarray(store.sw, dtype=np.float64),
+        "elower": np.asarray(store.elower, dtype=np.float64),
+        "gamma_air": np.asarray(store.gamma_air, dtype=np.float64),
+        "gamma_self": np.asarray(store.gamma_self, dtype=np.float64),
+        "n_air": np.asarray(store.n_air, dtype=np.float64),
+        "delta_air": np.asarray(store.delta_air, dtype=np.float64),
+    }
+
+
+#: hapi standard column formats (PARAMETER_META, misc/hapi.py:583ff)
+_SAVE_FORMATS = {
+    "molec_id": "%2d", "local_iso_id": "%1d", "nu": "%12.6f", "sw": "%10.3E",
+    "elower": "%10.4f", "gamma_air": "%6.4f", "gamma_self": "%6.4f",
+    "n_air": "%7.4f", "delta_air": "%9.6f",
+}
+
+
+def save_table(store: LineStore, directory: str, name: str) -> str:
+    """Write a LineStore back out as a hapi ``.data``/``.header`` table pair.
+
+    The inverse of :func:`load_table` — hapi's ``cache2storage``
+    (``misc/hapi.py:1595``, called from ``db_commit`` ``:5223``): fixed-column
+    text rows plus a JSON header carrying ``order``/``format`` metadata, so
+    the written table round-trips through hapi itself.
+    """
+    rows = _store_rows(store)
+    order = list(_SAVE_FORMATS)
+    data_path = os.path.join(directory, name + ".data")
+    header_path = os.path.join(directory, name + ".header")
+    n = store.n_lines
+    with open(data_path, "w") as f:
+        for k in range(n):
+            f.write("".join(_SAVE_FORMATS[c] % rows[c][k] for c in order) + "\n")
+    header = {
+        "table_name": name,
+        "number_of_rows": n,
+        "order": order,
+        "format": dict(_SAVE_FORMATS),
+        "default": {c: 0 for c in order},
+        "table_type": "column-fixed",
+        "size_in_bytes": os.path.getsize(data_path),
+    }
+    with open(header_path, "w") as f:
+        json.dump(header, f, indent=2)
+    return data_path
+
+
+def write_par(store: LineStore, path: str) -> str:
+    """Export a LineStore as 160-char HITRAN ``.par`` records.
+
+    Interop writer (new — the reference only reads ``.par``): fills the
+    fields the store holds at their standard HITRAN2004 columns (cf.
+    ``_PAR_FIELDS`` in :mod:`.store`) and blanks the rest, so the file
+    re-parses with :func:`~radtxfr_tpu.lines.store.parse_par` and with hapi.
+    """
+    rows = _store_rows(store)
+
+    def ffmt(v, width, decimals):
+        """Fortran-style Fw.d: drops the leading zero of |v|<1 if the field
+        would otherwise overflow (HITRAN prints .0678, -.001234)."""
+        s = f"{v:{width}.{decimals}f}"
+        if len(s) > width:
+            s = s.replace("0.", ".", 1).rjust(width)
+        if len(s) > width:
+            raise ValueError(f"value {v!r} does not fit F{width}.{decimals}")
+        return s
+
+    with open(path, "w") as f:
+        for k in range(store.n_lines):
+            rec = [" "] * 160
+
+            def put(start, text):
+                rec[start:start + len(text)] = text
+
+            put(0, "%2d" % rows["molec_id"][k])
+            put(2, "%1d" % rows["local_iso_id"][k])
+            put(3, ffmt(rows["nu"][k], 12, 6))
+            put(15, "%10.3E" % rows["sw"][k])
+            put(25, "%10.3E" % 0.0)  # Einstein A: not stored
+            put(35, ffmt(rows["gamma_air"][k], 5, 4))
+            put(40, ffmt(rows["gamma_self"][k], 5, 3))
+            put(45, ffmt(rows["elower"][k], 10, 4))
+            put(55, ffmt(rows["n_air"][k], 4, 2))
+            put(59, ffmt(rows["delta_air"][k], 8, 6))
+            f.write("".join(rec) + "\n")
+    return path
+
+
 class HapiDatabase:
     """A directory of hapi tables / .par files (hapi ``db_begin`` analog)."""
 
@@ -133,6 +235,16 @@ class HapiDatabase:
             else:
                 raise FileNotFoundError(f"no table {name!r} in {self.directory}")
         return self._tables[name]
+
+    def commit(self, name: str, store: LineStore | None = None) -> str:
+        """Persist a table to the directory (hapi ``db_commit``,
+        ``misc/hapi.py:5223``). With ``store`` given, registers it under
+        ``name`` first."""
+        if store is not None:
+            self._tables[name] = store
+        if name not in self._tables:
+            raise KeyError(f"no loaded table {name!r} to commit")
+        return save_table(self._tables[name], self.directory, name)
 
     def describe(self, name: str) -> dict:
         store = self.load(name)

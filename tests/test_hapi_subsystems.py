@@ -204,3 +204,181 @@ def test_ht_driver_fallback_to_voigt_columns(iso_tables):
         OmegaGrid=grid, HITRAN_units=True)
     got = np.asarray(xsect_ht(jnp.asarray(grid), store, iso_tables, 296.0, 1.0))
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12 * np.abs(want).max())
+
+
+def test_query_full_operator_set():
+    """All reference OPERATORS aliases (misc/hapi.py:1998-2066) evaluate."""
+    from radtxfr_tpu.lines.query import filter_mask
+
+    store = synthetic_lines(300, seed=84)
+    nu = np.asarray(store.nu0)
+    mol = np.asarray(store.mol_id)
+    # alias families agree with their canonical operator
+    for fam, canon in [
+        (("RANGE", "BETWEEN", "between"), None),
+        (("<", "LESS", "LT"), None),
+        ((">", "MORE", "MT"), None),
+        (("<=", "LESSOREQUAL", "LTE"), None),
+        ((">=", "MOREOREQUAL", "MTE"), None),
+        (("=", "==", "EQ", "EQUAL", "EQUALS"), None),
+        (("!=", "<>", "~=", "NE", "NOTEQUAL"), None),
+    ]:
+        vals = []
+        for op in fam:
+            if op.upper() in ("RANGE", "BETWEEN"):
+                vals.append(evaluate(store, (op, "nu", 700.0, 900.0)))
+            else:
+                vals.append(evaluate(store, (op, "nu", 800.0)))
+        for v in vals[1:]:
+            np.testing.assert_array_equal(vals[0], v)
+    # chained many-arg comparison: pairwise along the chain
+    np.testing.assert_array_equal(
+        evaluate(store, ("<", 0.0, "nu", 5000.0)),
+        (nu > 0) & (nu < 5000))
+    # arithmetic aliases, many args
+    np.testing.assert_allclose(
+        evaluate(store, ("SUM", "nu", "nu", 1.0)), 2 * nu + 1)
+    np.testing.assert_allclose(
+        evaluate(store, ("MUL", "nu", 2.0, 3.0)), nu * 6.0)
+    np.testing.assert_allclose(evaluate(store, ("DIFF", "nu", 1.0)), nu - 1)
+    np.testing.assert_allclose(evaluate(store, ("DIV", "nu", 2.0)), nu / 2)
+    np.testing.assert_allclose(evaluate(store, ("ABS", ("-", 0.0, "nu"))), nu)
+    # IN/SUBSET + logic aliases
+    np.testing.assert_array_equal(
+        evaluate(store, ("IN", "molec_id", (1, 2))), np.isin(mol, [1, 2]))
+    np.testing.assert_array_equal(
+        evaluate(store, ("&&", ("NOT", ("IN", "molec_id", (1,))),
+                         ("||", ("==", "molec_id", 2), ("==", "molec_id", 3)))),
+        (mol != 1) & ((mol == 2) | (mol == 3)))
+    # STR/SET/LIST literals
+    assert evaluate(store, ("STR", "abc")) == "abc"
+    assert evaluate(store, ("SET", (1, 2, 3))) == [1, 2, 3]
+    assert evaluate(store, ("LIST", 1.0, 2.0)) == [1.0, 2.0]
+    # regex ops over a string column (dict source)
+    tbl = {"name": ["H2O", "CO2", "O3", "HDO"], "nu": np.arange(4.0)}
+    np.testing.assert_array_equal(
+        evaluate(tbl, ("MATCH", ("STR", "H.*"), "name")),
+        [True, False, False, True])
+    np.testing.assert_array_equal(
+        evaluate(tbl, ("SEARCH", ("STR", "O2"), "name")),
+        [False, True, False, False])
+    assert evaluate(tbl, ("FINDALL", ("STR", "O"), "name"))[0] == ["O"]
+    # filter_mask broadcasts scalar conditions
+    assert filter_mask(store, ("==", 1, 1)).all()
+
+
+def test_query_group_aggregation():
+    """group() matches numpy per-group reductions (hapi group verb)."""
+    from radtxfr_tpu.lines.query import group
+
+    store = synthetic_lines(400, seed=85)
+    mol = np.asarray(store.mol_id)
+    sw = np.asarray(store.sw)
+    out = group(store, by="molec_id", aggregates={
+        "n": ("COUNT", None),
+        "sw_sum": ("SUM", "sw"),
+        "sw_avg": ("AVG", "sw"),
+        "sw_min": ("MIN", "sw"),
+        "sw_max": ("MAX", "sw"),
+        "sw_ssq": ("SSQ", "sw"),
+    })
+    for k, m in enumerate(out["molec_id"]):
+        sel = sw[mol == m]
+        assert out["n"][k] == sel.size
+        np.testing.assert_allclose(out["sw_sum"][k], sel.sum())
+        np.testing.assert_allclose(out["sw_avg"][k], sel.mean())
+        np.testing.assert_allclose(out["sw_min"][k], sel.min())
+        np.testing.assert_allclose(out["sw_max"][k], sel.max())
+        np.testing.assert_allclose(out["sw_ssq"][k], (sel ** 2).sum())
+    # multi-key grouping + expression aggregate
+    out2 = group(store, by=("molec_id",), aggregates={
+        "r": ("MAX", ("/", "gamma_self", "gamma_air"))})
+    assert len(out2["r"]) == len(np.unique(mol))
+
+
+def test_extract_columns():
+    from radtxfr_tpu.lines.query import extract_columns
+
+    tbl = {"raw": [" 42  3.50 foo", " 7 -1.25 bar"]}
+    out = extract_columns(tbl, "raw", ("%3d", "%6f", "%4s"),
+                          ("a", "b", "c"))
+    np.testing.assert_array_equal(out["a"], [42, 7])
+    np.testing.assert_allclose(out["b"], [3.5, -1.25])
+    assert out["c"] == ["foo", "bar"]
+    # fixed-column mode slices by spec widths
+    tbl2 = {"raw": ["123ab", "456cd"]}
+    out2 = extract_columns(tbl2, "raw", ("%3d", "%2s"), ("n", "s"),
+                           fix_col=True)
+    np.testing.assert_array_equal(out2["n"], [123, 456])
+    assert out2["s"] == ["ab", "cd"]
+
+
+def test_stick_xy_matches_reference_layout():
+    """x/y polyline has the reference's triple-point layout
+    (getStickXY, misc/hapi.py:11684)."""
+    from radtxfr_tpu.lines.query import stick_xy
+
+    store = synthetic_lines(50, seed=86)
+    x, y = stick_xy(store)
+    nu = np.asarray(store.nu0)
+    sw = np.asarray(store.sw)
+    assert x.shape == y.shape == (150,)
+    np.testing.assert_array_equal(x[0::3], nu)
+    np.testing.assert_array_equal(x[1::3], nu)
+    np.testing.assert_array_equal(x[2::3], nu)
+    assert (y[0::3] == 0).all() and (y[2::3] == 0).all()
+    np.testing.assert_array_equal(y[1::3], sw)
+
+
+def test_save_table_round_trip(tmp_path):
+    """save_table is the inverse of load_table (db_commit/cache2storage)."""
+    from radtxfr_tpu.lines.hapi_db import save_table
+
+    store = synthetic_lines(150, seed=87)
+    save_table(store, str(tmp_path), "mytbl")
+    back = load_table(str(tmp_path / "mytbl.data"))
+    assert back.n_lines == store.n_lines
+    np.testing.assert_allclose(np.asarray(back.nu0), np.asarray(store.nu0),
+                               atol=5e-7)
+    np.testing.assert_allclose(np.asarray(back.sw), np.asarray(store.sw),
+                               rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(back.gamma_air),
+                               np.asarray(store.gamma_air), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(back.mol_id),
+                                  np.asarray(store.mol_id))
+    # the written table also parses with hapi itself (storage2cache)
+    hapi = load_hapi()
+    hapi.VARIABLES["BACKEND_DATABASE_NAME"] = str(tmp_path)
+    hapi.storage2cache("mytbl")
+    got = np.asarray(hapi.LOCAL_TABLE_CACHE["mytbl"]["data"]["nu"])
+    np.testing.assert_allclose(got, np.asarray(store.nu0), atol=5e-7)
+
+
+def test_write_par_round_trip(tmp_path):
+    from radtxfr_tpu.lines.hapi_db import write_par
+    from radtxfr_tpu.lines.store import parse_par
+
+    store = synthetic_lines(120, seed=88)
+    path = str(tmp_path / "export.par")
+    write_par(store, path)
+    with open(path) as f:
+        lines = f.read().splitlines()
+    assert all(len(l) == 160 for l in lines)
+    back = parse_par(path, native=False)
+    np.testing.assert_allclose(np.asarray(back.nu0), np.asarray(store.nu0),
+                               atol=5e-7)
+    np.testing.assert_allclose(np.asarray(back.sw), np.asarray(store.sw),
+                               rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(back.delta_air),
+                               np.asarray(store.delta_air), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(back.mol_id),
+                                  np.asarray(store.mol_id))
+
+
+def test_db_commit(tmp_path):
+    db = HapiDatabase(str(tmp_path))
+    store = synthetic_lines(40, seed=89)
+    db.commit("t1", store)
+    assert "t1" in db.table_names()
+    db2 = HapiDatabase(str(tmp_path))
+    assert db2.load("t1").n_lines == 40

@@ -160,3 +160,37 @@ def test_cli_tud_jacobian_and_mako_sort(tmp_path):
     assert "atmos_order" in m
     means = m["tau"].data.mean(axis=1)
     assert (np.diff(means) >= 0).all()
+
+
+def test_cli_emis(tmp_path):
+    base = str(tmp_path / "emisdb")
+    r = _run_cli("emis", "--n-materials", "6", "--mixtures",
+                 "--n-fractions", "5", "--mako", "--features", "4",
+                 "--output", base)
+    assert r.returncode == 0, r.stderr
+    import numpy as np
+
+    from radtxfr_tpu.scene.emissivity import load_db
+
+    db = load_db(base)
+    # C(6,2) pairs x 5 fractions (endpoints reproduce the originals)
+    assert db.n_materials == 15 * 5
+    assert ((np.asarray(db.emis) >= 0) & (np.asarray(db.emis) <= 1)).all()
+    mako = load_db(base + "_MAKO")
+    assert mako.X.shape[0] == 128 or mako.X.shape[0] <= 128  # in-band trim
+    assert "feature compression" in r.stdout
+
+
+def test_cli_atmosgen(tmp_path):
+    import numpy as np
+
+    out = str(tmp_path / "aug.npz")
+    r = _run_cli("atmosgen", "--n-ensemble", "24", "--n-airmass", "2",
+                 "--n-aug", "3", "--output", out)
+    assert r.returncode == 0, r.stderr
+    with np.load(out) as f:
+        T, H2O, O3 = f["T"], f["H2O"], f["O3"]
+        assert T.shape[1] == 66 and H2O.shape == T.shape and O3.shape == T.shape
+        assert T.shape[0] > 24  # augmented beyond the input ensemble
+        assert (H2O >= 0).all() and (O3 >= 0).all()
+        assert f["airmass"].shape[0] == T.shape[0]

@@ -209,3 +209,99 @@ def test_fit_planck_recovers_graybody():
     T, eps, resid = fit_planck(jnp.asarray(X), jnp.asarray(L))
     assert abs(float(T) - 301.5) < 0.1
     assert abs(float(eps) - 0.93) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Emissivity feature compression (Generate_Emissivity_DB.py:93-193)
+# ---------------------------------------------------------------------------
+
+def _smooth_emis(n_x=257, n_mat=40, seed=5):
+    """Synthetic smooth emissivities in (nX, n_mat), spanning ~[0.3, 0.99]."""
+    rng = np.random.default_rng(seed)
+    x = np.linspace(750.0, 1250.0, n_x)
+    xs = (x - x.mean()) / (x.max() - x.min())
+    basis = np.stack([np.ones_like(xs), xs, xs**2,
+                      np.sin(4 * np.pi * xs), np.cos(7 * np.pi * xs)])
+    w = rng.normal(scale=[0.4, 0.3, 0.5, 0.2, 0.1], size=(n_mat, 5))
+    od = 1.5 + w @ basis  # (n_mat, nX) positive-ish optical depths
+    od = np.abs(od) + 0.1
+    emis = 1 - np.exp(-od)
+    return x, emis.T  # spectral axis first
+
+
+def test_od_transform_round_trip():
+    from radtxfr_tpu.scene.emis_features import od_transform, od_inverse
+
+    eps = np.linspace(0.001, 0.999, 101)
+    back = np.asarray(od_inverse(od_transform(eps)))
+    np.testing.assert_allclose(back, np.clip(eps, 1e-4, 1 - 1e-4), atol=1e-10)
+    # clamp at the reference TOL
+    assert np.asarray(od_transform(1.0)) == np.asarray(od_transform(1 - 1e-4))
+
+
+def test_pca_compress_reconstructs():
+    from radtxfr_tpu.scene.emis_features import pca_compress
+
+    _, emis = _smooth_emis()
+    model, feats, recon = pca_compress(emis.T, n_components=8)
+    assert feats.shape == (emis.shape[1], 8)
+    err = np.abs(np.asarray(recon) - np.clip(emis.T, 1e-4, 1 - 1e-4)).max()
+    assert err < 1e-6  # 5-dim latent structure, 8 components
+
+
+def test_fast_ica_reconstructs_and_decorrelates():
+    from radtxfr_tpu.scene.emis_features import fast_ica, od_transform
+
+    _, emis = _smooth_emis(n_mat=60)
+    od = np.asarray(od_transform(emis.T))
+    model = fast_ica(od, n_components=5, n_iter=300)
+    S = np.asarray(model.transform(od))
+    recon = np.asarray(model.inverse_transform(S))
+    # reconstruction through the 5-component subspace is near-exact
+    np.testing.assert_allclose(recon, od, atol=1e-5)
+    # sources are decorrelated with ~unit variance
+    C = np.cov(S.T)
+    np.testing.assert_allclose(C, np.eye(5), atol=0.15)
+
+
+def test_nmf_factors_nonnegative_and_accurate():
+    from radtxfr_tpu.scene.emis_features import nmf, od_transform
+
+    _, emis = _smooth_emis(n_mat=50)
+    od = np.asarray(od_transform(emis.T))
+    model = nmf(od, n_components=8, n_iter=600)
+    assert (np.asarray(model.W) >= 0).all() and (np.asarray(model.H) >= 0).all()
+    recon = np.asarray(model.inverse_transform())
+    rel = np.linalg.norm(recon - od) / np.linalg.norm(od)
+    assert rel < 0.01
+
+
+def test_bspline_design_partition_of_unity():
+    from radtxfr_tpu.scene.emis_features import bspline_design
+
+    x = np.linspace(0.0, 10.0, 501)
+    B = bspline_design(x, n_knots=12)
+    np.testing.assert_allclose(B.sum(axis=1), 1.0, atol=1e-12)
+    assert (B >= 0).all()
+    # matches scipy's evaluation of the same basis
+    from scipy.interpolate import BSpline
+
+    lo, hi = 0.0, 10.0
+    interior = np.linspace(lo, hi, 12)[1:-1]
+    t = np.concatenate([np.full(4, lo), interior, np.full(4, hi)])
+    n_coef = len(t) - 4
+    for j in (0, 3, n_coef - 1):
+        c = np.zeros(n_coef)
+        c[j] = 1.0
+        np.testing.assert_allclose(B[:, j], BSpline(t, c, 3)(x), atol=1e-12)
+
+
+def test_bspline_fit_emissivity():
+    from radtxfr_tpu.scene.emis_features import bspline_fit_emissivity
+
+    x, emis = _smooth_emis()
+    fit = bspline_fit_emissivity(x, emis, n_knots=24)
+    recon = np.asarray(fit.reconstruct())
+    assert recon.shape == emis.shape
+    err = np.abs(recon - np.clip(emis, 1e-4, 1 - 1e-4)).max()
+    assert err < 5e-3
