@@ -157,19 +157,26 @@ def layer_line_params(lines, iso, atmos, species_cols, wing_abs=0.0,
     return jax.vmap(one)(atmos.T, p_atm, atmos.pl, atmos.vmr)
 
 
-def wing_bound_matrix(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> np.ndarray:
+def wing_bound_matrix(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0,
+                      vmr_margin: float = 1.5) -> np.ndarray:
     """Host-side (nLay, nLines) upper bound on each line's wing cutoff.
 
     Requires a concrete (non-traced) atmosphere; replicates the wing rule of
-    :func:`~radtxfr_tpu.kernels.lineparams.compute_line_params` in NumPy
-    (with gamma_mix bounded by max(gamma_air, gamma_self)) to size the
-    static Pallas bucketing.
+    :func:`~radtxfr_tpu.kernels.lineparams.compute_line_params` in NumPy to
+    size the static Pallas bucketing. The self-broadening mix uses the
+    concrete state's vmr inflated by ``vmr_margin`` (gamma_self can be ~5x
+    gamma_air, but self mixing fractions are small — bounding the mix by
+    max(gamma_air, gamma_self) as if vmr were 1 inflated wing-pass work
+    ~3x). Traced atmospheres whose vmr exceeds margin x class vmr get their
+    wings clamped to the plan bound (graceful truncation, never mis-binned);
+    pass envelope states via the ``atmos_class`` list to widen the bound.
+    Set ``vmr_margin=None`` for the fully conservative vmr=1 bound.
     """
     from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS, T_REF
 
     nu0 = np.asarray(lines.nu0, dtype=np.float64)
-    g_mix_max = np.maximum(np.asarray(lines.gamma_air, dtype=np.float64),
-                           np.asarray(lines.gamma_self, dtype=np.float64))
+    g_air = np.asarray(lines.gamma_air, dtype=np.float64)
+    g_self = np.asarray(lines.gamma_self, dtype=np.float64)
     n_air = np.asarray(lines.n_air, dtype=np.float64)
     mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
     mass_g = mass * C_MASS_MOL * 1000.0
@@ -177,8 +184,16 @@ def wing_bound_matrix(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> np.ndarr
 
     T = np.asarray(atmos.T, dtype=np.float64)          # (nLay,)
     p_atm = np.asarray(atmos.p, dtype=np.float64) / PA_PER_ATM
+    if vmr_margin is None:
+        g_mix = np.broadcast_to(np.maximum(g_air, g_self), (T.size, nu0.size))
+    else:
+        cols = _line_species_cols(lines, atmos.mol_ids)
+        x = np.asarray(atmos.vmr, dtype=np.float64)[:, cols]   # (nLay, L)
+        x = np.minimum(x * vmr_margin, 1.0)
+        g_mix = g_air[None, :] * (1.0 - x) + g_self[None, :] * x
+        g_mix = np.maximum(g_mix, g_air[None, :])  # n_self != n_air safety
     t_pow = (T_REF / T)[:, None] ** n_air[None, :]      # (nLay, L)
-    g0 = p_atm[:, None] * t_pow * g_mix_max[None, :]
+    g0 = p_atm[:, None] * t_pow * g_mix
     gd = np.sqrt(T)[:, None] * gd_coeff[None, :]
     return np.maximum(wing_abs, wing_hw * np.maximum(g0, gd))
 
@@ -289,12 +304,29 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
     # so they get bigger tiles/blocks than the flop-heavy core pass.
     f_tile = far_tile or (2 * tile if two_pass else tile)
     f_block = far_block or "auto"
+    # A class below this size costs a full grid pass of launch/step overhead
+    # for negligible window work — merge it into the adjacent (wider-wing)
+    # class instead (slightly conservative bucketing for its lines).
+    min_cls = max(64, nu0.size // 64)
     calls = []  # (layer_idx jnp, line_idx jnp, plan, mode)
     for lay_idx, _ in group_by_wing(W.max(axis=1), max_groups=max_groups,
                                     ratio=group_ratio):
         w_line = W[lay_idx].max(axis=0)                     # (L,)
-        for cls_idx, w_cls in group_by_wing(w_line, max_groups=max_classes,
-                                            ratio=class_ratio):
+        classes = group_by_wing(w_line, max_groups=max_classes,
+                                ratio=class_ratio)
+        merged = []
+        for cls_idx, w_cls in classes:
+            if merged and cls_idx.size < min_cls:
+                prev_idx, prev_w = merged[-1]
+                merged[-1] = (np.concatenate([prev_idx, cls_idx]),
+                              max(prev_w, w_cls))
+            else:
+                merged.append((cls_idx, w_cls))
+        if len(merged) > 1 and merged[0][0].size < min_cls:
+            (i0, w0), (i1, w1) = merged[0], merged[1]
+            merged[1:2] = [(np.concatenate([i0, i1]), max(w0, w1))]
+            del merged[0]
+        for cls_idx, w_cls in merged:
             cls_idx = np.sort(cls_idx)                      # keep nu0 order
             plan = plan_buckets(
                 nu0[cls_idx], g, w_cls, tile=f_tile,
@@ -303,11 +335,14 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
                           plan, wing_mode))
     if two_pass:
         # Core pass: the Weideman region spans only a few tens of grid
-        # points around each line, so use narrow power-of-two tiles with the
-        # layer-fused kernel (per-step overhead amortized over all layers).
+        # points around each line. Tile/block measured on v5e: narrow tiles
+        # starve the pipeline (128x16: 8 Geval/s) while 512x16 runs
+        # compute-bound at ~19 Geval/s despite ~1.8x more padded evals —
+        # net ~25% faster; block 16 beats 32+ (smaller slop at equal rate).
         w_core = max(core_wing_bound(lines, iso, s) for s in states)
-        core_tile = _pow2_tile(int(np.ceil(2.0 * w_core / g.dx)), hi=tile)
-        core_plan = plan_buckets(nu0, g, w_core, tile=core_tile, block="auto")
+        core_tile = _pow2_tile(int(np.ceil(2.0 * w_core / g.dx)),
+                               lo=256, hi=min(512, max(256, tile)))
+        core_plan = plan_buckets(nu0, g, w_core, tile=core_tile, block=16)
         calls.append((all_layers, all_lines, core_plan, "core"))
     return calls
 
