@@ -94,14 +94,42 @@ class EnsembleCheckpoint:
         }
 
 
-def run_batched(ckpt: EnsembleCheckpoint, compute_batch, log=print) -> dict:
+def run_batched(ckpt: EnsembleCheckpoint, compute_batch, log=print,
+                async_io: bool = False) -> dict:
     """Run ``compute_batch(indices) -> dict`` over pending batches, persist
-    each, and gather. Restarts skip completed batches automatically."""
-    for b in ckpt.pending:
-        idx = ckpt.batch_indices(b)
-        out = compute_batch(idx)
+    each, and gather. Restarts skip completed batches automatically.
+
+    With ``async_io=True`` each batch's ``.npz`` serialization overlaps the
+    next batch's (device) compute on a single writer thread — at most one
+    write in flight, so a crash loses at most the in-flight batch and the
+    manifest stays consistent (writes are serialized in batch order).
+    """
+    if not async_io:
+        for b in ckpt.pending:
+            idx = ckpt.batch_indices(b)
+            out = compute_batch(idx)
+            ckpt.write_batch(b, out)
+            if log:
+                log(f"checkpoint: batch {b + 1}/{ckpt.n_batches} "
+                    f"({idx[0]}..{idx[-1]}) done")
+        return ckpt.gather()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write(b, idx, out):
         ckpt.write_batch(b, out)
         if log:
             log(f"checkpoint: batch {b + 1}/{ckpt.n_batches} "
                 f"({idx[0]}..{idx[-1]}) done")
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending_write = None
+        for b in ckpt.pending:
+            idx = ckpt.batch_indices(b)
+            out = compute_batch(idx)
+            if pending_write is not None:
+                pending_write.result()
+            pending_write = ex.submit(write, b, idx, out)
+        if pending_write is not None:
+            pending_write.result()
     return ckpt.gather()

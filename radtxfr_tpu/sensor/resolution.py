@@ -23,7 +23,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["smooth", "reduce_resolution", "cubic_resample_weights", "apply_resample"]
+__all__ = [
+    "smooth",
+    "reduce_resolution",
+    "cubic_resample_weights",
+    "apply_resample",
+    "ReduceOperator",
+    "reduce_operator",
+]
 
 _WINDOWS = {
     "flat": lambda n: np.ones(n),
@@ -135,3 +142,99 @@ def _reduce_apply(Y, idx, w, sm, window):
         y_sm = jax.vmap(lambda col: _sym_smooth(col, sm, window),
                         in_axes=1, out_axes=1)(Y)
     return apply_resample(idx, w, y_sm)
+
+
+class ReduceOperator:
+    """``reduce_resolution`` fused into one static banded stencil.
+
+    The symmetric window smooth and the 4-point cubic resample are both
+    *linear* with local support, so their composition is a single banded
+    operator: output ``i`` is a fixed-width dot product against fine-grid
+    values starting at ``starts[i]``. Precomputing that operator on the host
+    (the spectral axes are static) lets a production loop apply it **inside
+    the jitted ensemble program** — only ``n_out``-length spectra ever leave
+    the device, instead of full fine-resolution arrays (25x less HBM→host
+    traffic for the north-star 0.0025→0.25 cm⁻¹ reduction; the reference
+    round-trips full-resolution arrays between its pool workers and
+    ``reduceResolution``, ``Generate_LWIR_TUD.py:124-132``).
+
+    Valid whenever every composed stencil is interior to the fine grid —
+    true by construction for the default ``X_out`` (targets start ``sm``
+    points in from each edge); :func:`reduce_operator` raises otherwise.
+    """
+
+    def __init__(self, x_out: np.ndarray, starts: np.ndarray,
+                 weights: np.ndarray):
+        self.x_out = np.asarray(x_out)
+        self.n_out, self.width = weights.shape
+        self.starts = jnp.asarray(starts, dtype=jnp.int32)
+        self.weights = jnp.asarray(weights)
+        self._offsets = jnp.arange(self.width, dtype=jnp.int32)
+
+    def __call__(self, Y):
+        """Apply along axis 0: (nX[, ...]) → (n_out[, ...]). Jit-safe."""
+        Y = jnp.asarray(Y)
+        g = Y[self.starts[:, None] + self._offsets[None, :]]
+        w = self.weights.astype(Y.dtype)
+        if Y.ndim == 1:
+            return jnp.sum(g * w, axis=1)
+        return jnp.sum(g * w.reshape(w.shape + (1,) * (Y.ndim - 1)), axis=1)
+
+
+def reduce_operator(X, dX, N: int = 4, window: str = "hanning",
+                    X_out=None) -> ReduceOperator:
+    """Build the fused :class:`ReduceOperator` for a static fine axis ``X``.
+
+    Matches ``reduce_resolution(X, Y, dX, N, window, X_out)`` (reference
+    semantics ``radiative_transfer.py:1327-1350``) for interior stencils.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n = X.size
+    dx_in = float(np.mean(np.diff(X)))
+    sm = int(round(dX / dx_in))
+    if sm < 3:
+        raise ValueError(f"smoothing window {sm} < 3: nothing to reduce")
+    if window not in _WINDOWS:
+        raise ValueError(f"window must be one of {sorted(_WINDOWS)}")
+
+    wv = _WINDOWS[window](sm)
+    wv = wv / wv.sum()
+
+    def np_smooth(x):
+        s = np.r_[x[sm - 1:0:-1], x, x[-2:-sm - 1:-1]]
+        y = np.convolve(wv, s, mode="valid")
+        return y[int(np.ceil(sm / 2 - 1)): y.size - int(np.floor(sm / 2))]
+
+    x_sm = 0.5 * (np_smooth(X) + np_smooth(X[::-1])[::-1])
+    return_default = X_out is None
+    if X_out is None:
+        n_pts = int(np.ceil(N * (x_sm[-sm - 1] - x_sm[sm]) / dX)) + 1
+        X_out = np.linspace(x_sm[sm], x_sm[-sm - 1], n_pts)
+    X_out = np.asarray(X_out, dtype=np.float64)
+    idx, w = cubic_resample_weights(x_sm, X_out)
+
+    # Interior symmetric-smooth impulse response: symmetric kernel of
+    # half-width sm//2 (forward + reversed valid convolutions average to a
+    # symmetric stencil away from the reflected edges).
+    half = sm // 2
+    m = 4 * sm + 17
+    imp = np.zeros(m)
+    imp[m // 2] = 1.0
+    resp = 0.5 * (np_smooth(imp) + np_smooth(imp[::-1])[::-1])
+    K = resp[m // 2 - half: m // 2 + half + 1]
+
+    # Composed rows: C[i, l] = sum_k w[i, k] * K[l - k].
+    base = idx[:, 0].astype(np.int64)
+    width = 2 * half + 1 + 3
+    starts = base - half
+    if starts.min() < 0 or int(starts.max()) + width > n:
+        raise ValueError(
+            "reduce_operator: a composed stencil crosses the fine-grid edge "
+            "(X_out reaches into the reflected-smoothing zone); use "
+            "reduce_resolution instead")
+    C = np.zeros((X_out.size, width))
+    for k in range(4):
+        C[:, k:k + 2 * half + 1] += w[:, k:k + 1] * K[None, :]
+    op = ReduceOperator(X_out, starts, C)
+    op.default_axis = return_default
+    return op

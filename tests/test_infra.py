@@ -37,6 +37,15 @@ def test_checkpoint_resume(tmp_path):
         EnsembleCheckpoint(d, n_items=10, batch_size=5)
 
 
+def test_checkpoint_async_io(tmp_path):
+    """async_io overlaps writes with compute but persists every batch."""
+    ck = EnsembleCheckpoint(str(tmp_path / "ck"), n_items=9, batch_size=2)
+    out = run_batched(ck, lambda idx: {"x": idx + 0.5}, log=None,
+                      async_io=True)
+    np.testing.assert_allclose(out["x"], np.arange(9) + 0.5)
+    assert ck.pending == []
+
+
 def test_phase_timer_and_metrics(tmp_path):
     t = PhaseTimer()
     with t.phase("work", work_items=100):

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from radtxfr_tpu.sensor.ils import apply_ils, ils_matrix, ils_mako, mako_axis_wn, mako_wavelengths_um
-from radtxfr_tpu.sensor.resolution import reduce_resolution, smooth
+from radtxfr_tpu.sensor.resolution import reduce_operator, reduce_resolution, smooth
 
 
 def _ref_ils_mako(X, Y, fwhm_sf=1.0, shift=0.0, scale=1.0):
@@ -95,3 +95,39 @@ def test_reduce_resolution_matrix_input():
     Y = np.stack([np.sin(X), np.cos(X)], axis=1)
     x_out, y_out = reduce_resolution(X, Y, 0.25)
     assert np.asarray(y_out).shape == (x_out.size, 2)
+
+
+def test_reduce_operator_matches_reduce_resolution():
+    """The fused banded stencil is numerically identical to the two-stage
+    smooth+resample pipeline (same axis, values to ~1e-12 relative)."""
+    rng = np.random.default_rng(3)
+    X = np.linspace(690.0, 720.0, 12001)  # 0.0025 spacing
+    Y = rng.normal(size=(X.size, 4)).cumsum(axis=0) / 50.0
+    for dX in (0.25, 0.1875):  # even (sm=100) and odd (sm=75) windows
+        x_ref, y_ref = reduce_resolution(X, Y, dX)
+        op = reduce_operator(X, dX)
+        np.testing.assert_allclose(op.x_out, x_ref, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(op(jnp.asarray(Y))),
+                                   np.asarray(y_ref), rtol=1e-9)
+    # custom X_out and 1-D input
+    op2 = reduce_operator(X, 0.25, X_out=x_ref[2:-2])
+    want = reduce_resolution(X, Y[:, 0], 0.25, X_out=x_ref[2:-2])
+    np.testing.assert_allclose(np.asarray(op2(jnp.asarray(Y[:, 0]))),
+                               np.asarray(want), rtol=1e-9)
+
+
+def test_reduce_operator_rejects_edge_stencils():
+    X = np.linspace(800.0, 810.0, 4001)
+    with pytest.raises(ValueError, match="edge"):
+        reduce_operator(X, 0.25, X_out=np.asarray([800.0]))
+
+
+def test_reduce_operator_under_jit():
+    import jax
+
+    X = np.linspace(800.0, 812.0, 4801)
+    Y = np.sin(X)[:, None] * np.asarray([1.0, 2.0])
+    op = reduce_operator(X, 0.25)
+    got = jax.jit(lambda y: op(y))(jnp.asarray(Y))
+    want = reduce_resolution(X, Y, 0.25, X_out=op.x_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9)

@@ -44,7 +44,7 @@ def main():
     from radtxfr_tpu.io.h5 import Var, write_h5
     from radtxfr_tpu.lines.store import IsoTables
     from radtxfr_tpu.lines.synthetic import synthetic_lines
-    from radtxfr_tpu.sensor.resolution import reduce_resolution
+    from radtxfr_tpu.sensor.resolution import reduce_operator
     from radtxfr_tpu.utils import PhaseTimer
 
     n_dev = len(jax.devices())
@@ -81,29 +81,31 @@ def main():
     print(f"compile: {timer.phases['build+compile']:.0f} s "
           f"(padded grid {gpad.n} points)")
 
-    x_hi = gpad.values()[:grid.size]
-    x_lo = None
+    # Fused on-device 0.25 cm^-1 reduction: only n_out-length spectra ever
+    # leave the chip (vs round-tripping the full 400k-point arrays to host).
+    x_hi = np.asarray(gpad.values()[:grid.size], dtype=np.float64)
+    op = reduce_operator(x_hi, args.dv_out)
+    x_lo = op.x_out
+    n = grid.size
+
+    @jax.jit
+    def reduce_batch(tau, Lu, Ld):
+        return (op(tau[:, :n, -1, 0].T).T, op(Lu[:, :n, -1, 0].T).T,
+                op(Ld[:, :n].T).T)
 
     def compute_batch(indices):
-        nonlocal x_lo
         batch = stack_states([member(int(i)) for i in indices])
         with timer.phase("tud", work_items=len(indices)):
             tau, Lu, Ld = run(batch)
-            jax.block_until_ready((tau, Lu, Ld))
+            tau_lo, lu_lo, ld_lo = reduce_batch(tau, Lu, Ld)
+            jax.block_until_ready((tau_lo, lu_lo, ld_lo))
         with timer.phase("reduce"):
-            n = grid.size
-            x_lo, tau_lo = reduce_resolution(x_hi, np.asarray(tau[:, :n, -1, 0]).T,
-                                             args.dv_out)
-            lu_lo = reduce_resolution(x_hi, np.asarray(Lu[:, :n, -1, 0]).T,
-                                      args.dv_out, X_out=x_lo)
-            ld_lo = reduce_resolution(x_hi, np.asarray(Ld[:, :n]).T,
-                                      args.dv_out, X_out=x_lo)
-        return {"tau": np.asarray(tau_lo).T, "La": np.asarray(lu_lo).T,
-                "Ld": np.asarray(ld_lo).T}
+            return {"tau": np.asarray(tau_lo), "La": np.asarray(lu_lo),
+                    "Ld": np.asarray(ld_lo)}
 
     t0 = time.time()
     ck = EnsembleCheckpoint(args.checkpoint, args.n_atmos, args.batch)
-    out = run_batched(ck, compute_batch)
+    out = run_batched(ck, compute_batch, async_io=True)
     wall = time.time() - t0
     print(timer.report())
     rate = args.n_atmos / timer.phases["tud"]
