@@ -29,6 +29,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from radtxfr_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
+
     from radtxfr_tpu.atmos import std_atmosphere
     from radtxfr_tpu.core.grid import arange_drift_free
     from radtxfr_tpu.kernels.pallas_xsect import UniformGrid

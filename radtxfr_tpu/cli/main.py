@@ -524,6 +524,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ..utils import enable_persistent_cache
+    enable_persistent_cache()
     args.fn(args)
 
 

@@ -36,7 +36,7 @@ __all__ = [
     "rs1D", "rs2D", "rsND", "make_spectral_axis",
     "planckian", "brightnessTemperature", "BT2L",
     "compute_OD", "compute_TUD", "compute_LWIR_apparent_radiance",
-    "ILS_MAKO", "smooth", "reduceResolution",
+    "ILS_MAKO", "smooth", "reduceResolution", "getHelp",
 ]
 
 c1 = 1.19104295315e-16
@@ -215,3 +215,10 @@ def reduceResolution(X, Y, dX, N=4, window="hanning", X_out=None):
     if X_out is None:
         return out[0], np.asarray(out[1])
     return np.asarray(out)
+
+
+def getHelp(target=None):
+    """hapi-style interactive help (``misc/hapi.py:4987``): no argument
+    prints the API index; a name or object prints its documentation."""
+    from .utils.help import get_help
+    get_help(target)

@@ -87,7 +87,9 @@ def compute_line_params(
     """
     T = jnp.asarray(T)
     p = jnp.asarray(p_atm)
-    dtype = lines.nu0.dtype
+    # nu0 is kept host-float64 for exact centers; canonicalize so non-x64
+    # backends compute in float32 without per-call downcast warnings.
+    dtype = jax.dtypes.canonicalize_dtype(lines.nu0.dtype)
 
     # --- intensity temperature scaling -------------------------------------
     # Evaluate Q(T) once per isotopologue (a ~143-row table), then gather per

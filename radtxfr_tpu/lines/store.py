@@ -122,6 +122,7 @@ def from_arrays(
     files, as in hapi (``misc/hapi.py:10870-10874``).
     """
     row_of = iso_row_index()
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     nu0 = np.asarray(nu0, dtype=np.float64)
     order = np.argsort(nu0, kind="stable")
     iso_row = np.array(

@@ -74,3 +74,22 @@ def test_ils_mako_compat():
     np.testing.assert_allclose(y, 1.0, rtol=1e-6)
     y_only = rt.ILS_MAKO(X, np.ones(2000), returnX=False)
     np.testing.assert_allclose(y_only, y)
+
+
+def test_get_help_index_and_lookup(capsys):
+    """hapi getHelp equivalent (misc/hapi.py:4987): index + name lookup."""
+    rt.getHelp()
+    out = capsys.readouterr().out
+    assert "radtxfr_tpu.core" in out and "radtxfr_tpu.kernels" in out
+
+    rt.getHelp("planckian")  # bare-name resolution across subpackages
+    out = capsys.readouterr().out
+    assert "planckian" in out and "radiance" in out.lower()
+
+    from radtxfr_tpu.utils import get_help
+    get_help(rt.compute_TUD)  # object form
+    assert "compute_TUD" in capsys.readouterr().out
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no such name"):
+        get_help("definitely_not_a_thing")

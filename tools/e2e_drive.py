@@ -8,6 +8,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
 
+from radtxfr_tpu.utils import enable_persistent_cache
+enable_persistent_cache()
 print("backend devices:", jax.devices())
 from radtxfr_tpu import planckian, brightness_temperature, make_spectral_axis
 from radtxfr_tpu.lines import synthetic_lines, IsoTables
