@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .faddeeva import weideman_coeffs, REGION_BOUND
 from .lineparams import LineParams
 
-__all__ = ["UniformGrid", "BucketPlan", "plan_buckets", "xsect_pallas"]
+__all__ = ["UniformGrid", "BucketPlan", "plan_buckets",
+           "plan_buckets_packed", "xsect_pallas"]
 
 _SQRT_LN2 = math.sqrt(math.log(2.0))
 _INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
@@ -85,6 +86,12 @@ class BucketPlan:
     k_line: np.ndarray   # (n_blocks, 1, block) int32 — floor grid index per line
     frac0: np.ndarray    # (n_blocks, 1, block) f32 — fractional grid offset
     max_wing: float      # cm^-1 — wing bound the bucketing guarantees
+    # Packed plans (plan_buckets_packed): per-(block, slot) line index into
+    # the call's line list, -1 for padding slots. None for shared-block plans.
+    gather: np.ndarray | None = None
+    # Per-line wing bounds (cm^-1) when the packed plan was built with an
+    # array max_wing; the kernel clamp then applies per line.
+    wing_line: np.ndarray | None = None
 
 
 def auto_block(nu0, grid: UniformGrid, max_wing: float, tile: int,
@@ -171,6 +178,108 @@ def plan_buckets(
     )
 
 
+def plan_buckets_packed(
+    nu0,
+    grid: UniformGrid,
+    max_wing,
+    tile: int = 1024,
+    block="auto",
+) -> BucketPlan:
+    """Per-tile packed bucketing: each tile's line list is materialized
+    exactly (lines duplicated across the tiles their wings touch) and packed
+    contiguously into blocks.
+
+    Versus :func:`plan_buckets` (shared blocks addressed by floor/ceil block
+    ranges), packing removes the block-boundary slop — every visited block
+    is full of in-range lines except the last per tile — roughly halving the
+    padded work of narrow-window (core) passes and letting sparse calls use
+    small blocks without extra grid steps. Costs a host-side gather index
+    (``plan.gather``) applied to the line-parameter arrays at trace time.
+
+    ``max_wing`` may be a scalar or a per-line array: with an array, each
+    line lands only in the tiles its OWN wing bound touches (no class-max
+    inflation), and the kernel clamps the runtime wing per line
+    (``plan.wing_line``). hapi's per-line window rule is
+    max(OmegaWing, 50 halfwidths) (``misc/hapi.py:11131``), which spans a
+    wide range across a band — per-line placement keeps the evaluated work
+    near the true window work.
+    """
+    nu0 = np.asarray(nu0, dtype=np.float64)
+    if nu0.size == 0:
+        raise ValueError("empty line list")
+    if np.any(np.diff(nu0) < 0):
+        raise ValueError("line centers must be sorted")
+
+    w = np.asarray(max_wing, dtype=np.float64)
+    per_line = w.ndim > 0
+    w = np.broadcast_to(w, nu0.shape)
+
+    n_tiles = -(-grid.n // tile)
+    span_pts = tile * grid.dx
+    # Conservative tile span per line: widen by one grid step so float
+    # rounding can only add a tile, never drop one the mask selects.
+    lo_t = np.floor((nu0 - w - grid.dx - grid.x0) / span_pts).astype(np.int64)
+    hi_t = np.floor((nu0 + w + grid.dx - grid.x0) / span_pts).astype(np.int64)
+    lo_t = np.clip(lo_t, 0, n_tiles - 1)
+    hi_t = np.clip(hi_t, 0, n_tiles - 1)
+    # Lines entirely outside the grid still get one (harmless) tile.
+
+    span = (hi_t - lo_t + 1).astype(np.int64)
+    tot = int(span.sum())
+    line_ids = np.repeat(np.arange(nu0.size, dtype=np.int64), span)
+    start = np.cumsum(span) - span
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(start, span)
+    tiles = np.repeat(lo_t, span) + offs
+    order = np.argsort(tiles, kind="stable")   # stable: keeps nu0 order
+    tiles = tiles[order]
+    line_ids = line_ids[order]
+    cnt = np.bincount(tiles, minlength=n_tiles).astype(np.int64)
+
+    if block == "auto":
+        nz = cnt[cnt > 0]
+        q = float(np.quantile(nz, 0.75)) if nz.size else 8.0
+        block = int(np.clip(8 * int(np.ceil(q / 8.0)), 8, 256))
+
+    bpt = -(-cnt // block)                      # blocks per tile (may be 0)
+    starts = np.zeros(n_tiles, dtype=np.int32)
+    starts[1:] = np.cumsum(bpt)[:-1].astype(np.int32)
+    n_blocks = max(int(bpt.sum()), 1)
+
+    # Scatter the packed entries into (n_blocks, block) slots: entry j of
+    # tile i goes to flat slot starts[i]*block + j.
+    gather = np.full(n_blocks * block, -1, dtype=np.int64)
+    tile_first = np.cumsum(cnt) - cnt                   # first entry per tile
+    within = np.arange(tot, dtype=np.int64) - tile_first[tiles]
+    slots = starts.astype(np.int64)[tiles] * block + within
+    gather[slots] = line_ids
+    gather = gather.reshape(n_blocks, block).astype(np.int32)
+
+    u = (nu0 - grid.x0) / grid.dx
+    k_all = np.floor(u).astype(np.int64)
+    f_all = (u - k_all).astype(np.float32)
+    valid = gather >= 0
+    safe = np.where(valid, gather, 0)
+    k_line = np.where(valid, k_all[safe], -(2 ** 30)).astype(np.int32)
+    frac0 = np.where(valid, f_all[safe], 0.0).astype(np.float32)
+
+    counts = bpt.astype(np.int32)
+    return BucketPlan(
+        grid=grid,
+        tile=tile,
+        block=block,
+        n_tiles=n_tiles,
+        n_blocks=n_blocks,
+        max_blocks=max(int(counts.max()) if counts.size else 0, 1),
+        starts=starts,
+        counts=counts,
+        k_line=k_line.reshape(n_blocks, 1, block),
+        frac0=frac0.reshape(n_blocks, 1, block),
+        max_wing=float(w.max()),
+        gather=gather,
+        wing_line=(w.astype(np.float64) if per_line else None),
+    )
+
+
 def _pad_layered(a, n_blocks, block, fill):
     """(nLay, L) -> (nLay, n_blocks, 1, block) with padding value ``fill``."""
     n_lay, L = a.shape
@@ -193,22 +302,54 @@ def _pad_fused(a, n_blocks, block, fill):
     return a.reshape(n_lay, n_blocks, block).transpose(1, 0, 2)
 
 
-def _asym_re_w(x, y):
+def _gather_slots(a, gather, fill):
+    """(nLay, L) -> (nLay, n_blocks, block) via a packed plan's line-index
+    gather; -1 slots take ``fill``."""
+    n_lay, L = a.shape
+    ext = jnp.concatenate(
+        [a, jnp.full((n_lay, 1), fill, dtype=a.dtype)], axis=1)
+    idx = jnp.where(gather >= 0, gather, L)
+    return ext[:, idx]
+
+
+def _gather_fused(a, gather, fill):
+    """(nLay, L) -> (n_blocks, nLay, block) for packed plans."""
+    return _gather_slots(a, gather, fill).transpose(1, 0, 2)
+
+
+def _gather_layered(a, gather, fill):
+    """(nLay, L) -> (nLay, n_blocks, 1, block) for packed plans."""
+    g = _gather_slots(a, gather, fill)
+    n_lay, n_blocks, block = g.shape
+    return g.reshape(n_lay, n_blocks, 1, block)
+
+
+def _rcp(x, fast: bool = False):
+    """Reciprocal; ``fast`` uses the VPU approximation instruction plus one
+    Newton step (~4 ops, <1e-8 relative error vs a ~10-op rounded divide)."""
+    if not fast:
+        return 1.0 / x
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
+def _asym_re_w(x, y, fast: bool = False):
     """Humlicek region-1 asymptotic Re w: (1/sqrt(pi)) Re[t/(0.5+t^2)],
     t = y - ix. ~12 flops — hum1_wei uses this wherever |x| + y >= 15."""
     dr = 0.5 + y * y - x * x
     di = -2.0 * x * y
     dmag = dr * dr + di * di
-    return _INV_SQRT_PI * (y * dr - x * di) / dmag
+    return _INV_SQRT_PI * (y * dr - x * di) * _rcp(dmag, fast)
 
 
-def _weideman_re_w(x, y, wei_a, wei_L):
+def _weideman_re_w(x, y, wei_a, wei_L, fast: bool = False):
     """Weideman rational-series Re w (the |x| + y < 15 region)."""
     nr, ni = wei_L - y, x
     er, ei = wei_L + y, -x
     emag = er * er + ei * ei
-    zr = (nr * er + ni * ei) / emag
-    zi = (ni * er - nr * ei) / emag
+    inv_e = _rcp(emag, fast)
+    zr = (nr * er + ni * ei) * inv_e
+    zi = (ni * er - nr * ei) * inv_e
     pr = jnp.full_like(zr, wei_a[0])
     pi_ = jnp.zeros_like(zr)
     for c in wei_a[1:]:
@@ -216,7 +357,8 @@ def _weideman_re_w(x, y, wei_a, wei_L):
     sr = er * er - ei * ei
     si = 2.0 * er * ei
     smag = sr * sr + si * si
-    return 2.0 * (pr * sr + pi_ * si) / smag + _INV_SQRT_PI * er / emag
+    return (2.0 * (pr * sr + pi_ * si) * _rcp(smag, fast)
+            + _INV_SQRT_PI * er * inv_e)
 
 
 def _cpf3_re_w(x, y):
@@ -241,13 +383,14 @@ def _cpf3_re_w(x, y):
     return -(ar * si + ai * sr) * _INV_SQRT_PI
 
 
-def _re_w_select(x, y, wei_a, wei_L):
+def _re_w_select(x, y, wei_a, wei_L, fast: bool = False):
     """Re w via hum1_wei's region rule (Weideman inside |x|+y<15)."""
     return jnp.where(jnp.abs(x) + y < REGION_BOUND,
-                     _weideman_re_w(x, y, wei_a, wei_L), _asym_re_w(x, y))
+                     _weideman_re_w(x, y, wei_a, wei_L, fast),
+                     _asym_re_w(x, y, fast))
 
 
-def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L):
+def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L, fast: bool = False):
     """SD-Voigt profile value on a (BLOCK, TILE) block, real arithmetic.
 
     Follows ``pcqsdhc`` with anuVC = eta = Shift2 = 0 (the SDVoigt driver's
@@ -281,14 +424,16 @@ def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L):
     szmx = jnp.maximum(sz1, sz2)
     szmn = jnp.minimum(sz1, sz2)
     use3 = (jnp.abs(sz1 - sz2) <= 1.0) & (szmx > 8.0) & (szmn <= 8.0)
-    w1 = jnp.where(use3, _cpf3_re_w(x12, y1), _re_w_select(x12, y1, wei_a, wei_L))
-    w2 = jnp.where(use3, _cpf3_re_w(x12, y2), _re_w_select(x12, y2, wei_a, wei_L))
+    w1 = jnp.where(use3, _cpf3_re_w(x12, y1),
+                   _re_w_select(x12, y1, wei_a, wei_L, fast))
+    w2 = jnp.where(use3, _cpf3_re_w(x12, y2),
+                   _re_w_select(x12, y2, wei_a, wei_L, fast))
     # LS = (1/pi) * sqrt(pi) * cte * (w1 - w2)
     return cte * _INV_SQRT_PI * (w1 - w2)
 
 
-def _voigt_block(dnu, gd, g0, wei_a, wei_L, mode: str = "full"):
-    """Voigt profile on a (BLOCK, TILE) block, branchless float32.
+def _voigt_wr(x, y, wei_a, wei_L, mode: str = "full", fast: bool = False):
+    """Re w(x + iy) on a (BLOCK, TILE) block, branchless float32.
 
     ``mode`` supports the two-pass far-wing decomposition:
 
@@ -300,24 +445,18 @@ def _voigt_block(dnu, gd, g0, wei_a, wei_L, mode: str = "full"):
       the correction the core pass adds on top of an 'asym' pass, so
       asym + core == full pointwise.
     """
-    cte = _SQRT_LN2 / gd
-    x = dnu * cte
-    y = g0 * cte
     if mode == "asym":
-        wr = _asym_re_w(x, y)
-    else:
-        in_core = (jnp.abs(x) + y) < REGION_BOUND
-        asym = _asym_re_w(x, y)
-        wei = _weideman_re_w(x, y, wei_a, wei_L)
-        if mode == "core":
-            wr = jnp.where(in_core, wei - asym, 0.0)
-        else:
-            wr = jnp.where(in_core, wei, asym)
-    return cte * _INV_SQRT_PI * wr
+        return _asym_re_w(x, y, fast)
+    in_core = (jnp.abs(x) + y) < REGION_BOUND
+    asym = _asym_re_w(x, y, fast)
+    wei = _weideman_re_w(x, y, wei_a, wei_L, fast)
+    if mode == "core":
+        return jnp.where(in_core, wei - asym, 0.0)
+    return jnp.where(in_core, wei, asym)
 
 
 def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24,
-                 mode: str = "full"):
+                 mode: str = "full", fast: bool = False):
     dx = np.float32(dx)
     wei_L_f, wei_a_f = weideman_coeffs(n_weideman)
     wei_a = tuple(np.float32(c) for c in wei_a_f)
@@ -345,21 +484,25 @@ def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24,
 
             k_grid = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
             rel = (k_grid - k_line).astype(jnp.float32)   # exact: small ints
-            dnu = (rel - frac0 - ds) * dx
-            prof = _voigt_block(dnu, gd, g0, wei_a, wei_L, mode=mode)
             # hapi bisect window on the UNSHIFTED center:
             # include iff nu0 - wing < g <= nu0 + wing
             # in grid units: frac0 - wingu < rel - 0 ... rel > frac0 - wingu
             u = rel - frac0
+            # Per-line constants folded so the (BLOCK, TILE) work is minimal:
+            # x = (u - ds) * (dx * cte), contribution = scale * Re w.
+            cte = _SQRT_LN2 / gd
+            wr = _voigt_wr((u - ds) * (dx * cte), g0 * cte, wei_a, wei_L,
+                           mode, fast)
+            scale = strength * (_INV_SQRT_PI * cte)
             mask = (u > -wingu) & (u <= wingu)
-            contrib = jnp.where(mask, strength * prof, 0.0)
+            contrib = jnp.where(mask, scale * wr, 0.0)
             out_ref[...] += jnp.sum(contrib, axis=0).reshape(out_ref.shape)
 
     return kernel
 
 
 def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
-                       n_weideman: int, mode: str):
+                       n_weideman: int, mode: str, fast: bool = False):
     """Layer-fused variant: one grid step evaluates ALL layers for a
     (line-block x nu-tile) pair via an in-kernel loop.
 
@@ -398,15 +541,20 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                 gd = gd_ref[0, l, :].reshape(block, 1)
                 g0 = g0_ref[0, l, :].reshape(block, 1)
                 wingu = wu_ref[0, l, :].reshape(block, 1)
-                dnu = (rel - frac0 - ds) * dx
+                mask = (u > -wingu) & (u <= wingu)
                 if mode == "sdvoigt":
                     g2 = g2_ref[0, l, :].reshape(block, 1)
                     s0 = s0_ref[0, l, :].reshape(block, 1)
-                    prof = _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L)
+                    dnu = (rel - frac0 - ds) * dx
+                    prof = _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L,
+                                          fast)
+                    contrib = jnp.where(mask, strength * prof, 0.0)
                 else:
-                    prof = _voigt_block(dnu, gd, g0, wei_a, wei_L, mode=mode)
-                mask = (u > -wingu) & (u <= wingu)
-                contrib = jnp.where(mask, strength * prof, 0.0)
+                    cte = _SQRT_LN2 / gd
+                    wr = _voigt_wr((u - ds) * (dx * cte), g0 * cte,
+                                   wei_a, wei_L, mode, fast)
+                    scale = strength * (_INV_SQRT_PI * cte)
+                    contrib = jnp.where(mask, scale * wr, 0.0)
                 out_ref[0, l, :] += jnp.sum(contrib, axis=0)
                 return 0
 
@@ -420,10 +568,10 @@ def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
                       gd, g0, g2, s0, wingu, starts, counts, offset,
                       interpret=False):
     # cfg: (tile, block, n_blocks, n_tiles, max_blocks, n_out, dx,
-    # n_weideman, mode); layered arrays are (n_blocks, n_lay, block).
-    tile, block, nb, nt, mb, n_out, dx, n_wei, mode = cfg
+    # n_weideman, mode, fast); layered arrays are (n_blocks, n_lay, block).
+    tile, block, nb, nt, mb, n_out, dx, n_wei, mode, fast = cfg
     n_lay = strength.shape[1]
-    kernel = _make_fused_kernel(tile, block, n_lay, dx, n_wei, mode)
+    kernel = _make_fused_kernel(tile, block, n_lay, dx, n_wei, mode, fast)
 
     def line_map(i, j, starts_ref, counts_ref, off_ref):
         return (jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
@@ -456,10 +604,10 @@ def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
 def _xsect_pallas_call(cfg, k_line, frac0, ds, strength,
                        gd, g0, wingu, starts, counts, interpret=False):
     # cfg: hashable static tuple (tile, block, n_blocks, n_tiles, max_blocks,
-    # n_out, dx, n_weideman, mode)
-    tile, block, nb, nt, mb, n_out, dx, n_wei, mode = cfg
+    # n_out, dx, n_weideman, mode, fast)
+    tile, block, nb, nt, mb, n_out, dx, n_wei, mode, fast = cfg
     n_lay = strength.shape[0]
-    kernel = _make_kernel(tile, block, dx, n_wei, mode)
+    kernel = _make_kernel(tile, block, dx, n_wei, mode, fast)
 
     # Mosaic block-shape rule: the last two dims of every block must be
     # (8k, 128m) or equal to the array's; singleton axes are inserted so the
@@ -506,7 +654,8 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
                  n_weideman: int = 24, mode: str = "full",
                  fused_layers: bool = False, starts=None, counts=None,
                  k_offset=None, n_tiles: int | None = None,
-                 n_out: int | None = None, k_line=None, frac0=None):
+                 n_out: int | None = None, k_line=None, frac0=None,
+                 fast_rcp: bool = False):
     """Evaluate layered spectra with the Pallas kernel.
 
     Parameters
@@ -540,7 +689,9 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
         ds = f32(jnp.zeros_like(params.shift0))
     else:
         ds = f32(params.shift0 / dx)
-    wingu = f32(jnp.minimum(params.wing, plan.max_wing) / dx)
+    wing_cap = (plan.max_wing if plan.wing_line is None
+                else jnp.asarray(plan.wing_line, dtype=jnp.float32))
+    wingu = f32(jnp.minimum(params.wing, wing_cap) / dx)
 
     nb, block = plan.n_blocks, plan.block
     # starts/counts/k_line/frac0/k_offset/n_tiles overrides support
@@ -553,9 +704,14 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
     nt = plan.n_tiles if n_tiles is None else n_tiles
     n_out = (plan.grid.n if n_out is None else n_out)
     cfg = (plan.tile, plan.block, plan.n_blocks, nt,
-           plan.max_blocks, n_out, plan.grid.dx, n_weideman, mode)
+           plan.max_blocks, n_out, plan.grid.dx, n_weideman, mode,
+           fast_rcp and not interpret)
+    gth = None if plan.gather is None else jnp.asarray(plan.gather)
     if fused_layers:
-        pad = lambda a, fill: _pad_fused(a, nb, block, fill)
+        if gth is None:
+            pad = lambda a, fill: _pad_fused(a, nb, block, fill)
+        else:
+            pad = lambda a, fill: _gather_fused(a, gth, fill)
         if k_offset is None:
             k_offset = jnp.zeros((1,), dtype=jnp.int32)
         else:
@@ -579,7 +735,10 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
     else:
         if k_offset is not None:
             raise ValueError("k_offset requires fused_layers=True")
-        pad = lambda a, fill: _pad_layered(a, nb, block, fill)
+        if gth is None:
+            pad = lambda a, fill: _pad_layered(a, nb, block, fill)
+        else:
+            pad = lambda a, fill: _gather_layered(a, gth, fill)
         out = _xsect_pallas_call(
             cfg,
             k_line,

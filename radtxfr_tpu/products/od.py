@@ -225,6 +225,51 @@ def core_wing_bound(lines, iso, atmos) -> float:
     return float(w.max())
 
 
+def core_wing_per_line(lines, iso, atmos) -> np.ndarray:
+    """Per-line Weideman-core half-width bound (L,) [cm^-1] — the per-line
+    refinement of :func:`core_wing_bound`."""
+    from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS
+    from ..kernels.faddeeva import REGION_BOUND
+
+    nu0 = np.asarray(lines.nu0, dtype=np.float64)
+    mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
+    mass_g = mass * C_MASS_MOL * 1000.0
+    t_max = float(np.asarray(atmos.T).max())
+    gd_max = np.sqrt(2.0 * K_BOLTZMANN_CGS * t_max * np.log(2.0) / mass_g) \
+        / C_LIGHT_CGS * nu0
+    p_max = float(np.asarray(atmos.p).max()) / PA_PER_ATM
+    shift_max = np.abs(np.asarray(lines.delta_air, dtype=np.float64)) * p_max
+    return REGION_BOUND / np.sqrt(np.log(2.0)) * gd_max + shift_max
+
+
+def core_y_matrix(lines, iso, atmos) -> np.ndarray:
+    """Host-side (nLay, nLines) LOWER bound on the Voigt y parameter.
+
+    y = sqrt(ln2) * Gamma0 / GammaD. hum1_wei applies the Weideman series
+    only where |x| + y < 15 (``misc/hapi.py:9833-9844``), so a (layer, line)
+    pair whose y lower bound is already >= 15 has an identically zero core
+    correction everywhere — high-pressure layers drop out of the core pass
+    entirely. The bound uses min(gamma_air, gamma_self) (the smallest any
+    diluent mix can produce) so it holds for every vmr.
+    """
+    from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS, T_REF
+
+    nu0 = np.asarray(lines.nu0, dtype=np.float64)
+    g_lo = np.minimum(np.asarray(lines.gamma_air, dtype=np.float64),
+                      np.asarray(lines.gamma_self, dtype=np.float64))
+    n_air = np.asarray(lines.n_air, dtype=np.float64)
+    mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
+    mass_g = mass * C_MASS_MOL * 1000.0
+    gd_coeff = np.sqrt(2.0 * K_BOLTZMANN_CGS * np.log(2.0) / mass_g) \
+        / C_LIGHT_CGS * nu0
+    T = np.asarray(atmos.T, dtype=np.float64)
+    p_atm = np.asarray(atmos.p, dtype=np.float64) / PA_PER_ATM
+    t_pow = (T_REF / T)[:, None] ** n_air[None, :]
+    g0 = p_atm[:, None] * t_pow * g_lo[None, :]
+    gd = np.sqrt(T)[:, None] * gd_coeff[None, :]
+    return np.sqrt(np.log(2.0)) * g0 / gd
+
+
 def max_wing_bound(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> float:
     """Host-side upper bound on every line's wing over all layers."""
     return float(max_wing_per_layer(lines, iso, atmos, wing_abs, wing_hw).max())
@@ -283,67 +328,82 @@ def _as_states(atmos_class):
 
 def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
                     max_classes, tile, block, two_pass, far_tile, far_block,
-                    group_ratio, class_ratio):
+                    group_ratio, class_ratio, core_tile=None, core_block=16):
     """The static (layer-group x wing-class [+ core]) call decomposition.
 
     ``atmos_class`` may be a single representative state or a list of
     envelope states (e.g. the coldest and hottest ensemble members); wing
     bounds are taken elementwise over all of them.
     """
-    from ..kernels.pallas_xsect import plan_buckets
+    from ..kernels.pallas_xsect import plan_buckets_packed
 
     states = _as_states(atmos_class)
     W = np.max([wing_bound_matrix(lines, iso, s, wing_abs=wing_abs,
                                   wing_hw=wing_hw) for s in states], axis=0)
     nu0 = np.asarray(lines.nu0, dtype=np.float64)
-    all_layers = jnp.arange(W.shape[0])
-    all_lines = jnp.arange(nu0.size)
 
     wing_mode = "asym" if two_pass else "full"
     # The asym wing passes are ~12 flops/eval — grid-step overhead bound —
     # so they get bigger tiles/blocks than the flop-heavy core pass.
     f_tile = far_tile or (2 * tile if two_pass else tile)
     f_block = far_block or "auto"
-    # A class below this size costs a full grid pass of launch/step overhead
-    # for negligible window work — merge it into the adjacent (wider-wing)
-    # class instead (slightly conservative bucketing for its lines).
-    min_cls = max(64, nu0.size // 64)
     calls = []  # (layer_idx jnp, line_idx jnp, plan, mode)
-    for lay_idx, _ in group_by_wing(W.max(axis=1), max_groups=max_groups,
-                                    ratio=group_ratio):
-        w_line = W[lay_idx].max(axis=0)                     # (L,)
-        classes = group_by_wing(w_line, max_groups=max_classes,
-                                ratio=class_ratio)
-        merged = []
-        for cls_idx, w_cls in classes:
-            if merged and cls_idx.size < min_cls:
-                prev_idx, prev_w = merged[-1]
-                merged[-1] = (np.concatenate([prev_idx, cls_idx]),
-                              max(prev_w, w_cls))
-            else:
-                merged.append((cls_idx, w_cls))
-        if len(merged) > 1 and merged[0][0].size < min_cls:
-            (i0, w0), (i1, w1) = merged[0], merged[1]
-            merged[1:2] = [(np.concatenate([i0, i1]), max(w0, w1))]
-            del merged[0]
-        for cls_idx, w_cls in merged:
-            cls_idx = np.sort(cls_idx)                      # keep nu0 order
-            plan = plan_buckets(
-                nu0[cls_idx], g, w_cls, tile=f_tile,
-                block=(block if not two_pass and far_block is None else f_block))
-            calls.append((jnp.asarray(np.sort(lay_idx)), jnp.asarray(cls_idx),
-                          plan, wing_mode))
+    all_lines = jnp.arange(nu0.size)
+    lay_groups = group_by_wing(W.max(axis=1), max_groups=max_groups,
+                               ratio=group_ratio)
+    for lay_idx, _ in lay_groups:
+        # Per-line wing bounds over the group's layers: packed planning
+        # places each line only in the tiles its OWN wing touches, so no
+        # wing-class partitioning (and its class-max inflation) is needed.
+        w_line = W[np.sort(lay_idx)].max(axis=0)            # (L,)
+        plan = plan_buckets_packed(nu0, g, w_line, tile=f_tile, block=f_block)
+        calls.append((jnp.asarray(np.sort(lay_idx)), all_lines,
+                      plan, wing_mode))
     if two_pass:
         # Core pass: the Weideman region spans only a few tens of grid
-        # points around each line. Tile/block measured on v5e: narrow tiles
-        # starve the pipeline (128x16: 8 Geval/s) while 512x16 runs
-        # compute-bound at ~19 Geval/s despite ~1.8x more padded evals —
-        # net ~25% faster; block 16 beats 32+ (smaller slop at equal rate).
-        w_core = max(core_wing_bound(lines, iso, s) for s in states)
-        core_tile = _pow2_tile(int(np.ceil(2.0 * w_core / g.dx)),
-                               lo=256, hi=min(512, max(256, tile)))
-        core_plan = plan_buckets(nu0, g, w_core, tile=core_tile, block=16)
-        calls.append((all_layers, all_lines, core_plan, "core"))
+        # points around each line center, and exists at all only where the
+        # Voigt y = sqrt(ln2)*Gamma0/GammaD can drop below hum1_wei's bound
+        # (|x| + y < 15): high-pressure layers are purely asymptotic for
+        # most lines, so the core pass is segmented by the same layer groups
+        # with per-segment line filtering on the y lower bound (about half
+        # the (layer, line) pairs drop out for the LWIR StdAtmos workload).
+        # The 1.25 margin keeps exclusions valid for runtime atmospheres
+        # moderately outside the envelope states. Tile/block measured on
+        # v5e: narrow tiles starve the pipeline; block 16 beats 32+.
+        from ..kernels.faddeeva import REGION_BOUND
+
+        y_lo = np.min([core_y_matrix(lines, iso, s) for s in states], axis=0)
+        w_line = np.max([core_wing_per_line(lines, iso, s) for s in states],
+                        axis=0)
+        y_thresh = REGION_BOUND * 1.25
+        ovh_pairs = 0.04 * W.shape[0] * nu0.size   # ~per-call fixed cost
+        segs = []  # (lay_idx, line_mask)
+        for lay_idx, _ in lay_groups:
+            lay_idx = np.sort(lay_idx)
+            m = (y_lo[lay_idx] < y_thresh).any(axis=0)
+            if not m.any():
+                continue
+            if segs:
+                p_idx, pm = segs[-1]
+                um = pm | m
+                uni = (len(p_idx) + len(lay_idx)) * int(um.sum())
+                sep = len(p_idx) * int(pm.sum()) + len(lay_idx) * int(m.sum())
+                if uni - sep <= ovh_pairs:
+                    segs[-1] = (np.concatenate([p_idx, lay_idx]), um)
+                    continue
+            segs.append((lay_idx, m))
+        for lay_idx, m in segs:
+            cls_idx = np.nonzero(m)[0]
+            w_sub = w_line[cls_idx]
+            w_core = float(w_sub.max())
+            seg_tile = core_tile
+            if seg_tile is None:
+                seg_tile = _pow2_tile(int(np.ceil(2.0 * w_core / g.dx)),
+                                      lo=256, hi=min(512, max(256, tile)))
+            core_plan = plan_buckets_packed(nu0[cls_idx], g, w_sub,
+                                            tile=seg_tile, block=core_block)
+            calls.append((jnp.asarray(np.sort(lay_idx)), jnp.asarray(cls_idx),
+                          core_plan, "core"))
     return calls
 
 
@@ -352,7 +412,8 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
                       tile: int = 512, block: int = 32, n_weideman: int = 16,
                       two_pass: bool = True, far_tile: int | None = None,
                       far_block: int | None = None, group_ratio: float = 1.6,
-                      class_ratio: float = 2.5):
+                      class_ratio: float = 2.5, core_tile: int | None = None,
+                      core_block: int = 16, fast_rcp: bool = True):
     """Build a jitted (T, p_pa, pl, vmr) -> (nL, nX) OD function with static
     Pallas bucket plans baked in.
 
@@ -383,7 +444,8 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
         lines, iso, atmos_class, g, wing_abs=wing_abs, wing_hw=wing_hw,
         max_groups=max_groups, max_classes=max_classes, tile=tile, block=block,
         two_pass=two_pass, far_tile=far_tile, far_block=far_block,
-        group_ratio=group_ratio, class_ratio=class_ratio)
+        group_ratio=group_ratio, class_ratio=class_ratio,
+        core_tile=core_tile, core_block=core_block)
 
     @jax.jit
     def od_fn(T, p_pa, pl, vmr):
@@ -403,7 +465,7 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
             out = out.at[lay_idx].add(
                 xsect_pallas(plan, sub(params, lay_idx, cls_idx),
                              n_weideman=n_weideman, mode=mode,
-                             fused_layers=True))
+                             fused_layers=True, fast_rcp=fast_rcp))
         return out
 
     return od_fn

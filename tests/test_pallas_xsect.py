@@ -149,3 +149,46 @@ def test_sdvoigt_pallas_matches_jnp_engine(iso_tables):
     peak = np.abs(want).max()
     # f32 complex-sqrt cancellations cost a little accuracy vs pure Voigt
     assert np.abs(got - want).max() < 2e-5 * peak, np.abs(got - want).max() / peak
+
+
+def test_packed_plan_matches_shared_plan(store, iso_tables):
+    """plan_buckets_packed (per-tile gather packing) computes the identical
+    spectrum to the shared-block plan, in both kernel layouts."""
+    from radtxfr_tpu.kernels.pallas_xsect import plan_buckets_packed
+
+    temps = jnp.asarray([296.0, 250.0])
+    pres = jnp.asarray([1.0, 0.3])
+    params = jax.vmap(
+        lambda T, p: compute_line_params(store, iso_tables, T, p)
+    )(temps, pres)
+    shared = plan_buckets(np.asarray(store.nu0), GRID, MAX_WING, tile=512, block=128)
+    packed = plan_buckets_packed(np.asarray(store.nu0), GRID, MAX_WING,
+                                 tile=512, block=16)
+    want = np.asarray(xsect_pallas(shared, params, interpret=True))
+    got = np.asarray(xsect_pallas(packed, params, interpret=True))
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 5e-7 * peak
+    got_f = np.asarray(xsect_pallas(packed, params, interpret=True,
+                                    fused_layers=True))
+    assert np.abs(got_f - want).max() < 5e-7 * peak
+
+
+def test_packed_plan_auto_block_and_padding(store, iso_tables):
+    """Auto block sizing and -1 gather padding slots contribute nothing."""
+    from radtxfr_tpu.kernels.pallas_xsect import plan_buckets_packed
+
+    packed = plan_buckets_packed(np.asarray(store.nu0), GRID, MAX_WING,
+                                 tile=256, block="auto")
+    assert packed.gather is not None
+    assert (packed.gather >= -1).all()
+    # every tile's blocks hold exactly its in-range lines
+    valid = packed.gather >= 0
+    n_dup = int(valid.sum())
+    assert n_dup >= len(np.asarray(store.nu0))  # duplication across tiles
+    params = _params(store, iso_tables, 280.0, 0.8)
+    got = np.asarray(xsect_pallas(packed, params, interpret=True))
+    import dataclasses
+    clamped = dataclasses.replace(params, wing=jnp.minimum(params.wing, MAX_WING))
+    want = np.asarray(xsect_from_params(jnp.asarray(GRID_AXIS), clamped))
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 3e-6 * peak
