@@ -220,11 +220,16 @@ def plan_buckets_packed(
     # rounding can only add a tile, never drop one the mask selects.
     lo_t = np.floor((nu0 - w - grid.dx - grid.x0) / span_pts).astype(np.int64)
     hi_t = np.floor((nu0 + w + grid.dx - grid.x0) / span_pts).astype(np.int64)
+    # Lines whose window cannot touch the grid get no tiles at all —
+    # clipping them into an edge tile would pile every out-of-band line
+    # into tile 0 / tile n-1 and blow up that tile's block count.
+    x_end = grid.x0 + grid.dx * (grid.n - 1)
+    in_range = ((nu0 + w >= grid.x0 - grid.dx)
+                & (nu0 - w <= x_end + grid.dx))
     lo_t = np.clip(lo_t, 0, n_tiles - 1)
     hi_t = np.clip(hi_t, 0, n_tiles - 1)
-    # Lines entirely outside the grid still get one (harmless) tile.
 
-    span = (hi_t - lo_t + 1).astype(np.int64)
+    span = np.where(in_range, hi_t - lo_t + 1, 0).astype(np.int64)
     tot = int(span.sum())
     line_ids = np.repeat(np.arange(nu0.size, dtype=np.int64), span)
     start = np.cumsum(span) - span
