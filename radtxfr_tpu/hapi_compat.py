@@ -1,0 +1,826 @@
+"""hapi-named drop-in API (the reference's ``misc/hapi.py`` surface).
+
+A user of HITRAN's hapi — the pure-Python LBL engine vendored by the
+reference (``misc/hapi.py``, 11,901 LoC) — can ``import
+radtxfr_tpu.hapi_compat as hapi`` and keep the same program: the database
+verbs (``db_begin``/``fetch``/``select``/``tableList``…), the isotopologue
+registry accessors, TIPS partition sums, the PROFILE_*/CPF families, the
+five ``absorptionCoefficient_*`` drivers, spectra synthesis, and the slit
+convolutions all carry hapi's names, argument conventions, defaults, and
+return shapes — backed by the TPU engine (:mod:`radtxfr_tpu.kernels`)
+instead of hapi's serial per-line Python loop.
+
+Deliberate divergences (all documented per function):
+
+* Tables are packed :class:`~radtxfr_tpu.lines.store.LineStore` arrays, not
+  per-row dicts; row-object internals (``getRowObject`` etc.) have no
+  equivalent.
+* ``EnvDependences`` / custom ``partitionFunction`` overrides of the
+  drivers are not supported (hapi's own defaults are used; passing a
+  non-default raises).
+* ``fetch`` requires network access and is gated exactly like
+  :mod:`radtxfr_tpu.lines.fetch`.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from .kernels import faddeeva as _fad
+from .kernels import htp as _htp
+from .kernels import profiles as _prof
+from .kernels import spectra as _spec
+from .kernels.ht_driver import xsect_ht as _xsect_ht
+from .kernels.lineparams import compute_line_params as _line_params
+from .kernels.xsect import xsect_from_params as _xsect
+from .lines import fetch as _fetch
+from .lines import hapi_db as _db
+from .lines import query as _query
+from .lines import tips as _tips
+from .lines.store import IsoTables, LineStore, parse_par
+
+__all__ = [
+    # DB / tables
+    "db_begin", "db_commit", "tableList", "describeTable", "dropTable",
+    "select", "sort", "group", "getColumn", "getColumns", "extractColumns",
+    "fetch", "fetch_by_ids", "getStickXY",
+    # registry
+    "ISO", "ISO_ID", "abundance", "molecularMass", "moleculeName",
+    "isotopologueName", "print_iso", "print_iso_id",
+    # partition sums
+    "partitionSum", "PYTIPS",
+    # profiles / CPF
+    "PROFILE_HT", "PROFILE_HTP", "PROFILE_SDRAUTIAN", "PROFILE_RAUTIAN",
+    "PROFILE_SDVOIGT", "PROFILE_VOIGT", "PROFILE_LORENTZ", "PROFILE_DOPPLER",
+    "cpf", "cpf3", "hum1_wei", "cef",
+    # environment dependences
+    "EnvironmentDependency_Intensity", "EnvironmentDependency_GammaD",
+    "EnvironmentDependency_Gamma0", "EnvironmentDependency_Gamma2",
+    "EnvironmentDependency_Delta0", "EnvironmentDependency_Delta2",
+    "EnvironmentDependency_anuVC", "volumeConcentration",
+    # absorption drivers
+    "absorptionCoefficient_Voigt", "absorptionCoefficient_SDVoigt",
+    "absorptionCoefficient_Lorentz", "absorptionCoefficient_Doppler",
+    "absorptionCoefficient_HT",
+    # spectra + instrument functions
+    "transmittanceSpectrum", "absorptionSpectrum", "radianceSpectrum",
+    "SLIT_RECTANGULAR", "SLIT_TRIANGULAR", "SLIT_GAUSSIAN",
+    "SLIT_DISPERSION", "SLIT_COSINUS", "SLIT_DIFFRACTION", "SLIT_MICHELSON",
+    "convolveSpectrum", "convolveSpectrumSame", "convolveSpectrumFull",
+    # misc
+    "arange_", "save_to_file", "getHelp",
+]
+
+T_REF = 296.0
+_K_BOLTS_CGS = 1.380648813e-16  # hapi cBolts (misc/hapi.py:84)
+
+
+# ===========================================================================
+# Local table registry (hapi LOCAL_TABLE_CACHE, misc/hapi.py:5205-5243)
+# ===========================================================================
+
+#: name -> LineStore (the in-memory database)
+_TABLES: dict[str, LineStore] = {}
+#: name -> extra non-.par columns (HT columns etc.), host arrays
+_EXTRAS: dict[str, dict] = {}
+_DB_DIR: str | None = None
+
+
+def db_begin(db: str | None = None) -> None:
+    """Open a directory-as-database and load every table
+    (hapi ``db_begin``, ``misc/hapi.py:5205``; also scans ``.par`` files
+    like ``scanForNewParfiles`` ``:1689``)."""
+    global _DB_DIR
+    _DB_DIR = db or "."
+    os.makedirs(_DB_DIR, exist_ok=True)
+    hdb = _db.HapiDatabase(_DB_DIR)
+    for name in hdb.table_names():
+        data = os.path.join(_DB_DIR, name + ".data")
+        if os.path.exists(data):
+            cols = _db.load_table_columns(data)
+            core = {"nu", "sw", "elower", "gamma_air", "gamma_self", "n_air",
+                    "delta_air", "molec_id", "local_iso_id", "SD_air"}
+            # LineStore rows are nu-sorted (from_arrays); keep the extra
+            # columns aligned with them.
+            order = np.argsort(np.asarray(cols["nu"], dtype=np.float64),
+                               kind="stable")
+            _EXTRAS[name] = {k: np.asarray(v)[order] for k, v in cols.items()
+                             if k not in core and np.asarray(v).dtype != object}
+        _TABLES[name] = hdb.load(name)
+
+
+def db_commit() -> None:
+    """Write every in-memory table back to the database directory
+    (hapi ``db_commit``, ``misc/hapi.py:5223``)."""
+    if _DB_DIR is None:
+        raise RuntimeError("no database opened; call db_begin(dir) first")
+    for name, store in _TABLES.items():
+        _db.save_table(store, _DB_DIR, name)
+
+
+def tableList() -> list[str]:
+    """Names of all loaded tables (hapi ``tableList``, ``misc/hapi.py:5168``)."""
+    return sorted(_TABLES)
+
+
+def describeTable(TableName: str) -> None:
+    """Print a table summary (hapi ``describeTable``, ``misc/hapi.py:2316``)."""
+    store = _get_table(TableName)
+    nu = np.asarray(store.nu0)
+    print("-----------------------------------------")
+    print(f"{TableName} summary:")
+    print(f"Number of rows: {store.n_lines}")
+    if nu.size:
+        print(f"nu range: {nu.min():.6f} .. {nu.max():.6f} cm-1")
+    print(f"Molecules: {sorted(set(np.asarray(store.mol_id).tolist()))}")
+    print("-----------------------------------------")
+
+
+def dropTable(TableName: str) -> None:
+    """Remove a table from memory (hapi ``dropTable``, ``misc/hapi.py:2398``)."""
+    _TABLES.pop(TableName, None)
+    _EXTRAS.pop(TableName, None)
+
+
+def _get_table(name: str) -> LineStore:
+    if name not in _TABLES:
+        raise KeyError(
+            f"{name}: no such table. Check tableList() for more info.")
+    return _TABLES[name]
+
+
+def _register(name: str, store: LineStore) -> None:
+    _TABLES[name] = store
+
+
+def select(TableName, DestinationTableName="__BUFFER__", ParameterNames=None,
+           Conditions=None, Output=False, File=None):
+    """Rows matching a condition expression into a destination table
+    (hapi ``select``, ``misc/hapi.py:2567``; expression DSL per
+    :mod:`radtxfr_tpu.lines.query`).
+
+    Divergence: hapi prints by default (``Output=True``); here the result
+    is registered under ``DestinationTableName`` and printing is opt-in.
+    """
+    store = _get_table(TableName)
+    out = _query.select(store, Conditions) if Conditions is not None else store
+    _register(DestinationTableName, out)
+    if Output or File:
+        rows = _db._store_rows(out)
+        names = ParameterNames or list(rows)
+        lines = [" ".join(str(rows[p][k]) for p in names)
+                 for k in range(out.n_lines)]
+        if File:
+            with open(File, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        else:
+            print("\n".join(lines))
+    return out
+
+
+def sort(TableName, DestinationTableName=None, ParameterNames=None,
+         Accending=True, Output=False, File=None):
+    """Reorder rows by column(s) (hapi ``sort``, ``misc/hapi.py:2679``)."""
+    store = _get_table(TableName)
+    by = ParameterNames or "nu"
+    if isinstance(by, (list, tuple)):
+        by = by[0]
+    out = _query.sort(store, by=by, descending=not Accending)
+    _register(DestinationTableName or TableName, out)
+    return out
+
+
+def group(TableName, DestinationTableName="__BUFFER__", ParameterNames=None,
+          GroupParameterNames=None, Output=True):
+    """Group-by aggregation (hapi ``group``, ``misc/hapi.py:2731``).
+
+    ``ParameterNames`` entries are ``(FUNC, expr)`` pairs with FUNC in
+    :data:`radtxfr_tpu.lines.query.GROUP_FUNCTIONS`. Returns the
+    ``{key: values, agg: values}`` dict (hapi mutates a destination table).
+    """
+    store = _get_table(TableName)
+    aggs = {}
+    for i, p in enumerate(ParameterNames or []):
+        how, expr = (p[0], p[1] if len(p) > 1 else None) \
+            if isinstance(p, (tuple, list)) else ("COUNT", None)
+        aggs[f"{str(how).lower()}_{expr if isinstance(expr, str) else i}"] = (how, expr)
+    out = _query.group(store, GroupParameterNames or "molec_id", aggs)
+    if Output:
+        print(out)
+    return out
+
+
+def getColumn(TableName, ParameterName):
+    """One column as a list (hapi ``getColumn``, ``misc/hapi.py:2422``)."""
+    return _query._col(_get_table(TableName), ParameterName).tolist()
+
+
+def getColumns(TableName, ParameterNames):
+    """Several columns (hapi ``getColumns``, ``misc/hapi.py:2441``)."""
+    return [getColumn(TableName, p) for p in ParameterNames]
+
+
+def extractColumns(TableName, SourceParameterName, ParameterFormats,
+                   ParameterNames=None, FixCol=False):
+    """Split a string column into typed columns (hapi ``extractColumns``,
+    ``misc/hapi.py:2815``) — operates on the table's extras dict."""
+    extras = _EXTRAS.get(TableName, {})
+    table = dict(extras)
+    if SourceParameterName not in table:
+        raise KeyError(f"{SourceParameterName}: not an extra column of "
+                       f"{TableName}")
+    names = ParameterNames or [f"col{i}" for i in range(len(ParameterFormats))]
+    _EXTRAS[TableName] = _query.extract_columns(
+        table, SourceParameterName, ParameterFormats, names, fix_col=FixCol)
+    return _EXTRAS[TableName]
+
+
+def fetch(TableName, M, I, numin, numax, ParameterGroups=None,
+          Parameters=None):
+    """Download lines from hitran.org into a table (hapi ``fetch``,
+    ``misc/hapi.py:5276``). Network-gated like
+    :func:`radtxfr_tpu.lines.fetch.fetch`."""
+    store = _fetch.fetch(M, I if isinstance(I, (list, tuple)) else [I],
+                         numin, numax)
+    _register(TableName, store)
+    if _DB_DIR is not None:
+        _db.save_table(store, _DB_DIR, TableName)
+    return store
+
+
+def fetch_by_ids(TableName, iso_id_list, numin, numax, ParameterGroups=None,
+                 Parameters=None):
+    """hapi ``fetch_by_ids`` (``misc/hapi.py:5245``) — global iso ids."""
+    store = _fetch.fetch_by_ids(iso_id_list, numin, numax)
+    _register(TableName, store)
+    if _DB_DIR is not None:
+        _db.save_table(store, _DB_DIR, TableName)
+    return store
+
+
+def getStickXY(TableName):
+    """Stick-spectrum polyline (hapi ``getStickXY``, ``misc/hapi.py:11684``)."""
+    return _query.stick_xy(_get_table(TableName))
+
+
+# ===========================================================================
+# Isotopologue registry (hapi ISO/ISO_ID, misc/hapi.py:3234,3372)
+# ===========================================================================
+
+@functools.lru_cache(maxsize=1)
+def _registry_full():
+    path = os.path.join(os.path.dirname(__file__), "data", "iso_registry.npz")
+    with np.load(path, allow_pickle=False) as f:
+        return {k: f[k] for k in f.files}
+
+
+@functools.lru_cache(maxsize=1)
+def _iso_dicts():
+    r = _registry_full()
+    iso = {}
+    iso_id = {}
+    for k in range(len(r["mol"])):
+        m, i = int(r["mol"][k]), int(r["iso"][k])
+        gid = int(r["global_id"][k])
+        row = [gid, str(r["iso_name"][k]), float(r["abundance"][k]),
+               float(r["molar_mass"][k]), str(r["mol_name"][k])]
+        iso[(m, i)] = row
+        iso_id[gid] = [m, i, row[1], row[2], row[3], row[4]]
+    return iso, iso_id
+
+
+def __getattr__(name):  # lazy ISO / ISO_ID module attributes
+    if name == "ISO":
+        return _iso_dicts()[0]
+    if name == "ISO_ID":
+        return _iso_dicts()[1]
+    raise AttributeError(name)
+
+
+def abundance(M, I):
+    """Natural abundance (hapi ``abundance``, ``misc/hapi.py:5088``)."""
+    return _iso_dicts()[0][(int(M), int(I))][2]
+
+
+def molecularMass(M, I):
+    """Molar mass [g/mol] (hapi ``molecularMass``, ``misc/hapi.py:5109``)."""
+    return _iso_dicts()[0][(int(M), int(I))][3]
+
+
+def moleculeName(M):
+    """Molecule name (hapi ``moleculeName``, ``misc/hapi.py:5130``)."""
+    for (m, _i), row in _iso_dicts()[0].items():
+        if m == int(M):
+            return row[4]
+    raise KeyError(f"unknown molecule number {M}")
+
+
+def isotopologueName(M, I):
+    """Isotopologue name (hapi ``isotopologueName``, ``misc/hapi.py:5150``)."""
+    return _iso_dicts()[0][(int(M), int(I))][1]
+
+
+def print_iso():
+    """Registry listing keyed by (M, I) (hapi ``print_iso``)."""
+    print("The dictionary \"ISO\" contains information on isotopologues in HITRAN")
+    print("M    I    id    iso_name    abundance    mass    mol_name")
+    for (m, i), (gid, iname, ab, mass, mname) in sorted(_iso_dicts()[0].items()):
+        print(f"{m:4d} {i:4d} : {gid:5d} {iname:>18s} {ab:.6E} {mass:10.6f} {mname:>8s}")
+
+
+def print_iso_id():
+    """Registry listing keyed by global id (hapi ``print_iso_id``)."""
+    print("The dictionary \"ISO_ID\" contains information on \"global\" IDs of isotopologues in HITRAN")
+    print("id    M    I    iso_name    abundance    mass    mol_name")
+    for gid, (m, i, iname, ab, mass, mname) in sorted(_iso_dicts()[1].items()):
+        print(f"{gid:5d} : {m:4d} {i:4d} {iname:>18s} {ab:.6E} {mass:10.6f} {mname:>8s}")
+
+
+# ===========================================================================
+# Partition sums (hapi partitionSum/PYTIPS, misc/hapi.py:9589,10030)
+# ===========================================================================
+
+def PYTIPS(M, I, T):
+    """Q(T) for one isotopologue (hapi ``PYTIPS``, ``misc/hapi.py:10030``)."""
+    row = _tips.iso_row_index()[(int(M), int(I))]
+    _m, _i, _g, q = _tips.load_tips_tables()
+    return float(np.asarray(_tips.partition_sum(jnp.asarray(q),
+                                                jnp.asarray([row]),
+                                                jnp.asarray(float(T))))[0])
+
+
+def partitionSum(M, I, T, step=None):
+    """hapi ``partitionSum`` (``misc/hapi.py:9589``): scalar/list T -> Q
+    values; (Tmin, Tmax) + ``step`` -> (T grid, Q array)."""
+    if not step:
+        if not isinstance(T, (list, tuple)):
+            return PYTIPS(M, I, T)
+        return [PYTIPS(M, I, t) for t in T]
+    TT = np.arange(T[0], T[1], step)
+    return TT, np.array([PYTIPS(M, I, t) for t in TT])
+
+
+# ===========================================================================
+# Line profiles + CPF (hapi PROFILE_*/cpf family, misc/hapi.py:9645-10160)
+# ===========================================================================
+
+def PROFILE_HT(sg0, GamD, Gam0, Gam2, Shift0, Shift2, anuVC, eta, sg):
+    """Hartmann-Tran pCqSDHC -> (Re, Im) (hapi ``PROFILE_HT``,
+    ``misc/hapi.py:10034``)."""
+    return _htp.profile_ht(sg0, GamD, Gam0, Gam2, Shift0, Shift2, anuVC, eta, sg)
+
+
+PROFILE_HTP = PROFILE_HT  # hapi backwards-compat alias (misc/hapi.py:10087)
+
+
+def PROFILE_SDRAUTIAN(sg0, GamD, Gam0, Gam2, Shift0, Shift2, anuVC, sg):
+    """hapi ``PROFILE_SDRAUTIAN`` (``misc/hapi.py:10089``)."""
+    return _htp.profile_sdrautian(sg0, GamD, Gam0, Gam2, Shift0, Shift2, anuVC, sg)
+
+
+def PROFILE_RAUTIAN(sg0, GamD, Gam0, Shift0, anuVC, eta, sg):
+    """hapi ``PROFILE_RAUTIAN`` (``misc/hapi.py:10104``; its ``eta`` argument
+    is ignored there too)."""
+    return _htp.profile_rautian(sg0, GamD, Gam0, Shift0, anuVC, sg)
+
+
+def PROFILE_SDVOIGT(sg0, GamD, Gam0, Gam2, Shift0, Shift2, sg):
+    """hapi ``PROFILE_SDVOIGT`` (``misc/hapi.py:10117``)."""
+    return _htp.profile_sdvoigt(sg0, GamD, Gam0, Gam2, Shift0, Shift2, sg)
+
+
+def PROFILE_VOIGT(sg0, GamD, Gam0, sg):
+    """hapi ``PROFILE_VOIGT`` (``misc/hapi.py:10131``) -> (Re, Im)."""
+    return _htp.profile_ht(sg0, GamD, Gam0, 0.0, 0.0, 0.0, 0.0, 0.0, sg)
+
+
+def PROFILE_LORENTZ(sg0, Gam0, sg):
+    """hapi ``PROFILE_LORENTZ`` (``misc/hapi.py:10142``)."""
+    return _prof.lorentz(jnp.asarray(sg) - sg0, Gam0)
+
+
+def PROFILE_DOPPLER(sg0, GamD, sg):
+    """hapi ``PROFILE_DOPPLER`` (``misc/hapi.py:10152``)."""
+    return _prof.doppler(jnp.asarray(sg) - sg0, GamD)
+
+
+def cpf(X, Y):
+    """Full Humlicek 3-region CPF (hapi ``cpf``, ``misc/hapi.py:9677``)."""
+    return _fad.cpf_humlicek(X, Y)
+
+
+def cpf3(X, Y):
+    """15-term asymptotic CPF (hapi ``cpf3``, ``misc/hapi.py:9645``)."""
+    return _fad.cpf3(X, Y)
+
+
+def hum1_wei(x, y, n=24):
+    """Humlicek-1 + Weideman blend, hapi's default CPF
+    (``misc/hapi.py:9833-9846``)."""
+    return _fad.wofz_real(x, y, n)
+
+
+def cef(x, y, N=24):
+    """Weideman rational series -> complex w (hapi ``cef``,
+    ``misc/hapi.py:9812``)."""
+    return _fad.cef(x, y, N)
+
+
+# ===========================================================================
+# Environment dependences (misc/hapi.py:10169-10200)
+# ===========================================================================
+
+def EnvironmentDependency_Intensity(LineIntensityRef, T, Tref, SigmaT,
+                                    SigmaTref, LowerStateEnergy, LineCenter):
+    """hapi ``misc/hapi.py:10169``."""
+    const = 1.4388028496642257
+    ch = np.exp(-const * LowerStateEnergy / T) * (1 - np.exp(-const * LineCenter / T))
+    zn = np.exp(-const * LowerStateEnergy / Tref) * (1 - np.exp(-const * LineCenter / Tref))
+    return LineIntensityRef * SigmaTref / SigmaT * ch / zn
+
+
+def EnvironmentDependency_GammaD(GammaD_ref, T, Tref):
+    """hapi ``misc/hapi.py:10178``."""
+    return GammaD_ref * np.sqrt(T / Tref)
+
+
+def EnvironmentDependency_Gamma0(Gamma0_ref, T, Tref, p, pref,
+                                 TempRatioPower):
+    """hapi ``misc/hapi.py:10183``."""
+    return Gamma0_ref * p / pref * (Tref / T) ** TempRatioPower
+
+
+def EnvironmentDependency_Gamma2(Gamma2_ref, T, Tref, p, pref,
+                                 TempRatioPower):
+    """hapi ``misc/hapi.py:10187``."""
+    return Gamma2_ref * p / pref * (Tref / T) ** TempRatioPower
+
+
+def EnvironmentDependency_Delta0(Delta0_ref, p, pref):
+    """hapi ``misc/hapi.py:10191``."""
+    return Delta0_ref * p / pref
+
+
+def EnvironmentDependency_Delta2(Delta2_ref, p, pref):
+    """hapi ``misc/hapi.py:10195``."""
+    return Delta2_ref * p / pref
+
+
+def EnvironmentDependency_anuVC(anuVC_ref, T, Tref, p, pref):
+    """hapi ``misc/hapi.py:10199``."""
+    return anuVC_ref * Tref / T * p / pref
+
+
+def volumeConcentration(p, T):
+    """Number density [molecules/cm^3] at p [atm], T [K]
+    (hapi ``volumeConcentration``, ``misc/hapi.py:10163``)."""
+    return (p / 9.869233e-7) / (_K_BOLTS_CGS * T)
+
+
+# ===========================================================================
+# Absorption-coefficient drivers (misc/hapi.py:10302-11580)
+# ===========================================================================
+
+def arange_(lower, upper, step):
+    """Drift-free uniform grid (hapi ``arange_``, ``misc/hapi.py:133``)."""
+    return np.asarray(_spec.arange_drift_free(lower, upper, step))
+
+
+def save_to_file(fname, fformat, *arg):
+    """Column text dump (hapi ``save_to_file``, ``misc/hapi.py:10287``)."""
+    with open(fname, "w") as f:
+        for vals in zip(*arg):
+            f.write((fformat + "\n") % tuple(vals))
+
+
+def _list_of(a):
+    return a if isinstance(a, (list, tuple)) else [a]
+
+
+def _driver_common(Components, SourceTables, Environment, OmegaRange,
+                   OmegaStep, OmegaWing, OmegaGrid,
+                   WavenumberRange, WavenumberStep, WavenumberWing,
+                   WavenumberWingHW, WavenumberGrid, OmegaWingHW):
+    """hapi ``getDefaultValuesForXsect`` semantics (``misc/hapi.py:10231``)."""
+    if WavenumberRange is not None:
+        OmegaRange = WavenumberRange
+    if WavenumberStep is not None:
+        OmegaStep = WavenumberStep
+    if WavenumberWing is not None:
+        OmegaWing = WavenumberWing
+    if WavenumberWingHW is not None:
+        OmegaWingHW = WavenumberWingHW
+    if WavenumberGrid is not None:
+        OmegaGrid = WavenumberGrid
+
+    tables = [t for t in _list_of(SourceTables) if t is not None] or ["__BUFFER__"]
+    stores = [_get_table(t) for t in tables]
+
+    if Components is None:
+        comps = set()
+        for s in stores:
+            iso_tab = IsoTables.load()
+            local = np.asarray(iso_tab.iso)[np.asarray(s.iso_row)]
+            comps |= set(zip(np.asarray(s.mol_id).tolist(), local.tolist()))
+        Components = sorted(comps)
+    else:
+        Components = [tuple(c) for c in _list_of(Components)]
+        if Components and not isinstance(Components[0], tuple):
+            Components = [tuple(Components)]
+
+    env = {"T": 296.0, "p": 1.0}
+    env.update(Environment or {})
+
+    if OmegaGrid is not None:
+        grid = np.asarray(OmegaGrid, dtype=np.float64)
+    else:
+        if OmegaRange is None:
+            nus = np.concatenate([np.asarray(s.nu0) for s in stores])
+            OmegaRange = (float(nus.min()), float(nus.max()))
+        step = 0.01 if OmegaStep is None else float(OmegaStep)
+        grid = arange_(OmegaRange[0], OmegaRange[1], step)
+    wing = 0.0 if OmegaWing is None else float(OmegaWing)
+    return tables, stores, Components, env, grid, wing, float(OmegaWingHW)
+
+
+def _component_mask_and_ratio(store: LineStore, components):
+    """Line keep-mask + per-line abundance ratio for hapi Components tuples
+    (M, I[, D]) (``misc/hapi.py:10996-11009``)."""
+    iso_tab = IsoTables.load()
+    local = np.asarray(iso_tab.iso)[np.asarray(store.iso_row)]
+    mol = np.asarray(store.mol_id)
+    keep = np.zeros(store.n_lines, dtype=bool)
+    ratio = np.ones(store.n_lines)
+    for comp in components:
+        m, i = int(comp[0]), int(comp[1])
+        sel = (mol == m) & (local == i)
+        keep |= sel
+        if len(comp) > 2 and comp[2] is not None:
+            ratio[sel] = float(comp[2]) / abundance(m, i)
+    return keep, ratio
+
+
+def _mask_store(store: LineStore, keep: np.ndarray) -> LineStore:
+    import jax
+
+    idx = np.nonzero(keep)[0]
+    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), store)
+
+
+def _threshold_mask(store: LineStore, T: float, threshold: float) -> np.ndarray:
+    """hapi cuts lines whose T-scaled intensity (before the abundance
+    factor) is below ``IntensityThreshold`` (``misc/hapi.py:11078-11082``)."""
+    if threshold <= 0.0:
+        return np.ones(store.n_lines, dtype=bool)
+    iso_tab = IsoTables.load()
+    rows = np.asarray(store.iso_row)
+    q = np.asarray(iso_tab.q)
+    qt = np.asarray(_tips.partition_sum(jnp.asarray(q),
+                                        jnp.arange(q.shape[0]),
+                                        jnp.asarray(float(T))))
+    qref = np.asarray(_tips.partition_sum(jnp.asarray(q),
+                                          jnp.arange(q.shape[0]),
+                                          jnp.asarray(T_REF)))
+    const = 1.4388028496642257
+    e = np.asarray(store.elower)
+    nu = np.asarray(store.nu0)
+    ch = np.exp(-const * e / T) * (1 - np.exp(-const * nu / T))
+    zn = np.exp(-const * e / T_REF) * (1 - np.exp(-const * nu / T_REF))
+    s = np.asarray(store.sw) * (qref[rows] / qt[rows]) * ch / zn
+    return s >= threshold
+
+
+def _resolve_diluent(Diluent, GammaL):
+    if Diluent:
+        d = {str(k).lower(): float(v) for k, v in dict(Diluent).items()}
+        if abs(sum(d.values()) - 1.0) > 1e-6:
+            import warnings
+
+            warnings.warn("diluent fractions do not sum to 1")
+        return d
+    if GammaL == "gamma_air":
+        return {"air": 1.0}
+    if GammaL == "gamma_self":
+        return {"self": 1.0}
+    raise ValueError(f"unknown GammaL value: {GammaL!r}")
+
+
+def _abs_coefficient(profile, Components, SourceTables, partitionFunction,
+                     Environment, OmegaRange, OmegaStep, OmegaWing,
+                     IntensityThreshold, OmegaWingHW, GammaL, HITRAN_units,
+                     LineShift, File, Format, OmegaGrid,
+                     WavenumberRange, WavenumberStep, WavenumberWing,
+                     WavenumberWingHW, WavenumberGrid, Diluent,
+                     EnvDependences):
+    import dataclasses
+
+    if EnvDependences is not None:
+        raise NotImplementedError(
+            "EnvDependences overrides are not supported; hapi's default "
+            "HITRAN T/p laws are built into the engine")
+    if partitionFunction not in (None, PYTIPS):
+        raise NotImplementedError(
+            "custom partitionFunction is not supported; TIPS-2011 is built in")
+
+    tables, stores, comps, env, grid, wing_abs, wing_hw = _driver_common(
+        Components, SourceTables, Environment, OmegaRange, OmegaStep,
+        OmegaWing, OmegaGrid, WavenumberRange, WavenumberStep,
+        WavenumberWing, WavenumberWingHW, WavenumberGrid, OmegaWingHW)
+
+    T = float(env["T"])
+    p = float(env["p"])
+    diluent = _resolve_diluent(Diluent, GammaL) if profile != "doppler" else {}
+
+    iso_tab = IsoTables.load()
+    k_total = jnp.zeros(grid.shape[0], dtype=jnp.float64)
+    for name, store in zip(tables, stores):
+        keep, ratio = _component_mask_and_ratio(store, comps)
+        keep &= _threshold_mask(store, T, float(IntensityThreshold))
+        if not keep.any():
+            continue
+        sub = _mask_store(store, keep)
+        ratio = ratio[keep]
+        if not LineShift and profile == "doppler":
+            # hapi quirk: every driver accepts LineShift but only the
+            # Doppler one honors it (misc/hapi.py:11511; the Voigt/SDVoigt/
+            # Lorentz/HT drivers always apply the Diluent delta columns)
+            sub = dataclasses.replace(
+                sub, delta_air=jnp.zeros_like(sub.delta_air))
+
+        exotic = set(diluent) - {"air", "self"}
+        if profile == "ht" or exotic:
+            if profile in ("lorentz", "doppler"):
+                raise NotImplementedError(
+                    f"diluents {sorted(exotic)} are not supported by the "
+                    f"{profile} driver (hapi supports air/self there too)")
+            extras = _EXTRAS.get(name) or None
+            if extras is not None:
+                idx = np.nonzero(keep)[0]
+                extras = {k: v[idx] for k, v in extras.items()
+                          if np.ndim(v) == 1 and len(v) == keep.size}
+            if not np.all(ratio == 1.0):
+                # the HT driver computes strengths itself; fold the
+                # abundance ratio into sw (misc/hapi.py:10536-10540)
+                sub = dataclasses.replace(
+                    sub, sw=jnp.asarray(np.asarray(sub.sw) * ratio))
+            k = _xsect_ht(jnp.asarray(grid), sub, iso_tab, T, p,
+                          diluent=diluent, extras=extras,
+                          wing_abs=wing_abs, wing_hw=wing_hw)
+        else:
+            params = _line_params(
+                sub, iso_tab, T, p,
+                vmr_self=diluent.get("self", 0.0),
+                wing_abs=wing_abs, wing_hw=wing_hw,
+                abundance_ratio=jnp.asarray(ratio),
+                profile=profile)
+            k = _xsect(jnp.asarray(grid), params, profile=profile)
+        k_total = k_total + k
+
+    if not HITRAN_units:
+        k_total = k_total * volumeConcentration(p, T)
+    k_np = np.asarray(k_total)
+    if File:
+        save_to_file(File, Format or "%.12f %e", grid, k_np)
+    return grid, k_np
+
+
+def _make_driver(profile, hapi_name, ref_line):
+    def driver(Components=None, SourceTables=None, partitionFunction=None,
+               Environment=None, OmegaRange=None, OmegaStep=None,
+               OmegaWing=None, IntensityThreshold=0.0, OmegaWingHW=50.0,
+               GammaL="gamma_air", HITRAN_units=True, LineShift=True,
+               File=None, Format=None, OmegaGrid=None, WavenumberRange=None,
+               WavenumberStep=None, WavenumberWing=None,
+               WavenumberWingHW=None, WavenumberGrid=None, Diluent={},
+               EnvDependences=None):
+        return _abs_coefficient(
+            profile, Components, SourceTables, partitionFunction,
+            Environment, OmegaRange, OmegaStep, OmegaWing,
+            IntensityThreshold, OmegaWingHW, GammaL, HITRAN_units, LineShift,
+            File, Format, OmegaGrid, WavenumberRange, WavenumberStep,
+            WavenumberWing, WavenumberWingHW, WavenumberGrid, Diluent,
+            EnvDependences)
+
+    driver.__name__ = hapi_name
+    driver.__doc__ = (
+        f"hapi ``{hapi_name}`` (``misc/hapi.py:{ref_line}``): absorption "
+        f"coefficient on a uniform grid using the {profile} profile, "
+        f"hapi argument conventions and defaults, TPU engine underneath. "
+        f"Returns (Wavenum, Xsect).")
+    return driver
+
+
+absorptionCoefficient_Voigt = _make_driver("voigt", "absorptionCoefficient_Voigt", 10906)
+absorptionCoefficient_SDVoigt = _make_driver("sdvoigt", "absorptionCoefficient_SDVoigt", 10657)
+absorptionCoefficient_Lorentz = _make_driver("lorentz", "absorptionCoefficient_Lorentz", 11144)
+absorptionCoefficient_Doppler = _make_driver("doppler", "absorptionCoefficient_Doppler", 11384)
+absorptionCoefficient_HT = _make_driver("ht", "absorptionCoefficient_HT", 10302)
+
+
+# ===========================================================================
+# Spectra + slit convolution (misc/hapi.py:11582-11900)
+# ===========================================================================
+
+def transmittanceSpectrum(Omegas, AbsorptionCoefficient, Environment=None,
+                          File=None, Format="%e %e", Wavenumber=None):
+    """Beer-Lambert transmittance (hapi ``transmittanceSpectrum``,
+    ``misc/hapi.py:11582``)."""
+    if Wavenumber is not None:
+        Omegas = Wavenumber
+    path = float((Environment or {}).get("l", 100.0))
+    out = np.asarray(_spec.transmittance_spectrum(Omegas,
+                                                  AbsorptionCoefficient,
+                                                  path_cm=path))
+    if File:
+        save_to_file(File, Format, Omegas, out)
+    return np.asarray(Omegas), out
+
+
+def absorptionSpectrum(Omegas, AbsorptionCoefficient, Environment=None,
+                       File=None, Format="%e %e", Wavenumber=None):
+    """hapi ``absorptionSpectrum`` (``misc/hapi.py:11613``)."""
+    if Wavenumber is not None:
+        Omegas = Wavenumber
+    path = float((Environment or {}).get("l", 100.0))
+    out = np.asarray(_spec.absorption_spectrum(Omegas, AbsorptionCoefficient,
+                                               path_cm=path))
+    if File:
+        save_to_file(File, Format, Omegas, out)
+    return np.asarray(Omegas), out
+
+
+def radianceSpectrum(Omegas, AbsorptionCoefficient, Environment=None,
+                     File=None, Format="%e %e", Wavenumber=None):
+    """Single-temperature radiance [W/sr/cm^2/cm^-1]
+    (hapi ``radianceSpectrum``, ``misc/hapi.py:11644``)."""
+    if Wavenumber is not None:
+        Omegas = Wavenumber
+    env = {"l": 100.0, "T": 296.0}
+    env.update(Environment or {})
+    out = np.asarray(_spec.radiance_spectrum(
+        Omegas, AbsorptionCoefficient, path_cm=float(env["l"]),
+        T=float(env["T"])))
+    if File:
+        save_to_file(File, Format, Omegas, out)
+    return np.asarray(Omegas), out
+
+
+SLIT_RECTANGULAR = _spec.HAPI_SLITS["rectangular"]
+SLIT_TRIANGULAR = _spec.HAPI_SLITS["triangular"]
+SLIT_GAUSSIAN = _spec.HAPI_SLITS["gaussian"]
+SLIT_DISPERSION = _spec.HAPI_SLITS["dispersion"]
+SLIT_COSINUS = _spec.HAPI_SLITS["cosinus"]
+SLIT_DIFFRACTION = _spec.HAPI_SLITS["diffraction"]
+SLIT_MICHELSON = _spec.HAPI_SLITS["michelson"]
+
+
+def convolveSpectrum(Omega, CrossSection, Resolution=0.1, AF_wing=10.0,
+                     SlitFunction=SLIT_RECTANGULAR, Wavenumber=None,
+                     CrossSectionV=None):
+    """Slit convolution, edge-trimmed (hapi ``convolveSpectrum``,
+    ``misc/hapi.py:11826``). Returns (omega, y, i_low, i_high, slit)."""
+    if Wavenumber is not None:
+        Omega = Wavenumber
+    if CrossSectionV is not None:
+        CrossSection = CrossSectionV
+    om, y, i1, i2, slit = _spec.convolve_spectrum(
+        Omega, CrossSection, resolution=Resolution, af_wing=AF_wing,
+        slit=SlitFunction)
+    return om, np.asarray(y), i1, i2, np.asarray(slit)
+
+
+def convolveSpectrumSame(Omega, CrossSection, Resolution=0.1, AF_wing=10.0,
+                         SlitFunction=SLIT_RECTANGULAR):
+    """'same'-mode slit convolution, no trim (hapi ``convolveSpectrumSame``,
+    ``misc/hapi.py:11868``)."""
+    Omega = np.asarray(Omega, dtype=np.float64)
+    y = np.asarray(CrossSection, dtype=np.float64)
+    step = float(Omega[1] - Omega[0])
+    x = arange_(-AF_wing, AF_wing + step, step)
+    w = np.asarray(SlitFunction(x, Resolution), dtype=np.float64)
+    w = w / (w.sum() * step)
+    return Omega, np.convolve(y, w, mode="same") * step, 0, len(Omega), w
+
+
+def convolveSpectrumFull(Omega, CrossSection, Resolution=0.1, AF_wing=10.0,
+                         SlitFunction=SLIT_RECTANGULAR):
+    """'full'-mode slit convolution (hapi ``convolveSpectrumFull``,
+    ``misc/hapi.py:11886``)."""
+    Omega = np.asarray(Omega, dtype=np.float64)
+    y = np.asarray(CrossSection, dtype=np.float64)
+    step = float(Omega[1] - Omega[0])
+    x = arange_(-AF_wing, AF_wing + step, step)
+    w = np.asarray(SlitFunction(x, Resolution), dtype=np.float64)
+    w = w / (w.sum() * step)
+    return Omega, np.convolve(y, w, mode="full") * step, None, None, w
+
+
+def getHelp(arg=None):
+    """hapi-style interactive help (``misc/hapi.py:4987``)."""
+    from .utils.help import get_help
+
+    get_help(arg)
