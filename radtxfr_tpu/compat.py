@@ -24,6 +24,7 @@ from .atmos.profile import AtmosphericState, std_atmosphere_raw
 from .core import grid as _grid
 from .core import planck as _planck
 from .core.reshape import rs1d, rs2d, rsnd
+from .io import lblrtm as _lblrtm_io
 from .lines.store import IsoTables
 from .products.od import compute_od_layers
 from .products.radiance import apparent_radiance
@@ -37,6 +38,7 @@ __all__ = [
     "planckian", "brightnessTemperature", "BT2L",
     "compute_OD", "compute_TUD", "compute_LWIR_apparent_radiance",
     "ILS_MAKO", "smooth", "reduceResolution", "getHelp",
+    "run_LBLRTM", "write_tape5", "read_tape12",
 ]
 
 c1 = 1.19104295315e-16
@@ -222,3 +224,38 @@ def getHelp(target=None):
     prints the API index; a name or object prints its documentation."""
     from .utils.help import get_help
     get_help(target)
+
+
+def write_tape5(fname="TAPE5", opts=None, **kwargs):
+    """Reference-signature TAPE5 writer (``radiative_transfer.py:504-727``):
+    writes the single-layer OD-mode LBLRTM punch-card deck described by the
+    V1/V2/T/P/PL/MF_ID/MF_VAL/DVOUT options. Interop only — the engine never
+    consumes it."""
+    o = dict(DEFAULT_OPTIONS)
+    if opts is not None:
+        o.update(opts)
+    o.update(kwargs)
+    _lblrtm_io.write_tape5(
+        fname, float(o["V1"]), float(o["V2"]), T=float(o["T"]),
+        P_pa=float(o["P"]), PL_km=float(o["PL"]),
+        mf_ppmv=np.asarray(o["MF_VAL"], dtype=np.float64).ravel(),
+        mf_ids=np.asarray(o["MF_ID"]).ravel(), dvout=float(o["DVOUT"]),
+        continuum_factors=o.get("continuum_factors"),
+        continuum_override=bool(o.get("continuum_override", False)),
+    )
+
+
+def read_tape12(fname="TAPE12"):
+    """Reference-signature TAPE12 reader (``radiative_transfer.py:730-789``):
+    returns flat (nu, od) concatenated over the file's panels."""
+    return _lblrtm_io.read_tape12(fname)
+
+
+def run_LBLRTM(V1, V2, opts=None, **kwargs):
+    """Reference-signature single-layer OD run (``radiative_transfer.py:459-501``),
+    with the TPU engine in place of the LBLRTM subprocess: no TAPE3 symlink,
+    no temporary directory, no Fortran binary — the same options produce
+    (nu, od) directly from the line database. Requires ``lines=`` exactly
+    like :func:`compute_OD`."""
+    nu, od = compute_OD(V1, V2, opts=opts, **kwargs)
+    return nu, od

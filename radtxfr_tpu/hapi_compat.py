@@ -73,6 +73,12 @@ __all__ = [
     "convolveSpectrum", "convolveSpectrumSame", "convolveSpectrumFull",
     # misc
     "arange_", "save_to_file", "getHelp",
+    # table aliases / verbs / internals (documented hapi surface)
+    "getTableList", "describe", "length", "filter", "selectInto",
+    "AtoB", "BD_TIPS_2011_PYTHON", "pcqsdhc",
+    "print_profiles", "print_slit_functions", "print_data_tutorial",
+    "print_spectra_tutorial", "print_plotting_tutorial",
+    "print_python_tutorial",
 ]
 
 T_REF = 296.0
@@ -824,3 +830,146 @@ def getHelp(arg=None):
     from .utils.help import get_help
 
     get_help(arg)
+
+
+# ===========================================================================
+# Remaining documented hapi surface: table aliases, the filter/selectInto
+# verbs, the TIPS internals, the bare HTP profile, and the tutorial printers
+# (misc/hapi.py:2313,2526,3216,5186,5311,9568,9850,3519-4006)
+# ===========================================================================
+
+def getTableList():
+    """hapi ``getTableList`` (``misc/hapi.py:2313``) — same as
+    :func:`tableList`."""
+    return tableList()
+
+
+def describe(TableName):
+    """hapi ``describe`` (``misc/hapi.py:5186``) — same summary as
+    :func:`describeTable`."""
+    describeTable(TableName)
+
+
+def length(TableName):
+    """Row count of a table (hapi ``length``, ``misc/hapi.py:2557``)."""
+    return _get_table(TableName).n_lines
+
+
+def filter(TableName, Conditions):  # noqa: A001 — hapi's own name
+    """hapi ``filter`` (``misc/hapi.py:3216``): ``select`` with output
+    suppressed, result into the buffer table."""
+    select(TableName=TableName, Conditions=Conditions, Output=False)
+
+
+def selectInto(DestinationTableName, TableName, ParameterNames, Conditions):
+    """hapi ``selectInto`` (``misc/hapi.py:2526``): select straight into a
+    named destination table."""
+    return select(TableName=TableName,
+                  DestinationTableName=DestinationTableName,
+                  ParameterNames=ParameterNames, Conditions=Conditions,
+                  Output=False)
+
+
+def AtoB(aa, A, B, npt):
+    """Lagrange 3-/4-point interpolation of the tabulated map A -> B at
+    ``aa`` (hapi ``AtoB``, ``misc/hapi.py:5311``; the TIPS-2011
+    interpolator): 3-point at the table edges (I < 3 or I == npt), 4-point
+    in the interior. Vectorized over ``aa``."""
+    A = np.asarray(A, dtype=np.float64)[:npt]
+    B = np.asarray(B, dtype=np.float64)[:npt]
+    scalar = np.ndim(aa) == 0
+    aa = np.atleast_1d(np.asarray(aa, dtype=np.float64))
+    i = np.searchsorted(A, aa, side="left") + 1          # hapi's 1-based I
+    edge = (i < 3) | (i >= npt)
+    j3 = np.clip(i, 3, npt) - 1                          # 3-point J (0-based)
+    x0, x1, x2 = A[j3 - 2], A[j3 - 1], A[j3]
+    bb3 = (B[j3 - 2] * (aa - x1) * (aa - x2) / ((x0 - x1) * (x0 - x2))
+           + B[j3 - 1] * (aa - x0) * (aa - x2) / ((x1 - x0) * (x1 - x2))
+           + B[j3] * (aa - x0) * (aa - x1) / ((x2 - x0) * (x2 - x1)))
+    j4 = np.clip(i, 3, npt - 1) - 1                      # 4-point J (0-based)
+    xs = [A[j4 - 2], A[j4 - 1], A[j4], A[j4 + 1]]
+    ys = [B[j4 - 2], B[j4 - 1], B[j4], B[j4 + 1]]
+    bb4 = np.zeros_like(aa)
+    for k in range(4):
+        term = ys[k]
+        for m in range(4):
+            if m != k:
+                term = term * (aa - xs[m]) / (xs[k] - xs[m])
+        bb4 = bb4 + term
+    bb = np.where(edge, bb3, bb4)
+    return float(bb[0]) if scalar else bb
+
+
+def BD_TIPS_2011_PYTHON(M, I, T):
+    """TIPS-2011 (gi, Q(T)) for one isotopologue (hapi
+    ``BD_TIPS_2011_PYTHON``, ``misc/hapi.py:9568``), with its 70-3000 K
+    range check."""
+    T = float(T)
+    if T < 70.0 or T > 3000.0:
+        raise Exception("TIPS: T must be between 70K and 3000K.")
+    row = _tips.iso_row_index()[(int(M), int(I))]
+    _m, _i, gsi, q = _tips.load_tips_tables()
+    return float(gsi[row]), PYTIPS(M, I, T)
+
+
+def pcqsdhc(sg0, GamD, Gam0, Gam2, Shift0, Shift2, anuVC, eta, sg):
+    """The bare pCqSDHC profile -> (Re, Im) (hapi ``pcqsdhc``,
+    ``misc/hapi.py:9850``); same as :func:`PROFILE_HT`."""
+    return _htp.pcqsdhc(sg0, GamD, Gam0, Gam2, Shift0, Shift2, anuVC, eta, sg)
+
+
+def _print_help_section(title, names):
+    print(title)
+    print("-" * len(title))
+    for n in names:
+        print(f"  {n}")
+    print("Use getHelp(<name>) for details.")
+
+
+def print_profiles():
+    """Profile overview (hapi ``print_profiles``, ``misc/hapi.py:3519``)."""
+    _print_help_section(
+        "Line-shape profiles (all jit/vmap-capable, TPU-backed):",
+        ["PROFILE_HT", "PROFILE_SDRAUTIAN", "PROFILE_RAUTIAN",
+         "PROFILE_SDVOIGT", "PROFILE_VOIGT", "PROFILE_LORENTZ",
+         "PROFILE_DOPPLER", "pcqsdhc"])
+
+
+def print_slit_functions():
+    """Slit-function overview (hapi ``print_slit_functions``)."""
+    _print_help_section(
+        "Instrument slit functions (for convolveSpectrum):",
+        ["SLIT_RECTANGULAR", "SLIT_TRIANGULAR", "SLIT_GAUSSIAN",
+         "SLIT_DISPERSION", "SLIT_COSINUS", "SLIT_DIFFRACTION",
+         "SLIT_MICHELSON"])
+
+
+def print_data_tutorial():
+    """Database-layer overview (hapi ``print_data_tutorial``)."""
+    _print_help_section(
+        "Local database verbs (directory of .data/.header/.par tables):",
+        ["db_begin", "db_commit", "fetch", "fetch_by_ids", "tableList",
+         "describeTable", "select", "selectInto", "filter", "sort", "group",
+         "getColumn", "getColumns", "extractColumns", "dropTable",
+         "save_to_file"])
+
+
+def print_spectra_tutorial():
+    """Spectra-layer overview (hapi ``print_spectra_tutorial``)."""
+    _print_help_section(
+        "Absorption/spectra pipeline:",
+        ["absorptionCoefficient_Voigt (and _SDVoigt/_HT/_Lorentz/_Doppler)",
+         "transmittanceSpectrum", "absorptionSpectrum", "radianceSpectrum",
+         "convolveSpectrum", "getStickXY"])
+
+
+def print_plotting_tutorial():
+    """Plotting pointer (hapi ``print_plotting_tutorial``)."""
+    print("Plot with matplotlib: nu, k = absorptionCoefficient_Voigt(...);\n"
+          "plt.plot(nu, k). getStickXY(table) gives stick-spectrum polylines.")
+
+
+def print_python_tutorial():
+    """Python pointer (hapi ``print_python_tutorial``)."""
+    print("All functions return numpy arrays; the engines underneath are\n"
+          "jax-jitted and run on TPU. See MIGRATION.md for the native API.")

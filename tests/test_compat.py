@@ -93,3 +93,36 @@ def test_get_help_index_and_lookup(capsys):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no such name"):
         get_help("definitely_not_a_thing")
+
+
+def test_run_lblrtm_matches_compute_od(iso_tables):
+    """run_LBLRTM (radiative_transfer.py:459-501): same options -> same
+    (nu, od) as compute_OD, with no subprocess/tempdir machinery."""
+    lines = synthetic_lines(40, nu_min=896.0, nu_max=914.0, seed=5)
+    kw = dict(lines=lines, iso=iso_tables, DVOUT=0.02, T=285.0, P=95000.0,
+              PL=0.8, MF_ID=np.array([1, 2, 3]),
+              MF_VAL=np.array([8000.0, 400.0, 0.05]))
+    nu1, od1 = rt.compute_OD(900.0, 910.0, **kw)
+    nu2, od2 = rt.run_LBLRTM(900.0, 910.0, **kw)
+    np.testing.assert_array_equal(nu1, nu2)
+    np.testing.assert_array_equal(od1, od2)
+
+
+def test_write_tape5_read_tape12_compat(tmp_path):
+    """Reference-signature TAPE5/TAPE12 interop at the compat surface
+    (radiative_transfer.py:504-727, :730-789)."""
+    deck = tmp_path / "TAPE5"
+    rt.write_tape5(str(deck), V1=690.0, V2=1410.0, T=280.0, P=90000.0,
+                   PL=0.5, MF_ID=np.array([1, 2]),
+                   MF_VAL=np.array([10000.0, 400.0]), DVOUT=0.0025)
+    text = deck.read_text()
+    assert "HI=1" in text and "CN=6" in text and "690.000" in text
+
+    from radtxfr_tpu.io.lblrtm import write_tape12
+    f = str(tmp_path / "TAPE12")
+    nu = np.linspace(690.0, 700.0, 4001)
+    od = np.random.default_rng(3).gamma(1.0, 0.5, nu.size).astype(np.float32)
+    write_tape12(f, nu, od, panel_size=1500)
+    nu2, od2 = rt.read_tape12(f)
+    np.testing.assert_allclose(nu2, nu, atol=2e-3)
+    np.testing.assert_array_equal(od2, od)

@@ -296,3 +296,59 @@ def test_convolve_spectrum_variants(db):
     np.testing.assert_allclose(y_s, y_ref, rtol=1e-10)
     _, y_f, *_ = hc.convolveSpectrumFull(GRID, k, Resolution=0.5, AF_wing=2.0)
     assert y_f.shape[0] >= GRID.size
+
+
+# ---------------------------------------------------------------------------
+# Straggler surface: aliases, filter/selectInto, AtoB/BD_TIPS, pcqsdhc,
+# tutorial printers
+# ---------------------------------------------------------------------------
+
+def test_table_aliases_and_verbs(db):
+    assert hc.getTableList() == hc.tableList()
+    assert hc.length("syn") == 60
+    hc.describe("syn")  # prints the describeTable summary
+
+    hc.filter("syn", ("between", "nu", 1000.0, 1010.0))
+    n_buf = hc.length("__BUFFER__")
+    hc.selectInto("sel", "syn", ["nu", "sw"],
+                  ("between", "nu", 1000.0, 1010.0))
+    assert hc.length("sel") == n_buf
+    nu = np.asarray(hc.getColumn("sel", "nu"))
+    assert nu.size and nu.min() >= 1000.0 and nu.max() <= 1010.0
+
+
+def test_atob_and_bd_tips_match_hapi():
+    hapi = load_hapi()
+    A = np.array(hapi.Tdat)
+    B = np.array(hapi.TIPS_ISO_HASH[(2, 1)], dtype=np.float64)
+    ts = [70.5, 120.0, 296.0, 1234.5, 2999.0]
+    ours = hc.AtoB(np.array(ts), A, B, len(A))
+    ref = [hapi.AtoB(t, A, B, len(A)) for t in ts]
+    np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+    gi, q = hc.BD_TIPS_2011_PYTHON(2, 1, 296.0)
+    gi_r, q_r = hapi.BD_TIPS_2011_PYTHON(2, 1, 296.0)
+    assert gi == gi_r
+    np.testing.assert_allclose(q, q_r, rtol=1e-6)
+    with pytest.raises(Exception, match="70K"):
+        hc.BD_TIPS_2011_PYTHON(2, 1, 50.0)
+
+
+def test_pcqsdhc_matches_hapi():
+    hapi = load_hapi()
+    sg = np.arange(999.0, 1001.0, 0.001)
+    args = (1000.0, 0.005, 0.05, 0.01, 0.002, 0.0005, 0.01, 0.1)
+    re_r, im_r = hapi.pcqsdhc(*args, sg)
+    re, im = hc.pcqsdhc(*args, sg)
+    np.testing.assert_allclose(np.asarray(re), re_r, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(im), im_r, rtol=2e-5, atol=1e-10)
+
+
+def test_tutorial_printers(capsys):
+    for fn in (hc.print_profiles, hc.print_slit_functions,
+               hc.print_data_tutorial, hc.print_spectra_tutorial,
+               hc.print_plotting_tutorial, hc.print_python_tutorial):
+        fn()
+    out = capsys.readouterr().out
+    assert "PROFILE_HT" in out and "SLIT_GAUSSIAN" in out
+    assert "db_begin" in out and "convolveSpectrum" in out
