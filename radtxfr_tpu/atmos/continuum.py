@@ -63,9 +63,42 @@ def _h2o_empirical(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
     return k * n_h2o * pl_km * CM_PER_KM
 
 
+def _rayleigh(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
+    """Rayleigh extinction OD (TAPE5 scale-factor slot 7,
+    ``radiative_transfer.py:658-660``).
+
+    Standard molecular-scattering cross-section in the long-wavelength
+    (static-refractivity) limit:
+
+        sigma(nu) = (24 pi^3 nu^4 / N_s^2) ((n^2-1)/(n^2+2))^2 F_k
+
+    with dry-air refractivity n-1 = 2.79e-4 at standard density
+    N_s = 2.546899e19 cm^-3 and King depolarization factor F_k = 1.061
+    (Bodhaine et al. 1999, J. Atmos. Ocean. Tech. 16, 1854). In the LWIR
+    this is ~1e-6 of the visible value (nu^4) — included for structural
+    parity with LBLRTM's Rayleigh term, not because it matters at 10 um.
+    """
+    n_s = 2.546899e19                      # molec/cm^3 at 288.15 K, 1013.25 hPa
+    n_ref = 1.0 + 2.79e-4                  # dry air, long-wavelength limit
+    f_k = 1.061
+    lorentz = (n_ref**2 - 1.0) / (n_ref**2 + 2.0)
+    sigma = (24.0 * jnp.pi**3 * nu**4 / n_s**2) * lorentz**2 * f_k  # cm^2
+    n_air = (p_pa * 10.0) / (K_BOLTZMANN_CGS * T)   # molec/cm^3 (Pa->barye)
+    return cf[6] * sigma * n_air * pl_km * CM_PER_KM
+
+
+def _empirical(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
+    """All implemented empirical terms combined (H2O self+foreign +
+    Rayleigh), each honoring its TAPE5 scale-factor slot."""
+    return (_h2o_empirical(nu, T, p_pa, vmr, mol_ids, pl_km, cf)
+            + _rayleigh(nu, T, p_pa, vmr, mol_ids, pl_km, cf))
+
+
 CONTINUUM_MODELS: dict[str, Callable] = {
     "none": _zero,
     "h2o_empirical": _h2o_empirical,
+    "rayleigh": _rayleigh,
+    "empirical": _empirical,
 }
 
 

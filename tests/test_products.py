@@ -172,3 +172,29 @@ def test_continuum_models():
     register_continuum("flat", lambda nu, T, p, vmr, mids, pl, cf: jnp.ones_like(nu))
     flat = np.asarray(continuum_od(nu, atm, model="flat"))
     np.testing.assert_array_equal(flat, 1.0)
+
+
+def test_rayleigh_continuum():
+    from radtxfr_tpu.atmos.continuum import continuum_od
+
+    atm = std_atmosphere()
+    nu = jnp.asarray([500.0, 1000.0, 2000.0])
+    od = np.asarray(continuum_od(nu, atm, model="rayleigh"))
+    assert (od > 0).all() and np.isfinite(od).all()
+    # nu^4 spectral law, exact per layer
+    np.testing.assert_allclose(od[:, 2] / od[:, 1], 16.0, rtol=1e-5)
+    # sanity vs the known visible-band value: sigma(0.55 um) ~ 4.5e-27 cm^2
+    # (Bodhaine et al. 1999 table 3 gives 4.51e-27 at sea level)
+    sigma_1000 = od[0, 1] / (np.asarray(atm.p)[0] * 10.0
+                             / (1.380649e-16 * np.asarray(atm.T)[0])
+                             * np.asarray(atm.pl)[0] * 1e5)
+    sigma_vis = sigma_1000 * (1e4 / 0.55 / 1000.0) ** 4
+    assert 3.5e-27 < sigma_vis < 5.5e-27
+    # scale-factor slot 7 controls it
+    off = np.asarray(continuum_od(nu, atm, model="rayleigh",
+                                  continuum_factors=[1.0] * 6 + [0.0]))
+    np.testing.assert_array_equal(off, 0.0)
+    # combined model = sum of parts
+    both = np.asarray(continuum_od(nu, atm, model="empirical"))
+    h2o = np.asarray(continuum_od(nu, atm, model="h2o_empirical"))
+    np.testing.assert_allclose(both, h2o + od, rtol=1e-6)

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Verification report: TPU engines vs the reference's own float64 engine.
+
+Prints one table of max errors (relative to the spectrum peak) for every
+line-shape driver, the Pallas OD path, and the TUD composition, using
+vendored hapi (``/root/reference/misc/hapi.py``) as the float64 CPU oracle —
+the same oracle the test suite asserts against (BASELINE.json correctness
+criterion: allclose on the 1976 US Standard Atmosphere).
+
+    python tools/accuracy_report.py          # CPU by default (forces x64)
+"""
+
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, ".."))
+sys.path.insert(0, os.path.join(_HERE, "..", "tests"))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")   # oracle comparisons: CPU x64
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from oracle import hapi_xsect, load_hapi
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.core.planck import planckian
+    from radtxfr_tpu.kernels.lineparams import compute_line_params
+    from radtxfr_tpu.kernels.xsect import xsect_from_params
+    from radtxfr_tpu.kernels.ht_driver import xsect_ht
+    from radtxfr_tpu.lines.store import IsoTables
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products import species_column, tud_from_od
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    rows = []
+
+    def row(component, config, err):
+        rows.append((component, config, err))
+        print(f"{component:<38s} {config:<34s} {err:9.2e}")
+
+    print(f"{'component':<38s} {'config':<34s} {'max|err|/peak':>9s}")
+    print("-" * 86)
+
+    # ---------------- per-driver cross-sections (float64 engine) ----------
+    hapi = load_hapi()
+    iso = IsoTables.load()
+    lines = synthetic_lines(60, 990.0, 1030.0, seed=7)
+    grid = arange_drift_free(1000.0, 1020.0, 0.01)
+    T, p_atm = 296.0, 0.95
+    dil = {"air": 0.9, "self": 0.1}
+    cfg = "60 lines, 1000-1020 @ 0.01"
+
+    for profile in ("Voigt", "SDVoigt", "Lorentz", "Doppler"):
+        _, k_ref = hapi_xsect(lines, grid, T, p_atm, diluent=dil,
+                              profile=profile)
+        params = compute_line_params(
+            lines, iso, T, p_atm, vmr_self=dil["self"],
+            profile=profile.lower())
+        k = np.asarray(xsect_from_params(jnp.asarray(grid), params,
+                                         profile=profile.lower()))
+        row(f"xsect {profile} (jnp f64)", cfg,
+            np.abs(k - k_ref).max() / np.abs(k_ref).max())
+
+    _, k_ref = hapi_xsect(lines, grid, T, p_atm, diluent=dil, profile="HT")
+    k = xsect_ht(jnp.asarray(grid), lines, iso, T, p_atm, diluent=dil)
+    row("xsect HT (jnp f64)", cfg,
+        np.abs(np.asarray(k) - k_ref).max() / np.abs(k_ref).max())
+
+    # ---------------- Pallas OD float32 vs hapi f64 layer OD --------------
+    lines_p = synthetic_lines(300, nu_min=795.0, nu_max=835.0, seed=101)
+    axis = arange_drift_free(800.0, 830.0, 0.0025)
+    atm = std_atmosphere()
+    layer_ids = [0, 20, 45]
+    sub = jax.tree.map(
+        lambda a: a[np.asarray(layer_ids)]
+        if hasattr(a, "shape") and a.ndim else a, atm)
+    mol_col = {m: i for i, m in enumerate(atm.mol_ids)}
+    want = np.zeros((len(layer_ids), axis.size))
+    for r, l in enumerate(layer_ids):
+        Tl = float(atm.T[l]); p_pa = float(atm.p[l]); pl = float(atm.pl[l])
+        for m in np.unique(np.asarray(lines_p.mol_id)):
+            x = float(atm.vmr[l, mol_col[int(m)]])
+            _, k = hapi_xsect(lines_p.select_molecules([int(m)]), axis, Tl,
+                              p_pa / 101325.0,
+                              diluent={"air": 1.0 - x, "self": x})
+            want[r] += k * float(species_column(p_pa, Tl, pl, x))
+
+    iso32 = IsoTables.load(dtype=jnp.float32)
+    atm32 = jax.tree.map(lambda a: jnp.asarray(a, dtype=jnp.float32)
+                         if hasattr(a, "dtype") and a.dtype.kind == "f" else a,
+                         sub)
+    fn = make_od_pallas_fn(lines_p, iso32, axis, atm32)
+    got = np.asarray(fn(atm32.T, atm32.p, atm32.pl, atm32.vmr))
+    cfg_p = "300 lines, 3 layers @ 0.0025"
+    row("layer OD (Pallas f32)", cfg_p,
+        max(np.abs(got[r] - want[r]).max() / np.abs(want[r]).max()
+            for r in range(len(layer_ids))))
+    row("layer transmittance (Pallas f32)", cfg_p,
+        max(np.abs(np.exp(-got[r]) - np.exp(-want[r])).max()
+            for r in range(len(layer_ids))))
+
+    # ---------------- TUD composition f32 vs f64 --------------------------
+    od64 = jnp.asarray(want)
+    B64 = jnp.swapaxes(planckian(jnp.asarray(axis), sub.T), 0, 1)
+    alts = jnp.asarray([500.0])
+    t64 = tud_from_od(jnp.asarray(axis), od64, B64, sub.z0, alts, n_angles=30)
+    t32 = tud_from_od(jnp.asarray(axis, dtype=jnp.float32),
+                      od64.astype(jnp.float32), B64.astype(jnp.float32),
+                      sub.z0.astype(jnp.float32), alts.astype(jnp.float32),
+                      n_angles=30)
+    cfg_t = "3 layers, 30 angles, 1 altitude"
+    row("TUD tau (f32 vs f64)", cfg_t,
+        float(np.abs(np.asarray(t32.tau) - np.asarray(t64.tau)).max()))
+    row("TUD Ld (f32 vs f64)", cfg_t,
+        float(np.abs(np.asarray(t32.Ld) - np.asarray(t64.Ld)).max()
+              / np.abs(np.asarray(t64.Ld)).max()))
+
+    print("-" * 86)
+    worst = max(r[2] for r in rows)
+    print(f"worst component error: {worst:.2e}  "
+          f"({'PASS' if worst < 1e-3 else 'CHECK'} at 1e-3)")
+
+
+if __name__ == "__main__":
+    main()
