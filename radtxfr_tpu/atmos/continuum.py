@@ -116,7 +116,16 @@ def continuum_od(nu, atmos, model: str = "none", continuum_factors=None):
     import jax
 
     fn = CONTINUUM_MODELS[model]
-    cf = jnp.ones(7) if continuum_factors is None else jnp.asarray(continuum_factors)
+    if continuum_factors is None:
+        cf = jnp.ones(7)
+    else:
+        cf = jnp.asarray(continuum_factors)
+        if cf.shape != (7,):
+            # jnp indexing clamps out of range, which would silently read
+            # the wrong scale-factor slot
+            raise ValueError(
+                f"continuum_factors must have exactly 7 elements (TAPE5 "
+                f"record 1.2a convention), got shape {cf.shape}")
     nu = jnp.asarray(nu)
 
     def one(T_l, p_l, pl_l, vmr_l):

@@ -69,11 +69,18 @@ DEFAULT_OPTIONS = {
 options = DEFAULT_OPTIONS
 
 
-def _opts(opts, kwargs):
+def _merge_opts(opts, kwargs):
+    """The reference's options composition (defaults <- opts <- kwargs),
+    without its global-dict mutation (``radiative_transfer.py:303`` etc.)."""
     o = dict(DEFAULT_OPTIONS)
     if opts is not None:
         o.update(opts)
     o.update(kwargs)
+    return o
+
+
+def _opts(opts, kwargs):
+    o = _merge_opts(opts, kwargs)
     if o["lines"] is None:
         raise ValueError(
             "compat.compute_OD/compute_TUD need a line database: pass "
@@ -231,10 +238,7 @@ def write_tape5(fname="TAPE5", opts=None, **kwargs):
     writes the single-layer OD-mode LBLRTM punch-card deck described by the
     V1/V2/T/P/PL/MF_ID/MF_VAL/DVOUT options. Interop only — the engine never
     consumes it."""
-    o = dict(DEFAULT_OPTIONS)
-    if opts is not None:
-        o.update(opts)
-    o.update(kwargs)
+    o = _merge_opts(opts, kwargs)
     _lblrtm_io.write_tape5(
         fname, float(o["V1"]), float(o["V2"]), T=float(o["T"]),
         P_pa=float(o["P"]), PL_km=float(o["PL"]),

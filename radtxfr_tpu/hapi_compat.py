@@ -862,12 +862,27 @@ def filter(TableName, Conditions):  # noqa: A001 — hapi's own name
 
 
 def selectInto(DestinationTableName, TableName, ParameterNames, Conditions):
-    """hapi ``selectInto`` (``misc/hapi.py:2526``): select straight into a
-    named destination table."""
-    return select(TableName=TableName,
-                  DestinationTableName=DestinationTableName,
-                  ParameterNames=ParameterNames, Conditions=Conditions,
-                  Output=False)
+    """hapi ``selectInto`` (``misc/hapi.py:2526``): select into a named
+    destination table, **appending** if it already exists (hapi does
+    ``number_of_rows += row_count``, ``:2555``).
+
+    Divergences: tables are fixed-schema :class:`LineStore` arrays, so
+    ``ParameterNames`` does not project columns (all line-parameter columns
+    are kept), and rows stay nu-sorted rather than in insertion order.
+    """
+    store = _get_table(TableName)
+    out = _query.select(store, Conditions) if Conditions is not None else store
+    if DestinationTableName in _TABLES:
+        import jax as _jax
+
+        prev = _TABLES[DestinationTableName]
+        cat = _jax.tree.map(
+            lambda a, b: np.concatenate([np.asarray(a), np.asarray(b)]),
+            prev, out)
+        order = np.argsort(np.asarray(cat.nu0), kind="stable")
+        out = _jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[order]), cat)
+    _register(DestinationTableName, out)
+    return out
 
 
 def AtoB(aa, A, B, npt):
@@ -907,7 +922,11 @@ def BD_TIPS_2011_PYTHON(M, I, T):
     T = float(T)
     if T < 70.0 or T > 3000.0:
         raise Exception("TIPS: T must be between 70K and 3000K.")
-    row = _tips.iso_row_index()[(int(M), int(I))]
+    try:
+        row = _tips.iso_row_index()[(int(M), int(I))]
+    except KeyError:
+        # hapi's diagnostic for unknown isotopologues (misc/hapi.py:9579-9580)
+        raise Exception("TIPS: no data for M,I = %d,%d." % (int(M), int(I)))
     _m, _i, gsi, q = _tips.load_tips_tables()
     return float(gsi[row]), PYTIPS(M, I, T)
 

@@ -316,6 +316,14 @@ def test_table_aliases_and_verbs(db):
     nu = np.asarray(hc.getColumn("sel", "nu"))
     assert nu.size and nu.min() >= 1000.0 and nu.max() <= 1010.0
 
+    # second selectInto APPENDS (hapi number_of_rows += row_count,
+    # misc/hapi.py:2555); rows stay nu-sorted
+    hc.selectInto("sel", "syn", ["nu", "sw"],
+                  ("between", "nu", 1010.0, 1020.0))
+    nu2 = np.asarray(hc.getColumn("sel", "nu"))
+    assert nu2.size > n_buf and (np.diff(nu2) >= 0).all()
+    assert nu2.max() <= 1020.0
+
 
 def test_atob_and_bd_tips_match_hapi():
     hapi = load_hapi()

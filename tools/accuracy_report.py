@@ -104,6 +104,7 @@ def main():
             for r in range(len(layer_ids))))
     row("layer transmittance (Pallas f32)", cfg_p,
         max(np.abs(np.exp(-got[r]) - np.exp(-want[r])).max()
+            / np.abs(np.exp(-want[r])).max()
             for r in range(len(layer_ids))))
 
     # ---------------- TUD composition f32 vs f64 --------------------------
@@ -117,7 +118,8 @@ def main():
                       n_angles=30)
     cfg_t = "3 layers, 30 angles, 1 altitude"
     row("TUD tau (f32 vs f64)", cfg_t,
-        float(np.abs(np.asarray(t32.tau) - np.asarray(t64.tau)).max()))
+        float(np.abs(np.asarray(t32.tau) - np.asarray(t64.tau)).max()
+              / np.abs(np.asarray(t64.tau)).max()))
     row("TUD Ld (f32 vs f64)", cfg_t,
         float(np.abs(np.asarray(t32.Ld) - np.asarray(t64.Ld)).max()
               / np.abs(np.asarray(t64.Ld)).max()))

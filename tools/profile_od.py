@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--block", type=int, default=32)
     ap.add_argument("--max-groups", type=int, default=8)
     ap.add_argument("--max-classes", type=int, default=4)
-    ap.add_argument("--group-ratio", type=float, default=1.6)
+    ap.add_argument("--group-ratio", type=float, default=4.0)
     ap.add_argument("--class-ratio", type=float, default=2.5)
     ap.add_argument("--n-weideman", type=int, default=16)
     ap.add_argument("--fast-rcp", action="store_true")
