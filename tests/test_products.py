@@ -198,3 +198,30 @@ def test_rayleigh_continuum():
     both = np.asarray(continuum_od(nu, atm, model="empirical"))
     h2o = np.asarray(continuum_od(nu, atm, model="h2o_empirical"))
     np.testing.assert_allclose(both, h2o + od, rtol=1e-6)
+
+
+def test_tau_monotone_in_absorber_amount(iso_tables):
+    """SURVEY §4 property test: transmittance decreases pointwise as the
+    absorber amount grows (more H2O -> more OD -> lower tau), and downwelling
+    radiance grows toward the blackbody limit."""
+    lines = synthetic_lines(80, nu_min=896.0, nu_max=914.0, seed=3)
+    axis = jnp.asarray(arange_drift_free(900.0, 910.0, 0.01))
+    atm = std_atmosphere()
+    alts = jnp.asarray([500.0])
+
+    taus, lds = [], []
+    for scale in (0.5, 1.0, 2.0, 4.0):
+        a = atm.replace(vmr=atm.vmr * scale)
+        od = compute_od_layers(lines, iso_tables, axis, a)
+        B = jnp.swapaxes(planckian(axis, a.T), 0, 1).astype(od.dtype)
+        t = tud_from_od(axis, od, B, a.z0, alts, n_angles=12)
+        taus.append(np.asarray(t.tau)[:, 0, 0])
+        lds.append(np.asarray(t.Ld))
+    for lo, hi in zip(taus[1:], taus[:-1]):
+        assert (lo <= hi + 1e-12).all()
+        assert lo.mean() < hi.mean()
+    for hi, lo in zip(lds[1:], lds[:-1]):
+        assert hi.mean() > lo.mean()
+    # physical bounds hold at every absorber amount
+    for t, ld in zip(taus, lds):
+        assert (t >= 0).all() and (t <= 1).all() and (ld >= 0).all()
