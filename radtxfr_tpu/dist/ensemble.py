@@ -47,6 +47,7 @@ def tud_ensemble_sharded(
     mesh,
     mu=1.0,
     n_angles: int = 30,
+    quadrature: str = "uniform",
     return_od: bool = False,
     chunk: int = 512,
 ):
@@ -89,7 +90,8 @@ def tud_ensemble_sharded(
             od = jax.lax.map(one_layer, (T_a, p_a, pl_a, vmr_a))   # (nL, nXloc)
             B = jnp.swapaxes(planckian(grid_loc, T_a), 0, 1).astype(od.dtype)
             tud = tud_from_od(grid_loc, od, B, z0_a, altitudes,
-                              mu=mu_arr, n_angles=n_angles, return_od=return_od)
+                              mu=mu_arr, n_angles=n_angles, return_od=return_od,
+                              quadrature=quadrature)
             return tud.tau, tud.Lu, tud.Ld
 
         return jax.lax.map(one_atmos, (T, p, pl, vmr, z0))

@@ -36,6 +36,7 @@ def make_tud_ensemble_fn(
     atmos_class: AtmosphericState | None = None,
     mu=1.0,
     n_angles: int = 30,
+    quadrature: str = "uniform",
     return_od: bool = False,
     **od_opts,
 ):
@@ -79,7 +80,8 @@ def make_tud_ensemble_fn(
             od = local_fn(T_a, p_a, pl_a, vmr_a, spec_local, k_off)
             B = jnp.swapaxes(planckian(grid_loc, T_a), 0, 1).astype(od.dtype)
             tud = tud_from_od(grid_loc, od, B, z0_a, altitudes, mu=mu_arr,
-                              n_angles=n_angles, return_od=return_od)
+                              n_angles=n_angles, return_od=return_od,
+                              quadrature=quadrature)
             return tud.tau, tud.Lu, tud.Ld
 
         return jax.lax.map(one_atmos, (T, p, pl, vmr, z0))

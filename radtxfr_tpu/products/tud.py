@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["TUD", "tud_from_od", "downwelling_angles"]
+__all__ = ["TUD", "tud_from_od", "downwelling_angles", "downwelling_quadrature"]
 
 
 @jax.tree_util.register_dataclass
@@ -65,7 +65,33 @@ def downwelling_angles(n_angles: int, dtype=jnp.float64):
     return jnp.linspace(0.0, np.pi / 2.0, n_angles, endpoint=False, dtype=dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_angles", "return_od"))
+def downwelling_quadrature(n_angles: int, kind: str = "uniform"):
+    """Host-static (secants, normalized weights) for the hemispheric
+    flux-weighted downwelling average 2 * int_0^1 Ld(mu) mu dmu.
+
+    ``'uniform'`` reproduces the reference exactly: uniform theta grid with
+    cos*sin weights (``radiative_transfer.py:368,387-388``), which converges
+    only ~O(1/N^2) and needs its 30 angles. ``'gauss'`` is the standard
+    double-Gauss rule of radiative transfer: Gauss-Legendre nodes mu_i on
+    (0, 1) with weights 2*mu_i*w_i. Measured on random layered OD (see
+    ``tests/test_products.py``): 8 Gauss nodes are ~4x more accurate than
+    uniform-30 at a quarter of the scan lanes (an opt-in divergence; the
+    exp(-tau/mu) boundary layer at mu -> 0 rules out exponential
+    convergence for any fixed rule, but the flux weight mu suppresses it).
+    """
+    if kind == "uniform":
+        th = np.linspace(0.0, np.pi / 2.0, n_angles, endpoint=False)
+        w = np.cos(th) * np.sin(th)
+        return 1.0 / np.cos(th), w / w.sum()
+    if kind == "gauss":
+        x, w = np.polynomial.legendre.leggauss(n_angles)
+        m = 0.5 * (x + 1.0)                 # mu nodes on (0, 1)
+        return 1.0 / m, m * w               # 2*mu*(w/2); weights sum to 1
+    raise ValueError(f"unknown quadrature {kind!r} (use 'uniform' or 'gauss')")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_angles", "return_od", "quadrature"))
 def tud_from_od(
     grid,
     od,
@@ -75,6 +101,7 @@ def tud_from_od(
     mu=1.0,
     n_angles: int = 30,
     return_od: bool = False,
+    quadrature: str = "uniform",
 ) -> TUD:
     """Compose TUD products from a layer OD tensor.
 
@@ -89,6 +116,8 @@ def tud_from_od(
         (reference ``:313``).
     n_angles : downwelling zenith-quadrature size.
     return_od : return path OD in the tau slot (reference ``returnOD``).
+    quadrature : ``'uniform'`` (reference parity) or ``'gauss'``
+        (Gauss-Legendre in mu^2 — see :func:`downwelling_quadrature`).
     """
     grid = jnp.asarray(grid)
     od = jnp.asarray(od)
@@ -123,8 +152,9 @@ def tud_from_od(
     Lu = jnp.moveaxis(Lu, 0, 1)                         # (nMu, nZs, nX)
 
     # --- downwelling: top-to-ground scan over all angles --------------------
-    angles = downwelling_angles(n_angles, dtype=od.dtype)
-    sec = 1.0 / jnp.cos(angles)                         # (nA,)
+    sec_np, w_np = downwelling_quadrature(n_angles, quadrature)
+    sec = jnp.asarray(sec_np, dtype=od.dtype)           # (nA,)
+    w = jnp.asarray(w_np, dtype=od.dtype)               # (nA,) sums to 1
 
     def down_step(carry, layer):
         od_k, b_k = layer
@@ -133,8 +163,7 @@ def tud_from_od(
 
     ld0 = jnp.zeros((n_angles, grid.shape[0]), dtype=od.dtype)
     ld_all, _ = jax.lax.scan(down_step, ld0, (od[::-1], B[::-1]))
-    w = jnp.cos(angles) * jnp.sin(angles)
-    Ld = jnp.sum(ld_all * w[:, None], axis=0) / jnp.sum(w)
+    Ld = jnp.sum(ld_all * w[:, None], axis=0)
 
     # public convention: spectral axis first
     tau = jnp.moveaxis(tau, -1, 0)                      # (nX, nZs, nMu) after move

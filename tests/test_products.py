@@ -225,3 +225,30 @@ def test_tau_monotone_in_absorber_amount(iso_tables):
     # physical bounds hold at every absorber amount
     for t, ld in zip(taus, lds):
         assert (t >= 0).all() and (t <= 1).all() and (ld >= 0).all()
+
+
+def test_gauss_downwelling_quadrature():
+    """Gauss-Legendre (in mu^2) downwelling: 8 nodes beat the reference's
+    uniform-30 rule against a dense-quadrature truth."""
+    rng = np.random.default_rng(11)
+    nL, nX = 12, 120
+    grid = np.linspace(800, 820, nX)
+    od = rng.exponential(0.08, (nL, nX))
+    B = np.asarray(planckian(grid, np.linspace(290, 220, nL))).T
+    z0 = np.linspace(0, 11, nL)
+    alts = jnp.asarray([100.0])
+    kw = dict(mu=1.0, return_od=False)
+
+    truth = np.asarray(tud_from_od(grid, od, B, z0, alts, n_angles=4000,
+                                   quadrature="uniform", **kw).Ld)
+    ld_u30 = np.asarray(tud_from_od(grid, od, B, z0, alts, n_angles=30,
+                                    quadrature="uniform", **kw).Ld)
+    ld_g8 = np.asarray(tud_from_od(grid, od, B, z0, alts, n_angles=8,
+                                   quadrature="gauss", **kw).Ld)
+    err_u30 = np.abs(ld_u30 - truth).max()
+    err_g8 = np.abs(ld_g8 - truth).max()
+    assert err_g8 < err_u30, (err_g8, err_u30)
+    assert err_g8 < 1e-4 * np.abs(truth).max()
+
+    with pytest.raises(ValueError, match="quadrature"):
+        tud_from_od(grid, od, B, z0, alts, n_angles=8, quadrature="simpson")
