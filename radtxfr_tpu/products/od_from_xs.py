@@ -152,7 +152,7 @@ def interp_sigma(table: XsTable, T, p_atm):
             + ft * (1 - fp) * s10 + ft * fp * s11)
 
 
-def od_from_xs(table: XsTable, atmos, vmr_cols=None):
+def od_from_xs(table: XsTable, atmos, vmr_cols=None, precision="highest"):
     """Layer optical depths from the lattice: (nL, nX).
 
     ``atmos`` is an :class:`~radtxfr_tpu.atmos.profile.AtmosphericState`;
@@ -164,6 +164,12 @@ def od_from_xs(table: XsTable, atmos, vmr_cols=None):
     so the whole lookup is **one MXU matmul** ``M @ sigma_flat`` instead of
     per-layer dynamic gathers of (nM, nX) slices (which gather-compile
     poorly and stream 4x the bytes).
+
+    ``precision``: the TPU matmul default truncates to bfloat16 (~1e-3
+    relative), which would break this path's node-exactness vs the engine;
+    ``'highest'`` (default) keeps full float32 — measured ~5% slower only
+    (the matmul streams the lattice from HBM; it is bandwidth-bound, not
+    MXU-bound). ``'default'`` remains available for bf16 serving.
     """
     if vmr_cols is None:
         col = {m: i for i, m in enumerate(atmos.mol_ids)}
@@ -190,4 +196,6 @@ def od_from_xs(table: XsTable, atmos, vmr_cols=None):
         return w.reshape(-1)
 
     M = jax.vmap(weights_one)(atmos.T, atmos.p, atmos.pl, atmos.vmr)
-    return M @ sflat
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return jnp.matmul(M, sflat, precision=prec)

@@ -29,6 +29,19 @@ import numpy as np
 
 from .generative import PCAModel, pca_fit
 
+
+def _f32_matmuls(fn):
+    """Trace-time guard: full float32 matmuls (the TPU default truncates to
+    bfloat16, degrading small-matrix statistics ~1e-3)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapped
+
+
 __all__ = [
     "od_transform", "od_inverse", "pca_compress",
     "ICAModel", "fast_ica",
@@ -49,6 +62,7 @@ def od_inverse(od):
     return -jnp.expm1(-jnp.asarray(od))
 
 
+@_f32_matmuls
 def pca_compress(emis, n_components: int = 48, tol: float = 1e-4):
     """Whitened PCA of the OD-transformed emissivity matrix.
 
@@ -73,11 +87,13 @@ class ICAModel:
     unmix: jax.Array       # (k, k) rotation found by FastICA
     mixing: jax.Array      # (d, k) estimated mixing matrix (sklearn ``mixing_``)
 
+    @_f32_matmuls
     def transform(self, X):
         """Data -> independent sources (n, k)."""
         Xw = (jnp.asarray(X) - self.mean) @ self.whiten.T
         return Xw @ self.unmix.T
 
+    @_f32_matmuls
     def inverse_transform(self, S):
         """Sources -> data space (n, d)."""
         return jnp.asarray(S) @ self.mixing.T + self.mean
@@ -90,6 +106,7 @@ def _sym_decorrelate(W):
     return (u * (1.0 / jnp.sqrt(s))) @ u.T @ W
 
 
+@_f32_matmuls
 def fast_ica(X, n_components: int, key=None, n_iter: int = 200) -> ICAModel:
     """Parallel (symmetric) FastICA with the logcosh contrast.
 
@@ -141,11 +158,13 @@ class NMFModel:
     W: jax.Array  # (n, k) per-sample activations
     H: jax.Array  # (k, d) non-negative basis spectra
 
+    @_f32_matmuls
     def inverse_transform(self, W=None):
         W = self.W if W is None else jnp.asarray(W)
         return W @ self.H
 
 
+@_f32_matmuls
 def nmf(X, n_components: int, key=None, n_iter: int = 400,
         eps: float = 1e-9) -> NMFModel:
     """Non-negative matrix factorization ``X ~= W H`` (Frobenius loss).
@@ -220,6 +239,7 @@ class BSplineFit:
     design: jax.Array  # (nX, n_coef) B-spline basis on the fit axis
     coefs: jax.Array   # (n_mat, n_coef) per-material spline coefficients
 
+    @_f32_matmuls
     def reconstruct(self):
         """emis = exp(-|B c|) per material (the reference's ``emisFcn``,
         ``Generate_Emissivity_DB.py:137-139``) -> (nX, n_mat)."""
@@ -227,6 +247,7 @@ class BSplineFit:
         return jnp.exp(-jnp.abs(od))
 
 
+@_f32_matmuls
 def bspline_fit_emissivity(X, emis, n_knots: int = 48, degree: int = 3,
                            tol: float = 1e-4) -> BSplineFit:
     """Fit ``-log(eps)`` of every material with one batched lstsq.

@@ -33,6 +33,19 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
+
+def _f32_matmuls(fn):
+    """Trace-time guard: full float32 matmuls (the TPU default truncates to
+    bfloat16, degrading small-matrix statistics ~1e-3)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapped
+
+
 __all__ = [
     "PCAModel", "pca_fit",
     "GMMModel", "gmm_fit", "gmm_sample", "gmm_log_prob", "gmm_predict",
@@ -55,14 +68,17 @@ class PCAModel:
     scale: jax.Array       # (k,) sqrt(explained variance) for whitening
     explained_variance_ratio: jax.Array  # (k,)
 
+    @_f32_matmuls
     def transform(self, X):
         Z = (jnp.asarray(X) - self.mean) @ self.components.T
         return Z / self.scale
 
+    @_f32_matmuls
     def inverse_transform(self, Z):
         return (jnp.asarray(Z) * self.scale) @ self.components + self.mean
 
 
+@_f32_matmuls
 def pca_fit(X, n_components: int) -> PCAModel:
     """Whitened PCA via SVD (sklearn ``PCA(whiten=True)`` semantics)."""
     X = jnp.asarray(X)
@@ -104,6 +120,7 @@ def _log_gauss(X, means, chols):
     return -0.5 * (maha + d * jnp.log(2.0 * jnp.pi)) - logdet[None, :]
 
 
+@_f32_matmuls
 def gmm_fit(key, X, n_components: int, n_iter: int = 200, reg: float = 1e-6) -> GMMModel:
     """EM fit of a full-covariance GMM (plain maximum likelihood)."""
     X = jnp.asarray(X)
@@ -132,17 +149,20 @@ def gmm_fit(key, X, n_components: int, n_iter: int = 200, reg: float = 1e-6) -> 
     return GMMModel(weights=w, means=mu, chols=ch)
 
 
+@_f32_matmuls
 def gmm_log_prob(model: GMMModel, X):
     """Per-sample log density (sklearn ``score_samples``)."""
     logp = _log_gauss(jnp.asarray(X), model.means, model.chols)
     return logsumexp(logp + jnp.log(model.weights)[None, :], axis=1)
 
 
+@_f32_matmuls
 def gmm_predict(model: GMMModel, X):
     logp = _log_gauss(jnp.asarray(X), model.means, model.chols)
     return jnp.argmax(logp + jnp.log(model.weights)[None, :], axis=1)
 
 
+@_f32_matmuls
 def gmm_sample(key, model: GMMModel, n: int):
     k1, k2 = jax.random.split(key)
     comp = jax.random.categorical(k1, jnp.log(model.weights), shape=(n,))

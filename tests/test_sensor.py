@@ -131,3 +131,28 @@ def test_reduce_operator_under_jit():
     got = jax.jit(lambda y: op(y))(jnp.asarray(Y))
     want = reduce_resolution(X, Y, 0.25, X_out=op.x_out)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9)
+
+
+def test_ils_mako_simple_matches_reference_script():
+    """The standalone Gaussian MAKO variant (ILS_MAKO.py:2-35): exact axis,
+    sigma = |gradient(X_out)|, column-sum normalization."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ils", "/root/reference/ILS_MAKO.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from radtxfr_tpu.sensor.ils import ils_mako_simple
+
+    X = np.linspace(700.0, 1400.0, 5000)
+    Y = np.sin(X / 13.0) ** 2 + 0.3
+    x_r, y_r = ref.ILS_MAKO(X, Y)
+    x_o, y_o = ils_mako_simple(X, Y)
+    np.testing.assert_allclose(x_o, x_r, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(y_o), y_r, rtol=1e-9)
+
+    Y2 = np.stack([Y, 2 * Y], axis=1)
+    _, y2_r = ref.ILS_MAKO(X, Y2)
+    _, y2_o = ils_mako_simple(X, Y2)
+    np.testing.assert_allclose(np.asarray(y2_o), y2_r, rtol=1e-9)

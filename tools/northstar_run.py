@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--dv-out", type=float, default=0.25)
     ap.add_argument("--checkpoint", default="/tmp/northstar_ck")
     ap.add_argument("--output", default="/tmp/northstar_tud.h5")
+    ap.add_argument("--n-angles", type=int, default=30)
+    ap.add_argument("--quadrature", default="uniform",
+                    choices=["uniform", "gauss"],
+                    help="downwelling rule: 'uniform' = reference parity "
+                         "(30 angles); 'gauss' = double-Gauss (8 nodes "
+                         "beat uniform-30)")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +86,8 @@ def main():
     probe = stack_states([member(i) for i in range(args.batch)])
     with timer.phase("build+compile"):
         gpad, run = make_tud_ensemble_fn(
-            lines, iso, grid, probe, alts, mesh, atmos_class=env, n_angles=30)
+            lines, iso, grid, probe, alts, mesh, atmos_class=env,
+            n_angles=args.n_angles, quadrature=args.quadrature)
     print(f"compile: {timer.phases['build+compile']:.0f} s "
           f"(padded grid {gpad.n} points)")
 
