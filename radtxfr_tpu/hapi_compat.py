@@ -571,10 +571,8 @@ def _component_mask_and_ratio(store: LineStore, components):
 
 
 def _mask_store(store: LineStore, keep: np.ndarray) -> LineStore:
-    import jax
-
-    idx = np.nonzero(keep)[0]
-    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), store)
+    # LineStore.subset preserves the host-f64 line centers
+    return store.subset(np.nonzero(keep)[0])
 
 
 def _threshold_mask(store: LineStore, T: float, threshold: float) -> np.ndarray:
@@ -880,7 +878,8 @@ def selectInto(DestinationTableName, TableName, ParameterNames, Conditions):
             lambda a, b: np.concatenate([np.asarray(a), np.asarray(b)]),
             prev, out)
         order = np.argsort(np.asarray(cat.nu0), kind="stable")
-        out = _jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[order]), cat)
+        # subset() keeps nu0 as host float64 through the reorder
+        out = cat.subset(order)
     _register(DestinationTableName, out)
     return out
 

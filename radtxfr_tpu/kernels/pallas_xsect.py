@@ -338,12 +338,25 @@ def _rcp(x, fast: bool = False):
     return r * (2.0 - x * r)
 
 
-def _asym_re_w(x, y, fast: bool = False):
+def _asym_re_w(x, y, fast: bool = False, guard: float = 0.0):
     """Humlicek region-1 asymptotic Re w: (1/sqrt(pi)) Re[t/(0.5+t^2)],
-    t = y - ix. ~12 flops — hum1_wei uses this wherever |x| + y >= 15."""
+    t = y - ix. ~12 flops — hum1_wei uses this wherever |x| + y >= 15.
+
+    ``guard`` clamps the denominator magnitude. The form has a pole at
+    0.5 + t^2 = 0 (|x| ~ 1/sqrt(2), y -> 0, i.e. DEEP inside the Weideman
+    core region): values ~1/y there would flow through the two-pass
+    accumulator and be cancelled by the core pass only after f32 rounding
+    has eaten ~eps/y of every tile — measured 2.4e-3 of peak on
+    Doppler-dominated stratospheric layers. dmag >= 0.25 bounds the pass
+    contribution at O(1) while being inactive everywhere |x| + y >= 15
+    (there dmag > 1e4), so the exact region is untouched; the core pass
+    subtracts the SAME clamped value, keeping asym + core == full pointwise.
+    """
     dr = 0.5 + y * y - x * x
     di = -2.0 * x * y
     dmag = dr * dr + di * di
+    if guard:
+        dmag = jnp.maximum(dmag, guard)
     return _INV_SQRT_PI * (y * dr - x * di) * _rcp(dmag, fast)
 
 
@@ -451,13 +464,13 @@ def _voigt_wr(x, y, wei_a, wei_L, mode: str = "full", fast: bool = False):
       asym + core == full pointwise.
     """
     if mode == "asym":
-        return _asym_re_w(x, y, fast)
+        return _asym_re_w(x, y, fast, guard=0.25)
     in_core = (jnp.abs(x) + y) < REGION_BOUND
-    asym = _asym_re_w(x, y, fast)
     wei = _weideman_re_w(x, y, wei_a, wei_L, fast)
     if mode == "core":
-        return jnp.where(in_core, wei - asym, 0.0)
-    return jnp.where(in_core, wei, asym)
+        # subtract the SAME clamped asym the 'asym' pass added
+        return jnp.where(in_core, wei - _asym_re_w(x, y, fast, guard=0.25), 0.0)
+    return jnp.where(in_core, wei, _asym_re_w(x, y, fast))
 
 
 def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24,

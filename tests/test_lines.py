@@ -177,3 +177,25 @@ def test_native_parser_throughput(tmp_path):
 
 
 import os  # noqa: E402
+
+
+def test_subset_preserves_host_f64_centers():
+    """Row filtering must keep nu0 as HOST float64 even on f32 backends:
+    a float32 copy quantizes centers by ~6e-5 cm^-1 (~0.1-0.4% at sharp
+    line cores). Regression for select_band/select_molecules/subset."""
+    import jax
+
+    store = synthetic_lines(50, 795.0, 835.0, seed=3)
+    with jax.enable_x64(False):
+        for sub in (store.select_molecules([2]),
+                    store.select_band(800.0, 820.0, margin=1.0),
+                    store.subset(np.arange(10))):
+            nu0 = np.asarray(sub.nu0)
+            assert nu0.dtype == np.float64, nu0.dtype
+            # other params legitimately follow the backend dtype
+            assert np.asarray(sub.sw).dtype == np.float32
+    # values survive the round trip exactly
+    sub = store.select_band(800.0, 820.0)
+    full = np.asarray(store.nu0)
+    np.testing.assert_array_equal(
+        np.asarray(sub.nu0), full[(full >= 800.0) & (full <= 820.0)])
