@@ -40,6 +40,7 @@ def tud_with_jacobian(
     mu=1.0,
     n_angles: int = 30,
     chunk: int = 512,
+    tangent_batch: int | None = None,
 ):
     """TUD products and their Jacobian w.r.t. per-layer state variables.
 
@@ -48,10 +49,15 @@ def tud_with_jacobian(
     wrt : sequence of "T" and/or HITRAN molecule ids present in
         ``atmos.mol_ids`` — e.g. ``("T", 1, 3)`` for temperature, H2O and O3
         (the reference's Jacobian set, ``Generate_LWIR_TUD.py:55-71``).
+    tangent_batch : forward-mode tangents held in flight at once (default:
+        all nLayers). jacfwd memory scales with tangents x grid x layers —
+        at production grids all 66 tangents can exceed HBM; 8-16 keeps the
+        Jacobian streaming at a small wall-clock cost.
 
     Returns
     -------
-    (tud, jac) where ``jac`` maps each entry of ``wrt`` to a pytree with
+    (tud, jac) where ``jac`` maps each entry of ``wrt`` (stringified:
+    ``"T"``, ``"1"``, ...) to a pytree with
     fields tau/Lu/Ld whose arrays gain a trailing (nLayers,) axis:
     d(product)/d(state_layer).
     """
@@ -74,11 +80,29 @@ def tud_with_jacobian(
 
     tud = forward(atmos.T, atmos.vmr)
 
+    n_lay = int(atmos.T.shape[0])
+
+    def _jacfwd_batched(f, x):
+        """jacfwd(f)(x) computed ``tangent_batch`` input-dims at a time."""
+        if tangent_batch is None or tangent_batch >= n_lay:
+            return jax.jacfwd(f)(x)
+        eye = jnp.eye(n_lay, dtype=x.dtype)
+        jvp_one = jax.jit(lambda v: jax.jvp(f, (x,), (v,))[1])
+        parts = [jax.vmap(jvp_one)(eye[k:k + tangent_batch])
+                 for k in range(0, n_lay, tangent_batch)]
+        # each part: pytree with leading tangent axis; concat + move last
+        return jax.tree.map(
+            lambda *ps: jnp.moveaxis(jnp.concatenate(ps, axis=0), 0, -1),
+            *parts)
+
+    # Keys are normalized to STRINGS ("T", "1", "3"): a dict mixing str and
+    # int keys is not a valid pytree (key sort raises), which would break
+    # jax.block_until_ready / device_get / tree.map over the result.
     jac = {}
     for key in wrt:
         if key == "T":
             f = lambda T: forward(T, atmos.vmr)
-            jac["T"] = jax.jacfwd(f)(atmos.T)
+            jac["T"] = _jacfwd_batched(f, atmos.T)
         else:
             c = mol_col[int(key)]
 
@@ -86,5 +110,5 @@ def tud_with_jacobian(
                 vmr = atmos.vmr.at[:, c].set(v_col)
                 return forward(atmos.T, vmr)
 
-            jac[key] = jax.jacfwd(f)(atmos.vmr[:, c])
+            jac[str(int(key))] = _jacfwd_batched(f, atmos.vmr[:, c])
     return tud, jac

@@ -137,7 +137,7 @@ def test_jacobian_matches_finite_differences(iso_tables):
         t = tud_from_od(grid, od, B, atm_.z0, alts, n_angles=8)
         return t
 
-    for var, col, h in (("T", None, 1e-3), (1, 0, 1e-9)):
+    for var, col, h in (("T", None, 1e-3), ("1", 0, 1e-9)):
         k = 2
         if var == "T":
             up = atm.replace(T=atm.T.at[k].add(h))
@@ -252,3 +252,24 @@ def test_gauss_downwelling_quadrature():
 
     with pytest.raises(ValueError, match="quadrature"):
         tud_from_od(grid, od, B, z0, alts, n_angles=8, quadrature="simpson")
+
+
+def test_jacobian_tangent_batching_matches_full(iso_tables):
+    """tangent_batch streams jacfwd without changing values."""
+    store = synthetic_lines(30, nu_min=798.0, nu_max=812.0, seed=62)
+    grid = jnp.asarray(arange_drift_free(800.0, 810.0, 0.05))
+    full = std_atmosphere()
+    sl = slice(0, 5)
+    atm = full.replace(**{f: getattr(full, f)[sl] for f in
+                          ("z0", "z1", "pl", "p", "T")},
+                       vmr=full.vmr[sl])
+    alts = jnp.asarray([100.0])
+    _, j_full = tud_with_jacobian(store, iso_tables, grid, atm, alts,
+                                  wrt=("T", 1), n_angles=6)
+    _, j_bat = tud_with_jacobian(store, iso_tables, grid, atm, alts,
+                                 wrt=("T", 1), n_angles=6, tangent_batch=2)
+    for key in ("T", "1"):
+        for prod in ("tau", "Lu", "Ld"):
+            np.testing.assert_allclose(np.asarray(j_bat[key][prod]),
+                                       np.asarray(j_full[key][prod]),
+                                       rtol=1e-10, atol=1e-14)
