@@ -181,7 +181,8 @@ def cmd_tud(args):
         with timer.phase("jacobian"):
             _, jac = tud_with_jacobian(store, iso, grid, base, alts,
                                        wrt=("T", 1, 3),
-                                       n_angles=args.n_angles)
+                                       n_angles=args.n_angles,
+                                       tangent_batch=8)
         for key, name in (("T", "T"), ("1", "H2O"), ("3", "O3")):
             for prod in ("tau", "Lu", "Ld"):
                 jac_out[f"d{prod}_d{name}"] = np.asarray(jac[key][prod])

@@ -190,12 +190,11 @@ def select(TableName, DestinationTableName="__BUFFER__", ParameterNames=None,
 
 def sort(TableName, DestinationTableName=None, ParameterNames=None,
          Accending=True, Output=False, File=None):
-    """Reorder rows by column(s) (hapi ``sort``, ``misc/hapi.py:2679``)."""
+    """Reorder rows by column(s) (hapi ``sort``, ``misc/hapi.py:2679``);
+    a list of names sorts lexicographically, first name most significant."""
     store = _get_table(TableName)
-    by = ParameterNames or "nu"
-    if isinstance(by, (list, tuple)):
-        by = by[0]
-    out = _query.sort(store, by=by, descending=not Accending)
+    out = _query.sort(store, by=ParameterNames or "nu",
+                      descending=not Accending)
     _register(DestinationTableName or TableName, out)
     return out
 

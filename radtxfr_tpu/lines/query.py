@@ -181,11 +181,15 @@ def select(store: LineStore, conditions) -> LineStore:
     return jax.tree.map(lambda a: a[np.nonzero(mask)[0]], store)
 
 
-def sort(store: LineStore, by: str = "nu", descending: bool = False) -> LineStore:
-    """Rows reordered by a column (hapi ``sort``, quickSort
-    ``misc/hapi.py:2655-2729``)."""
-    key = _col(store, by)
-    order = np.argsort(key, kind="stable")
+def sort(store: LineStore, by="nu", descending: bool = False) -> LineStore:
+    """Rows reordered by column(s) (hapi ``sort``, quickSort
+    ``misc/hapi.py:2655-2729``). ``by`` may be one column name or a
+    sequence — multi-key sorts are lexicographic, first name most
+    significant (hapi's tuple comparator ``compareLESS`` semantics)."""
+    names = [by] if isinstance(by, str) else list(by)
+    # np.lexsort: LAST key is primary, so reverse
+    keys = [np.asarray(_col(store, n)) for n in reversed(names)]
+    order = np.lexsort(keys)
     if descending:
         order = order[::-1]
     return jax.tree.map(lambda a: a[order], store)

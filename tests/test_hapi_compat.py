@@ -360,3 +360,16 @@ def test_tutorial_printers(capsys):
     out = capsys.readouterr().out
     assert "PROFILE_HT" in out and "SLIT_GAUSSIAN" in out
     assert "db_begin" in out and "convolveSpectrum" in out
+
+
+def test_sort_multi_key(db):
+    """Multi-column lexicographic sort (hapi quickSort tuple comparator)."""
+    hc.sort("syn", DestinationTableName="s2",
+            ParameterNames=["molec_id", "nu"])
+    mol = np.asarray(hc.getColumn("s2", "molec_id"))
+    nu = np.asarray(hc.getColumn("s2", "nu"))
+    assert (np.diff(mol) >= 0).all()
+    for m in np.unique(mol):
+        assert (np.diff(nu[mol == m]) >= 0).all()
+    # nu0 stays host float64 through the sort
+    assert np.asarray(hc._get_table("s2").nu0).dtype == np.float64
