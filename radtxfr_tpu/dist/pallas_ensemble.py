@@ -57,13 +57,19 @@ def make_tud_ensemble_fn(
     if batch.T.shape[0] % n_ens:
         raise ValueError(f"batch {batch.T.shape[0]} not divisible by ensemble axis {n_ens}")
     if atmos_class is None:
-        # Envelope the batch: wing bounds must cover every member, so use
-        # elementwise per-layer extreme states (cold/hot x low/high pressure).
+        # Envelope the batch: the static wing upper bounds and core-region
+        # lower bounds must cover every member. [mins, maxs] alone misses
+        # mixed extremes (g0 is increasing in p/vmr but DEcreasing in T, so
+        # its max lives at (T_min, p_max, vmr_max), which is in neither
+        # all-min nor all-max state); add both mixed corners so every
+        # monotone combination is bounded.
         import numpy as _np
 
         mins = jax.tree.map(lambda a: jnp.asarray(_np.asarray(a).min(axis=0)), batch)
         maxs = jax.tree.map(lambda a: jnp.asarray(_np.asarray(a).max(axis=0)), batch)
-        atmos_class = [mins, maxs]
+        cold_dense = mins.replace(p=maxs.p, pl=maxs.pl, vmr=maxs.vmr)
+        hot_thin = maxs.replace(p=mins.p, pl=mins.pl, vmr=mins.vmr)
+        atmos_class = [mins, maxs, cold_dense, hot_thin]
 
     local_fn, spec_data, gpad = make_od_pallas_local_fn(
         lines, iso, grid, atmos_class, n_spec, **od_opts)

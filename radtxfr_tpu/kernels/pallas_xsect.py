@@ -581,6 +581,15 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
     return kernel
 
 
+def _flops_per_eval(n_wei: int, mode: str) -> int:
+    """Per-(line, nu-point) flop estimate for the XLA scheduler: the
+    Weideman series is ~8 flops/term (complex Horner), the asymptotic form
+    ~12, plus masking/scale overhead ~40."""
+    if mode == "asym":
+        return 12 + 40
+    return 8 * n_wei + 40
+
+
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
 def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
                       gd, g0, g2, s0, wingu, starts, counts, offset,
@@ -613,6 +622,12 @@ def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
         out_shape=jax.ShapeDtypeStruct((nt, n_lay, tile), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_lay * nt * mb * block * tile * _flops_per_eval(n_wei, mode),
+            bytes_accessed=(nt * n_lay * tile * 4
+                            + nt * mb * n_lay * block * 7 * 4),
+            transcendentals=0,
+        ),
     )(starts, counts, offset, k_line, frac0, ds, strength, gd, g0, g2, s0,
       wingu)
     return out.transpose(1, 0, 2).reshape(n_lay, nt * tile)[:, :n_out]
@@ -653,14 +668,13 @@ def _xsect_pallas_call(cfg, k_line, frac0, ds, strength,
             memory_space=pltpu.VMEM,
         ),
     )
-    flops_per_eval = 8 * 24 + 60
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_lay, nt, 1, tile), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=n_lay * nt * mb * block * tile * flops_per_eval,
+            flops=n_lay * nt * mb * block * tile * _flops_per_eval(n_wei, mode),
             bytes_accessed=n_lay * nt * tile * 4 + n_lay * nt * mb * block * 5 * 4,
             transcendentals=0,
         ),

@@ -72,6 +72,10 @@ def compute_od_layer(
 ):
     """OD spectrum of one homogeneous layer. All thermodynamics traced-OK."""
     u = species_column(p_pa, T, pl_km, vmr_row)         # (nM,)
+    # `profile` must reach BOTH calls: per-profile parameter rules differ
+    # (shift handling, wing formula, Doppler gamma_d), and sdvoigt/ht center
+    # on the unshifted nu0 with the shift applied inside the HT profile —
+    # a Voigt-mode params object would double-shift them.
     params = compute_line_params(
         lines,
         iso,
@@ -81,6 +85,7 @@ def compute_od_layer(
         wing_abs=wing_abs,
         wing_hw=wing_hw,
         strength_scale=u[species_cols],
+        profile=profile,
     )
     return xsect_from_params(grid, params, profile=profile, chunk=chunk)
 
@@ -157,6 +162,17 @@ def layer_line_params(lines, iso, atmos, species_cols, wing_abs=0.0,
     return jax.vmap(one)(atmos.T, p_atm, atmos.pl, atmos.vmr)
 
 
+def _gd_coeff(lines, iso) -> np.ndarray:
+    """Per-line Doppler-width coefficient: gamma_D = sqrt(T) * _gd_coeff."""
+    from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS
+
+    nu0 = np.asarray(lines.nu0, dtype=np.float64)
+    mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
+    mass_g = mass * C_MASS_MOL * 1000.0
+    return (np.sqrt(2.0 * K_BOLTZMANN_CGS * np.log(2.0) / mass_g)
+            / C_LIGHT_CGS * nu0)
+
+
 def wing_bound_matrix(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0,
                       vmr_margin: float = 1.5) -> np.ndarray:
     """Host-side (nLay, nLines) upper bound on each line's wing cutoff.
@@ -172,15 +188,13 @@ def wing_bound_matrix(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0,
     pass envelope states via the ``atmos_class`` list to widen the bound.
     Set ``vmr_margin=None`` for the fully conservative vmr=1 bound.
     """
-    from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS, T_REF
+    from ..core.constants import T_REF
 
     nu0 = np.asarray(lines.nu0, dtype=np.float64)
     g_air = np.asarray(lines.gamma_air, dtype=np.float64)
     g_self = np.asarray(lines.gamma_self, dtype=np.float64)
     n_air = np.asarray(lines.n_air, dtype=np.float64)
-    mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
-    mass_g = mass * C_MASS_MOL * 1000.0
-    gd_coeff = np.sqrt(2.0 * K_BOLTZMANN_CGS * np.log(2.0) / mass_g) / C_LIGHT_CGS * nu0
+    gd_coeff = _gd_coeff(lines, iso)
 
     T = np.asarray(atmos.T, dtype=np.float64)          # (nLay,)
     p_atm = np.asarray(atmos.p, dtype=np.float64) / PA_PER_ATM
@@ -203,40 +217,17 @@ def max_wing_per_layer(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> np.ndar
     return wing_bound_matrix(lines, iso, atmos, wing_abs, wing_hw).max(axis=1)
 
 
-def core_wing_bound(lines, iso, atmos) -> float:
-    """Host-side bound on the Weideman-core half-width [cm^-1].
+def core_wing_per_line(lines, iso, atmos) -> np.ndarray:
+    """Per-line Weideman-core half-width bound (L,) [cm^-1].
 
     The hum1_wei region |x| + y < 15 lies within |dnu| < 15 * gamma_D /
     sqrt(ln2) of the *shifted* center; adding the pressure-shift bound gives
     a distance from the unshifted center, which is what the bucketing uses.
     """
-    from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS
     from ..kernels.faddeeva import REGION_BOUND
 
-    nu0 = np.asarray(lines.nu0, dtype=np.float64)
-    mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
-    mass_g = mass * C_MASS_MOL * 1000.0
     t_max = float(np.asarray(atmos.T).max())
-    gd_max = np.sqrt(2.0 * K_BOLTZMANN_CGS * t_max * np.log(2.0) / mass_g) \
-        / C_LIGHT_CGS * nu0
-    p_max = float(np.asarray(atmos.p).max()) / PA_PER_ATM
-    shift_max = np.abs(np.asarray(lines.delta_air, dtype=np.float64)) * p_max
-    w = REGION_BOUND / np.sqrt(np.log(2.0)) * gd_max + shift_max
-    return float(w.max())
-
-
-def core_wing_per_line(lines, iso, atmos) -> np.ndarray:
-    """Per-line Weideman-core half-width bound (L,) [cm^-1] — the per-line
-    refinement of :func:`core_wing_bound`."""
-    from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS
-    from ..kernels.faddeeva import REGION_BOUND
-
-    nu0 = np.asarray(lines.nu0, dtype=np.float64)
-    mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
-    mass_g = mass * C_MASS_MOL * 1000.0
-    t_max = float(np.asarray(atmos.T).max())
-    gd_max = np.sqrt(2.0 * K_BOLTZMANN_CGS * t_max * np.log(2.0) / mass_g) \
-        / C_LIGHT_CGS * nu0
+    gd_max = np.sqrt(t_max) * _gd_coeff(lines, iso)
     p_max = float(np.asarray(atmos.p).max()) / PA_PER_ATM
     shift_max = np.abs(np.asarray(lines.delta_air, dtype=np.float64)) * p_max
     return REGION_BOUND / np.sqrt(np.log(2.0)) * gd_max + shift_max
@@ -252,16 +243,12 @@ def core_y_matrix(lines, iso, atmos) -> np.ndarray:
     entirely. The bound uses min(gamma_air, gamma_self) (the smallest any
     diluent mix can produce) so it holds for every vmr.
     """
-    from ..core.constants import C_LIGHT_CGS, C_MASS_MOL, K_BOLTZMANN_CGS, T_REF
+    from ..core.constants import T_REF
 
-    nu0 = np.asarray(lines.nu0, dtype=np.float64)
     g_lo = np.minimum(np.asarray(lines.gamma_air, dtype=np.float64),
                       np.asarray(lines.gamma_self, dtype=np.float64))
     n_air = np.asarray(lines.n_air, dtype=np.float64)
-    mass = np.asarray(iso.molar_mass)[np.asarray(lines.iso_row)]
-    mass_g = mass * C_MASS_MOL * 1000.0
-    gd_coeff = np.sqrt(2.0 * K_BOLTZMANN_CGS * np.log(2.0) / mass_g) \
-        / C_LIGHT_CGS * nu0
+    gd_coeff = _gd_coeff(lines, iso)
     T = np.asarray(atmos.T, dtype=np.float64)
     p_atm = np.asarray(atmos.p, dtype=np.float64) / PA_PER_ATM
     t_pow = (T_REF / T)[:, None] ** n_air[None, :]
@@ -327,8 +314,8 @@ def _as_states(atmos_class):
 
 
 def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
-                    max_classes, tile, block, two_pass, far_tile, far_block,
-                    group_ratio, class_ratio, core_tile=None, core_block=16):
+                    tile, two_pass, far_tile, far_block,
+                    group_ratio, core_tile=None, core_block=16):
     """The static (layer-group x wing-class [+ core]) call decomposition.
 
     ``atmos_class`` may be a single representative state or a list of
@@ -408,11 +395,11 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
 
 
 def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
-                      max_groups: int = 8, max_classes: int = 4,
-                      tile: int = 512, block: int = 32, n_weideman: int = 16,
+                      max_groups: int = 8,
+                      tile: int = 512, n_weideman: int = 16,
                       two_pass: bool = True, far_tile: int | None = None,
                       far_block: int | None = None, group_ratio: float = 4.0,
-                      class_ratio: float = 2.5, core_tile: int | None = None,
+                      core_tile: int | None = None,
                       core_block: int = 16, fast_rcp: bool = True):
     """Build a jitted (T, p_pa, pl, vmr) -> (nL, nX) OD function with static
     Pallas bucket plans baked in.
@@ -422,9 +409,9 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
 
     * **layer groups** — wing bounds scale with pressure, spanning orders of
       magnitude down the atmosphere; each group gets its own plans;
-    * **line classes** within a group — per-line wings (50 halfwidths) span
-      a wide range too; lines are partitioned into wing octaves so narrow
-      lines are not bucketed with the widest one;
+    * **per-line packed placement** within a group — per-line wings (50
+      halfwidths) span a wide range too; each line lands only in the
+      nu-tiles its OWN wing bound touches (no class-max inflation);
     * **two-pass far-wing split** (``two_pass=True``): everywhere in the
       window the ~12-flop Humlicek asymptotic form is exact except inside
       hum1_wei's tiny |x|+y<15 core (a few tens of grid points around each
@@ -449,9 +436,9 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
     cols = jnp.asarray(_line_species_cols(lines, _as_states(atmos_class)[0].mol_ids))
     calls = _build_od_calls(
         lines, iso, atmos_class, g, wing_abs=wing_abs, wing_hw=wing_hw,
-        max_groups=max_groups, max_classes=max_classes, tile=tile, block=block,
+        max_groups=max_groups, tile=tile,
         two_pass=two_pass, far_tile=far_tile, far_block=far_block,
-        group_ratio=group_ratio, class_ratio=class_ratio,
+        group_ratio=group_ratio,
         core_tile=core_tile, core_block=core_block)
 
     @jax.jit
@@ -485,10 +472,20 @@ def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
     if profile != "voigt":
         raise NotImplementedError("pallas engine currently implements Voigt only")
     if plan is not None:
+        # With a prebuilt plan only kernel-eval options apply; plan-building
+        # options would be silently ignored, so reject them loudly.
+        eval_opts = {k: pallas_opts.pop(k) for k in
+                     ("n_weideman", "fast_rcp", "interpret")
+                     if k in pallas_opts}
+        if pallas_opts:
+            raise ValueError(
+                f"options {sorted(pallas_opts)} affect plan construction and "
+                f"have no effect with a prebuilt plan=; build the plan with "
+                f"them (make_od_plan/make_od_pallas_fn) instead")
         cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
         params = layer_line_params(lines, iso, atmos, cols,
                                    wing_abs=wing_abs, wing_hw=wing_hw)
-        return xsect_pallas(plan, params)
+        return xsect_pallas(plan, params, **eval_opts)
     fn = make_od_pallas_fn(lines, iso, grid, atmos,
                            wing_abs=wing_abs, wing_hw=wing_hw, **pallas_opts)
     return fn(atmos.T, atmos.p, atmos.pl, atmos.vmr)
@@ -496,11 +493,10 @@ def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
 
 def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
                             wing_abs=0.0, wing_hw=50.0, max_groups: int = 8,
-                            max_classes: int = 4, tile: int = 512,
-                            block: int = 32, n_weideman: int = 16,
+                            tile: int = 512, n_weideman: int = 16,
                             two_pass: bool = True, far_tile: int | None = None,
                             far_block: int | None = None,
-                            group_ratio: float = 1.6, class_ratio: float = 2.5):
+                            group_ratio: float = 1.6, fast_rcp: bool = True):
     """SPMD building block: per-shard OD over a spectrum-sharded grid.
 
     All shards run the *same* program (one set of static bucket plans built
@@ -523,9 +519,11 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
     from ..kernels.pallas_xsect import UniformGrid, xsect_pallas
 
     g0 = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
-    # Pad so every call's tile divides the per-shard point count (tiles are
-    # powers of two <= 1024 by construction).
-    align = 1024 * n_shards
+    # Pad so every call's tile divides the per-shard point count. The far
+    # pass uses far_tile (default 2*tile for two-pass) and the core pass
+    # <= max(512, tile), all powers of two — align to the largest.
+    f_tile_eff = far_tile or (2 * tile if two_pass else tile)
+    align = max(f_tile_eff, tile, 512) * n_shards
     n_pad = -(-g0.n // align) * align
     g = UniformGrid(x0=g0.x0, dx=g0.dx, n=n_pad)
     n_local = n_pad // n_shards
@@ -533,12 +531,16 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
     cols = jnp.asarray(_line_species_cols(lines, _as_states(atmos_class)[0].mol_ids))
     calls = _build_od_calls(
         lines, iso, atmos_class, g, wing_abs=wing_abs, wing_hw=wing_hw,
-        max_groups=max_groups, max_classes=max_classes, tile=tile, block=block,
+        max_groups=max_groups, tile=tile,
         two_pass=two_pass, far_tile=far_tile, far_block=far_block,
-        group_ratio=group_ratio, class_ratio=class_ratio)
+        group_ratio=group_ratio)
 
     spec_data = []
     for _, _, plan, _ in calls:
+        if n_local % plan.tile:
+            raise AssertionError(
+                f"plan tile {plan.tile} does not divide the per-shard point "
+                f"count {n_local}; alignment bug")
         nt_loc = n_local // plan.tile
         spec_data.append((
             jnp.asarray(plan.starts.reshape(n_shards, nt_loc)),
@@ -561,7 +563,7 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
         for (lay_idx, cls_idx, plan, mode), (starts, counts) in zip(calls, local_spec):
             od_c = xsect_pallas(
                 plan, sub(params, lay_idx, cls_idx), n_weideman=n_weideman,
-                mode=mode, fused_layers=True,
+                mode=mode, fused_layers=True, fast_rcp=fast_rcp,
                 starts=starts.reshape(-1), counts=counts.reshape(-1),
                 k_offset=k_offset,
                 n_tiles=n_local // plan.tile, n_out=n_local,

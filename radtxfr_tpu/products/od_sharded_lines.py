@@ -44,9 +44,9 @@ def _pad_to(a, n, fill):
 
 def make_od_sharded_lines_fn(lines, iso, grid, atmos_class, n_shards: int,
                              wing_abs=0.0, wing_hw=50.0, max_groups: int = 8,
-                             max_classes: int = 4, tile: int = 512,
-                             block: int = 32, n_weideman: int = 16,
-                             two_pass: bool = True, group_ratio: float = 1.6):
+                             tile: int = 512, n_weideman: int = 16,
+                             two_pass: bool = True, group_ratio: float = 1.6,
+                             fast_rcp: bool = True):
     """Build the line-sharded per-device OD function.
 
     Returns (local_fn, shard_data, padded_grid):
@@ -69,9 +69,9 @@ def make_od_sharded_lines_fn(lines, iso, grid, atmos_class, n_shards: int,
 
     calls = _build_od_calls(
         lines, iso, atmos_class, g, wing_abs=wing_abs, wing_hw=wing_hw,
-        max_groups=max_groups, max_classes=max_classes, tile=tile, block=block,
+        max_groups=max_groups, tile=tile,
         two_pass=two_pass, far_tile=None, far_block=None,
-        group_ratio=group_ratio, class_ratio=2.5)
+        group_ratio=group_ratio)
     halo = max(c[2].max_wing for c in calls)
 
     # --- per-shard local line sets (in-band + halo, sorted) ----------------
@@ -199,7 +199,7 @@ def make_od_sharded_lines_fn(lines, iso, grid, atmos_class, n_shards: int,
             sub = jax.tree.map(lambda a: a[lay_idx][:, d["gather"]], params)
             od_c = xsect_pallas(
                 template, sub, n_weideman=n_weideman, mode=mode,
-                fused_layers=True,
+                fused_layers=True, fast_rcp=fast_rcp,
                 starts=d["starts"], counts=d["counts"],
                 k_line=d["k_line"], frac0=d["frac0"], k_offset=k_offset,
                 n_tiles=template.n_tiles, n_out=n_local,

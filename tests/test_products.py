@@ -273,3 +273,27 @@ def test_jacobian_tangent_batching_matches_full(iso_tables):
             np.testing.assert_allclose(np.asarray(j_bat[key][prod]),
                                        np.asarray(j_full[key][prod]),
                                        rtol=1e-10, atol=1e-14)
+
+
+def test_od_layers_sdvoigt_profile_forwarded(iso_tables):
+    """Regression: compute_od_layers(profile='sdvoigt') must build
+    SDVoigt-mode line params (shift applied inside the HT profile, not at
+    the center too — a Voigt-mode params object double-shifts)."""
+    hapi = load_hapi()
+    store = synthetic_lines(40, nu_min=795.0, nu_max=855.0, seed=52,
+                            species=((1, 1),))
+    grid = arange_drift_free(800.0, 850.0, 0.02)
+    atm = std_atmosphere()
+    layer = 2
+    T = float(atm.T[layer]); p_pa = float(atm.p[layer])
+    pl = float(atm.pl[layer]); x = float(atm.vmr[layer, 0])
+    _, k = hapi_xsect(store, grid, T, p_pa / 101325.0,
+                      diluent={"air": 1.0 - x, "self": x}, profile="SDVoigt")
+    u = float(species_column(p_pa, T, pl, x))
+    sub = atm.replace(T=atm.T[layer:layer+1], p=atm.p[layer:layer+1],
+                      pl=atm.pl[layer:layer+1], vmr=atm.vmr[layer:layer+1],
+                      z0=atm.z0[layer:layer+1], z1=atm.z1[layer:layer+1])
+    od = np.asarray(compute_od_layers(store, iso_tables, jnp.asarray(grid),
+                                      sub, profile="sdvoigt"))[0]
+    np.testing.assert_allclose(od, k * u, rtol=1e-7,
+                               atol=1e-10 * (k * u).max())

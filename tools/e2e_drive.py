@@ -27,7 +27,7 @@ print(f"grid {grid.shape[0]} pts, {lines.n_lines} lines, {atm.n_layers} layers")
 t0 = time.time()
 engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
 od = compute_od_layers(lines, iso, grid, atm, engine=engine,
-                       pallas_opts=dict(max_groups=2, max_classes=2))
+                       pallas_opts=dict(max_groups=2))
 od = jnp.asarray(od)
 od.block_until_ready()
 print(f"OD tensor {od.shape} ({engine}) in {time.time()-t0:.1f}s; max={float(od.max()):.3f}")

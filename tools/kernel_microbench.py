@@ -50,9 +50,9 @@ def main():
     cols = jnp.asarray(_line_species_cols(lines, atm.mol_ids))
 
     calls = _build_od_calls(lines, iso, atm, g, wing_abs=0.0, wing_hw=50.0,
-                            max_groups=8, max_classes=4, tile=512, block=32,
+                            max_groups=8, tile=512,
                             two_pass=True, far_tile=None, far_block=None,
-                            group_ratio=1.6, class_ratio=2.5)
+                            group_ratio=1.6)
     # largest wing-pass call by evaluated work
     best = max((c for c in calls if c[3] == "asym"),
                key=lambda c: int(c[2].counts.sum()) * c[2].block)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Per-call timing of the OD Pallas decomposition on the bench workload.
 
-For each (layer-group x wing-class [+ core]) kernel call, reports the padded
+For each (layer-group x pass) kernel call, reports the padded
 eval count (grid work actually performed), wall time, and eval rate, so
 optimization targets the slowest pass.
 """
@@ -37,11 +37,8 @@ def main():
     ap.add_argument("--core-tile", type=int, default=None)
     ap.add_argument("--core-block", type=int, default=16)
     ap.add_argument("--tile", type=int, default=512)
-    ap.add_argument("--block", type=int, default=32)
     ap.add_argument("--max-groups", type=int, default=8)
-    ap.add_argument("--max-classes", type=int, default=4)
     ap.add_argument("--group-ratio", type=float, default=4.0)
-    ap.add_argument("--class-ratio", type=float, default=2.5)
     ap.add_argument("--n-weideman", type=int, default=16)
     ap.add_argument("--fast-rcp", action="store_true")
     a = ap.parse_args()
@@ -57,10 +54,9 @@ def main():
 
     calls = _build_od_calls(
         lines, iso, atm, g, wing_abs=0.0, wing_hw=50.0,
-        max_groups=a.max_groups, max_classes=a.max_classes,
-        tile=a.tile, block=a.block,
+        max_groups=a.max_groups, tile=a.tile,
         two_pass=True, far_tile=a.far_tile, far_block=far_block,
-        group_ratio=a.group_ratio, class_ratio=a.class_ratio,
+        group_ratio=a.group_ratio,
         core_tile=a.core_tile, core_block=a.core_block)
 
     cols = jnp.asarray(_line_species_cols(lines, atm.mol_ids))

@@ -67,8 +67,8 @@ def main():
                         n=n_pad)
         calls = _build_od_calls(
             lines, iso, env, g, wing_abs=0.0, wing_hw=50.0, max_groups=8,
-            max_classes=4, tile=512, block=32, two_pass=True, far_tile=None,
-            far_block=None, group_ratio=1.6, class_ratio=2.5)
+            tile=512, two_pass=True, far_tile=None,
+            far_block=None, group_ratio=1.6)
         n_local = n_pad // n_shards
         work = np.zeros(n_shards, dtype=np.float64)
         for lay_idx, _, plan, _mode in calls:
