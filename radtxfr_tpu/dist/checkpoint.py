@@ -88,6 +88,8 @@ class EnsembleCheckpoint:
         if self.pending:
             raise RuntimeError(f"batches incomplete: {self.pending}")
         parts = [self.read_batch(b) for b in range(self.n_batches)]
+        if not parts:
+            return {}
         return {
             k: np.concatenate([p[k] for p in parts], axis=0)
             for k in parts[0]

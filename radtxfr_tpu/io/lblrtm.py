@@ -50,6 +50,9 @@ def read_tape12(fname: str = "TAPE12"):
         off += 4  # dv: f32 (axis rebuilt from v1/v2/n, like the reference)
         n = int(np.frombuffer(raw, "<i4", 1, off)[0]); off += 4
         off += 4  # trailing record length
+        if n <= 0:
+            # real LBLRTM archives terminate with an NLIM = -99 marker panel
+            break
         l1 = int(np.frombuffer(raw, "<i4", 1, off)[0]); off += 4
         if l1 != n * 4:
             raise ValueError(f"panel payload length {l1} != 4*{n}")

@@ -32,8 +32,14 @@ _DESCRIPTOR_BYTES = 12 + 6 + 3 + 4
 
 
 def _dtype_str(data: np.ndarray) -> str:
-    s = str(data.dtype)
-    return "{0:<6}".format(_DTYPE_TO_STR.get(s, s))
+    s = _DTYPE_TO_STR.get(str(data.dtype), str(data.dtype))
+    if len(s) > 6:
+        # the descriptor field is a FIXED 6 bytes; a longer name would
+        # shift every subsequent offset and corrupt the file silently
+        raise ValueError(
+            f"dtype {data.dtype} is not MBI-exportable (supported: "
+            f"{sorted(_DTYPE_TO_STR)}); cast the array first")
+    return "{0:<6}".format(s)
 
 
 def _matlab_blob(header: dict) -> bytes:

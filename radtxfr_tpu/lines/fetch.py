@@ -10,6 +10,7 @@ raises a clear error instead of hanging.
 
 from __future__ import annotations
 
+import functools
 import os
 import urllib.parse
 import urllib.request
@@ -22,27 +23,34 @@ __all__ = ["build_query_url", "fetch_by_ids", "fetch"]
 HITRAN_HOST = "http://hitran.org"
 
 
-def _global_ids(mol_id: int, iso_ids) -> list[int]:
-    """Map (molecule, local iso) to HITRAN global isotopologue ids."""
+@functools.lru_cache(maxsize=1)
+def _registry_lut():
+    import os
     import numpy as np
 
     with np.load(os.path.join(os.path.dirname(__file__), "..", "data",
                               "iso_registry.npz")) as f:
-        lut = {(int(m), int(i)): int(g)
-               for m, i, g in zip(f["mol"], f["iso"], f["global_id"])}
+        return {(int(m), int(i)): int(g)
+                for m, i, g in zip(f["mol"], f["iso"], f["global_id"])}
+
+
+def _global_ids(mol_id: int, iso_ids) -> list[int]:
+    """Map (molecule, local iso) to HITRAN global isotopologue ids."""
+    lut = _registry_lut()
     return [lut[(mol_id, int(i))] for i in iso_ids]
 
 
 def build_query_url(global_iso_ids, nu_min: float, nu_max: float,
                     host: str = HITRAN_HOST) -> str:
     """The reference's lbl/api GET URL (``misc/hapi.py:3130-3144``)."""
+    # the old-fashioned .par search (misc/hapi.py:3136-3140): NO
+    # head/fixwidth/sep flags — those belong to the custom request_params
+    # branch and would switch the payload to comma-separated rows that the
+    # fixed-column .par parser cannot read.
     params = {
         "iso_ids_list": ",".join(str(int(i)) for i in global_iso_ids),
         "numin": float(nu_min),
         "numax": float(nu_max),
-        "head": False,
-        "fixwidth": 0,
-        "sep": "[comma]",
     }
     return f"{host}/lbl/api?{urllib.parse.urlencode(params)}"
 

@@ -181,7 +181,14 @@ def write_par(store: LineStore, path: str) -> str:
         would otherwise overflow (HITRAN prints .0678, -.001234)."""
         s = f"{v:{width}.{decimals}f}"
         if len(s) > width:
-            s = s.replace("0.", ".", 1).rjust(width)
+            # drop ONLY a leading zero ("0.0678" -> ".0678"); an interior
+            # "0." (e.g. "10000.12") must not be touched — that silently
+            # rescales the value by 10x
+            t = s.lstrip()
+            if t.startswith("0."):
+                s = t[1:].rjust(width)
+            elif t.startswith("-0."):
+                s = ("-" + t[2:]).rjust(width)
         if len(s) > width:
             raise ValueError(f"value {v!r} does not fit F{width}.{decimals}")
         return s

@@ -178,7 +178,8 @@ def filter_mask(source, conditions) -> np.ndarray:
 def select(store: LineStore, conditions) -> LineStore:
     """Rows matching a boolean condition expression (hapi ``select``)."""
     mask = filter_mask(store, conditions)
-    return jax.tree.map(lambda a: a[np.nonzero(mask)[0]], store)
+    # LineStore.subset preserves the host-f64 line centers
+    return store.subset(np.nonzero(mask)[0])
 
 
 def sort(store: LineStore, by="nu", descending: bool = False) -> LineStore:
@@ -192,7 +193,7 @@ def sort(store: LineStore, by="nu", descending: bool = False) -> LineStore:
     order = np.lexsort(keys)
     if descending:
         order = order[::-1]
-    return jax.tree.map(lambda a: a[order], store)
+    return store.subset(order)
 
 
 def _seg_reduce(vals: np.ndarray, inv: np.ndarray, n_groups: int, how: str):

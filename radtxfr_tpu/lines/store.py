@@ -182,7 +182,8 @@ _PAR_FIELDS = {
 
 # hapi maps local iso id '0' to 10 (e.g. CO2 isotopologue 10); '11'/'12'
 # appear as alphanumeric in some lists — handled minimally here.
-_ISO_CHAR = {**{str(d): d for d in range(10)}, "0": 10, "A": 11, "B": 12}
+_ISO_CHAR = {**{str(d): d for d in range(10)}, "0": 10,
+             "A": 11, "a": 11, "B": 12, "b": 12}  # match the C++ parser
 
 
 def parse_par(path_or_lines, dtype=jnp.float64, native: bool = True) -> LineStore:

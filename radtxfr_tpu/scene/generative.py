@@ -34,16 +34,7 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
 
-def _f32_matmuls(fn):
-    """Trace-time guard: full float32 matmuls (the TPU default truncates to
-    bfloat16, degrading small-matrix statistics ~1e-3)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*a, **k):
-        with jax.default_matmul_precision("highest"):
-            return fn(*a, **k)
-    return wrapped
+from ..utils.precision import f32_matmuls as _f32_matmuls
 
 
 __all__ = [

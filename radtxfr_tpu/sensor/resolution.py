@@ -100,6 +100,22 @@ def apply_resample(idx, w, y):
     return jnp.sum(g * w.reshape(w.shape + (1,) * (y.ndim - 1)), axis=1)
 
 
+def _np_sym_smooth(x, sm: int, window: str):
+    """Host-side float64 forward+reverse smooth average — the reference's
+    reduceResolution pre-smoothing (radiative_transfer.py:1337-1340), shared
+    by reduce_resolution and reduce_operator so their semantics cannot
+    drift apart."""
+    w = _WINDOWS[window](sm)
+    w = w / w.sum()
+
+    def one(v):
+        s = np.r_[v[sm - 1:0:-1], v, v[-2:-sm - 1:-1]]
+        y = np.convolve(w, s, mode="valid")
+        return y[int(np.ceil(sm / 2 - 1)): y.size - int(np.floor(sm / 2))]
+
+    return 0.5 * (one(x) + one(x[::-1])[::-1])
+
+
 def reduce_resolution(X, Y, dX, N: int = 4, window: str = "hanning", X_out=None):
     """Smooth + resample to a coarser axis; reference semantics
     (``radiative_transfer.py:1327-1350``).
@@ -114,14 +130,7 @@ def reduce_resolution(X, Y, dX, N: int = 4, window: str = "hanning", X_out=None)
     # The axis is static: smooth it host-side in float64 (on a float32
     # backend, device-smoothing the axis can produce duplicate nodes that
     # break the interpolation stencil).
-    def np_smooth(x):
-        w = _WINDOWS[window](sm)
-        w = w / w.sum()
-        s = np.r_[x[sm - 1:0:-1], x, x[-2:-sm - 1:-1]]
-        y = np.convolve(w, s, mode="valid")
-        return y[int(np.ceil(sm / 2 - 1)): y.size - int(np.floor(sm / 2))]
-
-    x_sm = 0.5 * (np_smooth(X) + np_smooth(X[::-1])[::-1])
+    x_sm = _np_sym_smooth(X, sm, window)
     n_pts = int(np.ceil(N * (x_sm[-sm - 1] - x_sm[sm]) / dX)) + 1
     return_x = X_out is None
     if X_out is None:
@@ -197,15 +206,7 @@ def reduce_operator(X, dX, N: int = 4, window: str = "hanning",
     if window not in _WINDOWS:
         raise ValueError(f"window must be one of {sorted(_WINDOWS)}")
 
-    wv = _WINDOWS[window](sm)
-    wv = wv / wv.sum()
-
-    def np_smooth(x):
-        s = np.r_[x[sm - 1:0:-1], x, x[-2:-sm - 1:-1]]
-        y = np.convolve(wv, s, mode="valid")
-        return y[int(np.ceil(sm / 2 - 1)): y.size - int(np.floor(sm / 2))]
-
-    x_sm = 0.5 * (np_smooth(X) + np_smooth(X[::-1])[::-1])
+    x_sm = _np_sym_smooth(X, sm, window)
     return_default = X_out is None
     if X_out is None:
         n_pts = int(np.ceil(N * (x_sm[-sm - 1] - x_sm[sm]) / dX)) + 1
@@ -220,7 +221,7 @@ def reduce_operator(X, dX, N: int = 4, window: str = "hanning",
     m = 4 * sm + 17
     imp = np.zeros(m)
     imp[m // 2] = 1.0
-    resp = 0.5 * (np_smooth(imp) + np_smooth(imp[::-1])[::-1])
+    resp = _np_sym_smooth(imp, sm, window)
     K = resp[m // 2 - half: m // 2 + half + 1]
 
     # Composed rows: C[i, l] = sum_k w[i, k] * K[l - k].
