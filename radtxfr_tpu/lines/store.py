@@ -75,6 +75,11 @@ class IsoTables:
         )
 
 
+#: columns static planning reads (host cache keys; nu0 is always host f64)
+_HOST_PLANNING_FIELDS = ("sw", "elower", "gamma_air", "gamma_self", "n_air",
+                         "delta_air", "sd_air", "iso_row", "mol_id")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class LineStore:
@@ -94,6 +99,22 @@ class LineStore:
     def __len__(self) -> int:
         return int(self.nu0.shape[0])
 
+    def host_view(self) -> "LineStore":
+        """A LineStore whose leaves are host NumPy arrays, for static
+        planning.
+
+        Uses the host-side column cache populated at construction
+        (from_arrays / subset) when available — on remote-tunnel TPU
+        backends a device_get of the line columns can take MINUTES
+        (measured ~4 min for 100k lines), while the data was born on the
+        host in the first place. Falls back to one batched device_get.
+        """
+        host = getattr(self, "_host", None)
+        if host is not None and all(f in host for f in _HOST_PLANNING_FIELDS):
+            return dataclasses.replace(
+                self, nu0=np.asarray(self.nu0, dtype=np.float64), **host)
+        return jax.device_get(self)
+
     @property
     def n_lines(self) -> int:
         return int(self.nu0.shape[0])
@@ -108,9 +129,13 @@ class LineStore:
         (the exact failure mode the host-f64 ``nu0`` exists to prevent).
         All row-filtering must go through this method.
         """
+        host = {f: np.asarray(getattr(self, f))[keep]
+                for f in _HOST_PLANNING_FIELDS}
         sub = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[keep]), self)
-        return dataclasses.replace(
+        sub = dataclasses.replace(
             sub, nu0=np.asarray(self.nu0, dtype=np.float64)[keep])
+        object.__setattr__(sub, "_host", host)
+        return sub
 
     def select_band(self, nu_min: float, nu_max: float, margin: float = 0.0) -> "LineStore":
         """Host-side trim to lines within [nu_min - margin, nu_max + margin]."""
@@ -150,7 +175,10 @@ def from_arrays(
         gamma_self=gamma_self, n_air=n_air, delta_air=delta_air, sd_air=sd_air,
     )
     f = lambda a: jnp.asarray(np.asarray(a, dtype=np.float64)[order], dtype=dtype)
-    return LineStore(
+    host = {k: np.asarray(v, dtype=np.float64)[order] for k, v in cols.items()}
+    host["iso_row"] = iso_row[order]
+    host["mol_id"] = np.asarray(mol_id, dtype=np.int32)[order]
+    store = LineStore(
         # nu0 stays a HOST float64 array: the Pallas bucket plans decompose
         # line centers into exact (int grid index, fraction) pairs host-side,
         # and a float32 device copy would quantize centers by ~6e-5 cm^-1 —
@@ -162,6 +190,8 @@ def from_arrays(
         iso_row=jnp.asarray(iso_row[order]),
         mol_id=jnp.asarray(np.asarray(mol_id, dtype=np.int32)[order]),
     )
+    object.__setattr__(store, "_host", host)
+    return store
 
 
 # Fixed-column layout of the 160-char HITRAN2004+ .par record.

@@ -313,6 +313,20 @@ def _as_states(atmos_class):
     return list(atmos_class) if isinstance(atmos_class, (list, tuple)) else [atmos_class]
 
 
+def _host_planning_views(lines, iso, atmos_class):
+    """Host NumPy views of everything static planning reads.
+
+    Line columns come from the LineStore's construction-time host cache
+    (:meth:`~radtxfr_tpu.lines.store.LineStore.host_view`) — on a
+    remote-tunnel TPU backend pulling them back off the device measured
+    MINUTES at 100k lines, for data that was born on the host. The small
+    iso/atmosphere tables transfer in one batched device_get.
+    """
+    states = _as_states(atmos_class)
+    iso_h, states_h = jax.device_get((iso, states))
+    return lines.host_view(), iso_h, states_h
+
+
 def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
                     tile, two_pass, far_tile, far_block,
                     group_ratio, core_tile=None, core_block=16):
@@ -433,9 +447,10 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
     from ..kernels.pallas_xsect import UniformGrid, xsect_pallas
 
     g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
-    cols = jnp.asarray(_line_species_cols(lines, _as_states(atmos_class)[0].mol_ids))
+    lines_h, iso_h, states_h = _host_planning_views(lines, iso, atmos_class)
+    cols = jnp.asarray(_line_species_cols(lines_h, states_h[0].mol_ids))
     calls = _build_od_calls(
-        lines, iso, atmos_class, g, wing_abs=wing_abs, wing_hw=wing_hw,
+        lines_h, iso_h, states_h, g, wing_abs=wing_abs, wing_hw=wing_hw,
         max_groups=max_groups, tile=tile,
         two_pass=two_pass, far_tile=far_tile, far_block=far_block,
         group_ratio=group_ratio,
@@ -528,9 +543,10 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
     g = UniformGrid(x0=g0.x0, dx=g0.dx, n=n_pad)
     n_local = n_pad // n_shards
 
-    cols = jnp.asarray(_line_species_cols(lines, _as_states(atmos_class)[0].mol_ids))
+    lines_h, iso_h, states_h = _host_planning_views(lines, iso, atmos_class)
+    cols = jnp.asarray(_line_species_cols(lines_h, states_h[0].mol_ids))
     calls = _build_od_calls(
-        lines, iso, atmos_class, g, wing_abs=wing_abs, wing_hw=wing_hw,
+        lines_h, iso_h, states_h, g, wing_abs=wing_abs, wing_hw=wing_hw,
         max_groups=max_groups, tile=tile,
         two_pass=two_pass, far_tile=far_tile, far_block=far_block,
         group_ratio=group_ratio)

@@ -64,11 +64,14 @@ def make_od_sharded_lines_fn(lines, iso, grid, atmos_class, n_shards: int,
     g = UniformGrid(x0=g0.x0, dx=g0.dx, n=n_pad)
     n_local = n_pad // n_shards
 
-    nu0 = np.asarray(lines.nu0, dtype=np.float64)
-    cols_global = _line_species_cols(lines, _as_states(atmos_class)[0].mol_ids)
+    from .od import _host_planning_views
+
+    lines_h, iso_h, states_h = _host_planning_views(lines, iso, atmos_class)
+    nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
+    cols_global = _line_species_cols(lines_h, states_h[0].mol_ids)
 
     calls = _build_od_calls(
-        lines, iso, atmos_class, g, wing_abs=wing_abs, wing_hw=wing_hw,
+        lines_h, iso_h, states_h, g, wing_abs=wing_abs, wing_hw=wing_hw,
         max_groups=max_groups, tile=tile,
         two_pass=two_pass, far_tile=None, far_block=None,
         group_ratio=group_ratio)
@@ -90,16 +93,16 @@ def make_od_sharded_lines_fn(lines, iso, grid, atmos_class, n_shards: int,
         ]))
 
     line_cols = {
-        "nu0": stack_col(lines.nu0, 1.0e9),
-        "sw": stack_col(lines.sw, 0.0),
-        "elower": stack_col(lines.elower, 0.0),
-        "gamma_air": stack_col(lines.gamma_air, 1e-4),
-        "gamma_self": stack_col(lines.gamma_self, 1e-4),
-        "n_air": stack_col(lines.n_air, 0.5),
-        "delta_air": stack_col(lines.delta_air, 0.0),
-        "sd_air": stack_col(lines.sd_air, 0.0),
-        "iso_row": stack_col(np.asarray(lines.iso_row), np.int32(0)),
-        "mol_id": stack_col(np.asarray(lines.mol_id), np.int32(0)),
+        "nu0": stack_col(lines_h.nu0, 1.0e9),
+        "sw": stack_col(lines_h.sw, 0.0),
+        "elower": stack_col(lines_h.elower, 0.0),
+        "gamma_air": stack_col(lines_h.gamma_air, 1e-4),
+        "gamma_self": stack_col(lines_h.gamma_self, 1e-4),
+        "n_air": stack_col(lines_h.n_air, 0.5),
+        "delta_air": stack_col(lines_h.delta_air, 0.0),
+        "sd_air": stack_col(lines_h.sd_air, 0.0),
+        "iso_row": stack_col(np.asarray(lines_h.iso_row), np.int32(0)),
+        "mol_id": stack_col(np.asarray(lines_h.mol_id), np.int32(0)),
         "species_col": stack_col(cols_global, np.int32(0)),
     }
 
