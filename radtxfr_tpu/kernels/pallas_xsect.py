@@ -408,6 +408,99 @@ def _re_w_select(x, y, wei_a, wei_L, fast: bool = False):
                      _asym_re_w(x, y, fast))
 
 
+def _asym_K_grads(x, y, fast: bool = False):
+    """(K, dK/dx, dK/dy) of the Humlicek region-1 asymptotic form.
+
+    w_a(z) = -iz / (sqrt(pi) (0.5 - z^2)), so w_a' =
+    -i (0.5 + z^2) / (sqrt(pi) (0.5 - z^2)^2) — the derivative OF THE
+    APPROXIMATION, not the exact-Faddeeva identity applied to approximate
+    (K, L): the identity form K(1-2x^2+2y^2) + 4xyL - 2y/sqrt(pi) cancels
+    ~4 orders of magnitude in the far wing, where it amplifies the
+    approximation error into O(100%) tangent garbage (measured)."""
+    dr = 0.5 + y * y - x * x          # Re (0.5 - z^2)
+    di = -2.0 * x * y                 # Im (0.5 - z^2)
+    m2 = dr * dr + di * di
+    inv = _rcp(m2, fast)
+    K = _INV_SQRT_PI * (y * dr - x * di) * inv
+    nr = 0.5 + x * x - y * y          # Re (0.5 + z^2)
+    ni = -di                          # Im (0.5 + z^2) = 2xy
+    d2r = dr * dr - di * di
+    d2i = 2.0 * dr * di
+    inv2 = inv * inv                  # 1/|0.5 - z^2|^4
+    mr = nr * d2r + ni * d2i          # Re[(0.5+z^2) conj((0.5-z^2)^2)]
+    mi = ni * d2r - nr * d2i
+    return K, _INV_SQRT_PI * mi * inv2, _INV_SQRT_PI * mr * inv2
+
+
+def _weideman_K_grads(x, y, wei_a, wei_L, fast: bool = False):
+    """(K, dK/dx, dK/dy) of the Weideman rational series (|x| + y < 15).
+
+    w(z) = 2 P(Z)/e^2 + (1/sqrt(pi))/e with e = L - iz, Z = (L+iz)/(L-iz);
+    w' = i [4 L P'(Z)/e^4 + 4 P(Z)/e^3 + (1/sqrt(pi))/e^2], P' by a second
+    Horner accumulator. dK/dx = Re w' = -Im Q, dK/dy = -Im w' = -Re Q for
+    Q = -i w'."""
+    er, ei = wei_L + y, -x
+    inv_e = _rcp(er * er + ei * ei, fast)
+    ier, iei = er * inv_e, -ei * inv_e          # 1/e
+    nr, ni = wei_L - y, x
+    zr = (nr * er + ni * ei) * inv_e
+    zi = (ni * er - nr * ei) * inv_e
+    pr = jnp.full_like(zr, wei_a[0])
+    pi_ = jnp.zeros_like(zr)
+    qr = jnp.zeros_like(zr)
+    qi = jnp.zeros_like(zr)
+    for c in wei_a[1:]:
+        qr, qi = qr * zr - qi * zi + pr, qr * zi + qi * zr + pi_
+        pr, pi_ = pr * zr - pi_ * zi + c, pr * zi + pi_ * zr
+    i2r, i2i = ier * ier - iei * iei, 2.0 * ier * iei        # e^-2
+    i3r, i3i = i2r * ier - i2i * iei, i2r * iei + i2i * ier  # e^-3
+    i4r, i4i = i2r * i2r - i2i * i2i, 2.0 * i2r * i2i        # e^-4
+    K = 2.0 * (pr * i2r - pi_ * i2i) + _INV_SQRT_PI * ier
+    c4 = 4.0 * wei_L
+    Qr = (c4 * (qr * i4r - qi * i4i) + 4.0 * (pr * i3r - pi_ * i3i)
+          + _INV_SQRT_PI * i2r)
+    Qi = (c4 * (qr * i4i + qi * i4r) + 4.0 * (pr * i3i + pi_ * i3r)
+          + _INV_SQRT_PI * i2i)
+    return K, -Qi, -Qr
+
+
+def _voigt_w_KL(x, y, wei_a, wei_L, fast: bool = False):
+    """(Re w, Im w) with the hum1_wei region blend — the 'mix' mode needs
+    the imaginary part for the Rosenkranz asymmetry term (K + Y L)."""
+    # asymptotic branch
+    dr = 0.5 + y * y - x * x
+    di = -2.0 * x * y
+    inv = _INV_SQRT_PI * _rcp(dr * dr + di * di, fast)
+    Ka = (y * dr - x * di) * inv
+    La = -(x * dr + y * di) * inv
+    # Weideman branch
+    er, ei = wei_L + y, -x
+    inv_e = _rcp(er * er + ei * ei, fast)
+    nr, ni = wei_L - y, x
+    zr = (nr * er + ni * ei) * inv_e
+    zi = (ni * er - nr * ei) * inv_e
+    pr = jnp.full_like(zr, wei_a[0])
+    pi_ = jnp.zeros_like(zr)
+    for c in wei_a[1:]:
+        pr, pi_ = pr * zr - pi_ * zi + c, pr * zi + pi_ * zr
+    sr = er * er - ei * ei
+    si = 2.0 * er * ei
+    inv_s = _rcp(sr * sr + si * si, fast)
+    Kw = 2.0 * (pr * sr + pi_ * si) * inv_s + _INV_SQRT_PI * er * inv_e
+    Lw = 2.0 * (pi_ * sr - pr * si) * inv_s - _INV_SQRT_PI * ei * inv_e
+    in_core = (jnp.abs(x) + y) < REGION_BOUND
+    return jnp.where(in_core, Kw, Ka), jnp.where(in_core, Lw, La)
+
+
+def _voigt_K_grads(x, y, wei_a, wei_L, fast: bool = False):
+    """(K, dK/dx, dK/dy) with the hum1_wei region blend ('full' mode)."""
+    in_core = (jnp.abs(x) + y) < REGION_BOUND
+    Kw, Kxw, Kyw = _weideman_K_grads(x, y, wei_a, wei_L, fast)
+    Ka, Kxa, Kya = _asym_K_grads(x, y, fast)
+    return (jnp.where(in_core, Kw, Ka), jnp.where(in_core, Kxw, Kxa),
+            jnp.where(in_core, Kyw, Kya))
+
+
 def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L, fast: bool = False):
     """SD-Voigt profile value on a (BLOCK, TILE) block, real arithmetic.
 
@@ -567,6 +660,16 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                     prof = _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L,
                                           fast)
                     contrib = jnp.where(mask, strength * prof, 0.0)
+                elif mode == "mix":
+                    # first-order Rosenkranz: scale (K + Y L); the mixing
+                    # coefficient Y rides the spare g2 slot
+                    # (kernels/linemixing.py is the jnp contract)
+                    y_mix = g2_ref[0, l, :].reshape(block, 1)
+                    cte = _SQRT_LN2 / gd
+                    K, L = _voigt_w_KL((u - ds) * (dx * cte), g0 * cte,
+                                       wei_a, wei_L, fast)
+                    scale = strength * (_INV_SQRT_PI * cte)
+                    contrib = jnp.where(mask, scale * (K + y_mix * L), 0.0)
                 else:
                     cte = _SQRT_LN2 / gd
                     wr = _voigt_wr((u - ds) * (dx * cte), g0 * cte,
@@ -581,6 +684,117 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
     return kernel
 
 
+def _make_fused_jvp_kernel(tile: int, block: int, n_lay: int, dx: float,
+                           n_weideman: int, fast: bool = False):
+    """Layer-fused Voigt kernel computing primal AND directional derivative
+    in one pass (mode 'full' region blend).
+
+    (dK/dx, dK/dy) come from the region-consistent analytic derivatives of
+    each approximation (:func:`_voigt_K_grads` — NOT the exact-Faddeeva
+    identity, whose far-wing cancellation amplifies approximation error;
+    see :func:`_asym_K_grads`). The tangent of the per-line contribution
+    c = s * A * K (A = cte/sqrt(pi), cte = sqrt(ln2)/gamma_d,
+    x = (u - ds) dx cte, y = gamma_0 cte) w.r.t. (s, gamma_d, gamma_0, ds)
+    then costs ~2x the primal, not a finite difference of two full passes.
+    Wing-cutoff tangents are deliberately dropped (the window mask is
+    piecewise-constant — same convention as the reference's finite
+    differences and the jnp autodiff path, products/jacobian.py).
+    """
+    dx = np.float32(dx)
+    wei_L_f, wei_a_f = weideman_coeffs(n_weideman)
+    wei_a = tuple(np.float32(c) for c in wei_a_f)
+    wei_L = np.float32(wei_L_f)
+
+    def kernel(starts_ref, counts_ref, off_ref, k_ref, f0_ref,
+               ds_ref, s_ref, gd_ref, g0_ref, wu_ref,
+               dst_ref, st_ref, gdt_ref, g0t_ref,
+               tan_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            tan_ref[...] = jnp.zeros_like(tan_ref)
+
+        @pl.when(j < counts_ref[i])
+        def _accumulate():
+            k_line = k_ref[0, 0, :].reshape(block, 1)
+            frac0 = f0_ref[0, 0, :].reshape(block, 1)
+            k_grid = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+                      + i * tile + off_ref[0])
+            rel = (k_grid - k_line).astype(jnp.float32)
+            u = rel - frac0
+
+            def body(l, _):
+                ds = ds_ref[0, l, :].reshape(block, 1)
+                s = s_ref[0, l, :].reshape(block, 1)
+                gd = gd_ref[0, l, :].reshape(block, 1)
+                g0 = g0_ref[0, l, :].reshape(block, 1)
+                wingu = wu_ref[0, l, :].reshape(block, 1)
+                ds_t = dst_ref[0, l, :].reshape(block, 1)
+                s_t = st_ref[0, l, :].reshape(block, 1)
+                gd_t = gdt_ref[0, l, :].reshape(block, 1)
+                g0_t = g0t_ref[0, l, :].reshape(block, 1)
+
+                cte = _SQRT_LN2 / gd
+                x = (u - ds) * (dx * cte)
+                y = g0 * cte
+                K, Kx, Ky = _voigt_K_grads(x, y, wei_a, wei_L, fast)
+                A = _INV_SQRT_PI * cte
+                sA = s * A
+                tan = (s_t * A * K
+                       - gd_t * (sA / gd) * (K + x * Kx + y * Ky)
+                       + g0_t * (sA * cte) * Ky
+                       - ds_t * (sA * (dx * cte)) * Kx)
+                mask = (u > -wingu) & (u <= wingu)
+                tan_ref[0, l, :] += jnp.sum(jnp.where(mask, tan, 0.0), axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, n_lay, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def _xsect_fused_jvp_call(cfg, k_line, frac0, ds, strength, gd, g0, wingu,
+                          ds_t, s_t, gd_t, g0_t, starts, counts, offset,
+                          interpret=False):
+    tile, block, nb, nt, mb, n_out, dx, n_wei, _mode, fast = cfg
+    n_lay = strength.shape[1]
+    kernel = _make_fused_jvp_kernel(tile, block, n_lay, dx, n_wei, fast)
+
+    def line_map(i, j, starts_ref, counts_ref, off_ref):
+        return (jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt, mb),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, n_lay, block), line_map, memory_space=pltpu.VMEM)
+        ] * 9,
+        out_specs=pl.BlockSpec((1, n_lay, tile),
+                               lambda i, j, s, c, o: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    tan = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, n_lay, tile), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_lay * nt * mb * block * tile * _flops_per_eval(n_wei, "full"),
+            bytes_accessed=(nt * n_lay * tile * 4
+                            + nt * mb * n_lay * block * 9 * 4),
+            transcendentals=0,
+        ),
+    )(starts, counts, offset, k_line, frac0, ds, strength, gd, g0, wingu,
+      ds_t, s_t, gd_t, g0_t)
+    return tan.transpose(1, 0, 2).reshape(n_lay, nt * tile)[:, :n_out]
+
+
 def _flops_per_eval(n_wei: int, mode: str) -> int:
     """Per-(line, nu-point) flop estimate for the XLA scheduler: the
     Weideman series is ~8 flops/term (complex Horner), the asymptotic form
@@ -588,6 +802,42 @@ def _flops_per_eval(n_wei: int, mode: str) -> int:
     if mode == "asym":
         return 12 + 40
     return 8 * n_wei + 40
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 11))
+def xsect_fused_voigt_diff(cfg, k_line, frac0, ds, strength, gd, g0, wingu,
+                           starts, counts, offset, interpret=False):
+    """Differentiable fused Voigt call (mode 'full'): the primal is the
+    ordinary kernel; the JVP runs the paired primal+tangent kernel
+    (:func:`_make_fused_jvp_kernel`) so Jacobians get the fast path instead
+    of falling back to the jnp engine. Tangents flow through
+    (ds, strength, gamma_d, gamma_0); wing-cutoff tangents are dropped
+    (piecewise-constant window, as in the reference's finite differences)."""
+    g2 = jnp.ones_like(strength)
+    s0 = jnp.zeros_like(ds)
+    return _xsect_fused_call(cfg, k_line, frac0, ds, strength, gd, g0, g2,
+                             s0, wingu, starts, counts, offset,
+                             interpret=interpret)
+
+
+@xsect_fused_voigt_diff.defjvp
+def _xsect_fused_voigt_diff_jvp(cfg, interpret, primals, tangents):
+    k_line, frac0, ds, s, gd, g0, wingu, starts, counts, offset = primals
+    _, _, ds_t, s_t, gd_t, g0_t, _, _, _, _ = tangents
+    f32z = lambda t, p: (jnp.zeros_like(p)
+                         if getattr(t, "dtype", None) == jax.dtypes.float0
+                         else t)
+    # primal via the plain kernel, tangent via the tangent-only kernel:
+    # under jacfwd's vmap over tangent directions the primal stays
+    # unbatched (a fused primal+tangent call would batch the primal output
+    # and break jacfwd's out_axes=None contract)
+    out = xsect_fused_voigt_diff(cfg, k_line, frac0, ds, s, gd, g0, wingu,
+                                 starts, counts, offset, interpret)
+    tan = _xsect_fused_jvp_call(
+        cfg, k_line, frac0, ds, s, gd, g0, wingu,
+        f32z(ds_t, ds), f32z(s_t, s), f32z(gd_t, gd), f32z(g0_t, g0),
+        starts, counts, offset, interpret=interpret)
+    return out, tan
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
@@ -687,7 +937,7 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
                  fused_layers: bool = False, starts=None, counts=None,
                  k_offset=None, n_tiles: int | None = None,
                  n_out: int | None = None, k_line=None, frac0=None,
-                 fast_rcp: bool = False):
+                 fast_rcp: bool = False, differentiable: bool = False):
     """Evaluate layered spectra with the Pallas kernel.
 
     Parameters
@@ -748,25 +998,38 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
             k_offset = jnp.zeros((1,), dtype=jnp.int32)
         else:
             k_offset = jnp.asarray(k_offset, dtype=jnp.int32).reshape(1)
-        g2 = f32(params.gamma_2)
-        s0 = f32(params.shift0)
-        out = _xsect_fused_call(
-            cfg,
-            k_line,
-            frac0,
-            pad(ds, 0.0),
-            pad(strength, 0.0),
-            pad(gd, 1.0),
-            pad(g0, 1.0),
-            pad(g2, 1.0),
-            pad(s0, 0.0),
-            pad(wingu, 0.0),
-            starts, counts, k_offset,
-            interpret=interpret,
-        )
+        if differentiable:
+            if mode != "full":
+                raise ValueError(
+                    "differentiable=True supports the single-pass 'full' "
+                    "Voigt mode only (build plans with two_pass=False)")
+            out = xsect_fused_voigt_diff(
+                cfg, k_line, frac0,
+                pad(ds, 0.0), pad(strength, 0.0), pad(gd, 1.0),
+                pad(g0, 1.0), pad(wingu, 0.0),
+                starts, counts, k_offset, interpret)
+        else:
+            g2 = f32(params.gamma_2)
+            s0 = f32(params.shift0)
+            out = _xsect_fused_call(
+                cfg,
+                k_line,
+                frac0,
+                pad(ds, 0.0),
+                pad(strength, 0.0),
+                pad(gd, 1.0),
+                pad(g0, 1.0),
+                pad(g2, 1.0),
+                pad(s0, 0.0),
+                pad(wingu, 0.0),
+                starts, counts, k_offset,
+                interpret=interpret,
+            )
     else:
         if k_offset is not None:
             raise ValueError("k_offset requires fused_layers=True")
+        if differentiable:
+            raise ValueError("differentiable=True requires fused_layers=True")
         if gth is None:
             pad = lambda a, fill: _pad_layered(a, nb, block, fill)
         else:

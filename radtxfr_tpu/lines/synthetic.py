@@ -27,8 +27,14 @@ def synthetic_lines(
     species=_DEFAULT_SPECIES,
     seed: int = 0,
     dtype=jnp.float64,
+    sd_zero_frac: float = 0.0,
 ) -> LineStore:
-    """Generate ``n_lines`` synthetic lines with HITRAN-plausible parameters."""
+    """Generate ``n_lines`` synthetic lines with HITRAN-plausible parameters.
+
+    ``sd_zero_frac`` sets the fraction of lines with ``sd_air == 0`` (real
+    HITRAN tables carry SD parameters only for a subset of lines; the
+    SD-Voigt production path routes such lines through the Voigt kernels).
+    """
     rng = np.random.default_rng(seed)
     nu0 = rng.uniform(nu_min, nu_max, n_lines)
     # Intensities log-uniform over ~6 decades, peaking near typical LWIR H2O.
@@ -39,6 +45,8 @@ def synthetic_lines(
     n_air = rng.uniform(0.4, 0.8, n_lines)
     delta_air = rng.normal(0.0, 0.005, n_lines)
     sd_air = rng.uniform(0.05, 0.15, n_lines)  # typical Gamma2/Gamma0 ratios
+    if sd_zero_frac > 0.0:
+        sd_air[rng.random(n_lines) < sd_zero_frac] = 0.0
     k = rng.integers(0, len(species), n_lines)
     mol_id = np.array([species[i][0] for i in k], dtype=np.int32)
     iso_id = np.array([species[i][1] for i in k], dtype=np.int32)

@@ -8,11 +8,15 @@ framework differentiates the physics instead: ``jax.jacfwd`` over the
 single traced computation — one of the places a TPU-native rewrite is
 qualitatively better, not just faster.
 
-The differentiated path is the jnp line-by-line engine (the Pallas kernel is
-a forward-only fast path). Wing cutoffs are held fixed at the linearization
-point: the hapi window mask is piecewise-constant in (T, p), so its
-derivative is zero almost everywhere and ignoring it matches the reference's
-finite-difference convention for small steps.
+Two engines: the jnp line-by-line engine (dtype-polymorphic autodiff) and
+the Pallas kernel with an analytic ``jax.custom_jvp`` (tangents w.r.t.
+strength/gamma_d/gamma_0/shift flow through the Faddeeva identity
+w' = -2 z w + 2i/sqrt(pi) in a paired primal+tangent kernel) — so
+production-resolution Jacobians run at kernel speed. In both, wing cutoffs
+are held fixed at the linearization point: the hapi window mask is
+piecewise-constant in (T, p), so its derivative is zero almost everywhere
+and ignoring it matches the reference's finite-difference convention for
+small steps.
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ def tud_with_jacobian(
     n_angles: int = 30,
     chunk: int = 512,
     tangent_batch: int | None = None,
+    engine: str = "jnp",
 ):
     """TUD products and their Jacobian w.r.t. per-layer state variables.
 
@@ -53,6 +58,10 @@ def tud_with_jacobian(
         all nLayers). jacfwd memory scales with tangents x grid x layers —
         at production grids all 66 tangents can exceed HBM; 8-16 keeps the
         Jacobian streaming at a small wall-clock cost.
+    engine : 'jnp' (dtype-polymorphic autodiff path) or 'pallas' — the
+        bucketed kernel with its analytic custom JVP
+        (:func:`radtxfr_tpu.kernels.pallas_xsect.xsect_fused_voigt_diff`),
+        giving production-resolution Jacobians the fast path.
 
     Returns
     -------
@@ -66,13 +75,23 @@ def tud_with_jacobian(
     cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
     mol_col = {m: i for i, m in enumerate(atmos.mol_ids)}
 
-    def forward(T, vmr):
-        def one_layer(layer):
-            T_l, p_l, pl_l, vmr_l = layer
-            return compute_od_layer(lines, iso, grid, T_l, p_l, pl_l, vmr_l,
-                                    cols, chunk=chunk)
+    od_fn = None
+    if engine == "pallas":
+        from .od import make_od_pallas_fn
 
-        od = jax.lax.map(one_layer, (T, atmos.p, atmos.pl, vmr))
+        od_fn = make_od_pallas_fn(lines, iso, np.asarray(grid), atmos,
+                                  differentiable=True)
+
+    def forward(T, vmr):
+        if od_fn is not None:
+            od = od_fn(T, atmos.p, atmos.pl, vmr)
+        else:
+            def one_layer(layer):
+                T_l, p_l, pl_l, vmr_l = layer
+                return compute_od_layer(lines, iso, grid, T_l, p_l, pl_l,
+                                        vmr_l, cols, chunk=chunk)
+
+            od = jax.lax.map(one_layer, (T, atmos.p, atmos.pl, vmr))
         B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
         tud = tud_from_od(grid, od, B, atmos.z0, altitudes, mu=mu,
                           n_angles=n_angles)

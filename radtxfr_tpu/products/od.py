@@ -31,7 +31,9 @@ from ..kernels.lineparams import compute_line_params
 from ..kernels.xsect import xsect_from_params
 from ..lines.store import IsoTables, LineStore
 
-__all__ = ["species_column", "compute_od_layer", "compute_od_layers"]
+__all__ = ["species_column", "compute_od_layer", "compute_od_layers",
+           "make_od_pallas_fn", "make_xsect_pallas_fn",
+           "make_od_pallas_local_fn", "make_od_plan"]
 
 
 def species_column(p_pa, T, pl_km, vmr):
@@ -119,25 +121,72 @@ def compute_od_layers(
     engine: str = "jnp",
     plan=None,
     pallas_opts: dict | None = None,
+    continuum: str = "none",
+    continuum_factors=None,
+    line_mixing: dict | None = None,
 ):
     """(nL, nX) optical-depth tensor for a layered atmosphere.
 
     ``engine='jnp'``: chunked lines x nu evaluation under ``lax.map`` over
     layers (dtype-polymorphic, any profile — the correctness path).
     ``engine='pallas'``: the bucketed TPU kernel
-    (:mod:`radtxfr_tpu.kernels.pallas_xsect`) — float32, Voigt only, fastest.
-    Pass a prebuilt ``plan`` (:func:`make_od_plan`) to amortize bucketing.
+    (:mod:`radtxfr_tpu.kernels.pallas_xsect`) — float32, Voigt/SD-Voigt,
+    fastest. Pass a prebuilt ``plan`` (:func:`make_od_plan`) to amortize
+    bucketing.
+
+    ``continuum``: additive continuum model name (default ``'none'`` — the
+    hapi-parity setting; ``'mt_ckd'`` matches the reference's LBLRTM
+    ``ICNTNM=6`` production configuration, ``radiative_transfer.py:622``).
+    ``continuum_factors`` follows the 7-element TAPE5 record-1.2a scale
+    convention (``radiative_transfer.py:658-660``).
     """
     if engine == "pallas":
-        return _od_layers_pallas(
+        opts = dict(pallas_opts or {})
+        if line_mixing is not None:
+            opts.setdefault("line_mixing", line_mixing)
+        od = _od_layers_pallas(
             lines, iso, grid, atmos, profile=profile, wing_abs=wing_abs,
-            wing_hw=wing_hw, plan=plan, **(pallas_opts or {}),
+            wing_hw=wing_hw, plan=plan, **opts,
         )
-    cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
-    return _od_layers_jit(
-        lines, iso, jnp.asarray(grid), atmos.T, atmos.p, atmos.pl, atmos.vmr,
-        cols, profile, float(wing_abs), float(wing_hw), int(chunk), tuple(atmos.mol_ids),
-    )
+    elif line_mixing is not None:
+        if profile != "voigt":
+            raise NotImplementedError("line mixing composes with Voigt only")
+        from ..kernels.linemixing import mixing_coefficient, xsect_voigt_mixing
+
+        cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
+        y_air = jnp.asarray(np.asarray(line_mixing["y_air"]))
+        y_self_arr = line_mixing.get("y_self")
+        y_self = None if y_self_arr is None else jnp.asarray(np.asarray(y_self_arr))
+        n_T = float(line_mixing.get("n_T", 0.75))
+        gridj = jnp.asarray(grid)
+
+        def one(args):
+            T_l, p_l, pl_l, vmr_l = args
+            p_atm = p_l / PA_PER_ATM
+            u = species_column(p_l, T_l, pl_l, vmr_l)
+            prm = compute_line_params(
+                lines, iso, T_l, p_atm, vmr_self=vmr_l[cols],
+                wing_abs=wing_abs, wing_hw=wing_hw, strength_scale=u[cols])
+            Y = mixing_coefficient(y_air, p_atm, T_l, y_self=y_self,
+                                   x_self=vmr_l[cols], n_T=n_T)
+            return xsect_voigt_mixing(gridj, prm, Y, chunk=chunk)
+
+        od = jax.lax.map(one, (atmos.T, atmos.p, atmos.pl, atmos.vmr))
+    else:
+        cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
+        od = _od_layers_jit(
+            lines, iso, jnp.asarray(grid), atmos.T, atmos.p, atmos.pl,
+            atmos.vmr, cols, profile, float(wing_abs), float(wing_hw),
+            int(chunk), tuple(atmos.mol_ids),
+        )
+    if continuum != "none":
+        from ..atmos.continuum import continuum_od
+
+        nu = grid.values() if hasattr(grid, "values") else np.asarray(grid)
+        od = od + continuum_od(
+            jnp.asarray(nu, dtype=od.dtype), atmos, model=continuum,
+            continuum_factors=continuum_factors).astype(od.dtype)
+    return od
 
 
 def layer_line_params(lines, iso, atmos, species_cols, wing_abs=0.0,
@@ -329,12 +378,22 @@ def _host_planning_views(lines, iso, atmos_class):
 
 def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
                     tile, two_pass, far_tile, far_block,
-                    group_ratio, core_tile=None, core_block=16):
+                    group_ratio, core_tile=None, core_block=16,
+                    profile: str = "voigt", mix_idx=None):
     """The static (layer-group x wing-class [+ core]) call decomposition.
 
     ``atmos_class`` may be a single representative state or a list of
     envelope states (e.g. the coldest and hottest ensemble members); wing
     bounds are taken elementwise over all of them.
+
+    ``profile='sdvoigt'`` splits the line list host-side: lines with a
+    nonzero speed-dependence ratio (``sd_air``) get dedicated
+    ``mode='sdvoigt'`` kernel calls (the full pcqsdhc SD-Voigt block), while
+    ``sd_air == 0`` lines route through the ordinary Voigt passes — exactly
+    the hapi contract, where ``Gamma2 == 0`` reduces ``pcqsdhc`` to the
+    Voigt profile at the shifted center (``misc/hapi.py:10117-10129``; the
+    reference's production SD-Voigt workload is
+    ``misc/RT_gen_AbsXS_files.py:87-92``).
     """
     from ..kernels.pallas_xsect import plan_buckets_packed
 
@@ -343,22 +402,73 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
                                   wing_hw=wing_hw) for s in states], axis=0)
     nu0 = np.asarray(lines.nu0, dtype=np.float64)
 
+    if profile == "sdvoigt":
+        sd_mask = np.asarray(lines.sd_air, dtype=np.float64) != 0.0
+        special = [(np.nonzero(sd_mask)[0], "sdvoigt")]
+        v_mask = ~sd_mask
+    elif profile == "voigt":
+        special = []
+        v_mask = np.ones(nu0.size, dtype=bool)
+    else:
+        raise NotImplementedError(
+            f"pallas engine implements profiles 'voigt' and 'sdvoigt', "
+            f"got {profile!r}")
+    if mix_idx is not None and len(mix_idx):
+        if profile != "voigt":
+            raise NotImplementedError("line mixing composes with Voigt only")
+        mix_idx = np.sort(np.asarray(mix_idx, dtype=np.int64))
+        special.append((mix_idx, "mix"))
+        v_mask[mix_idx] = False
+    v_idx = np.nonzero(v_mask)[0]
+
     wing_mode = "asym" if two_pass else "full"
     # The asym wing passes are ~12 flops/eval — grid-step overhead bound —
     # so they get bigger tiles/blocks than the flop-heavy core pass.
     f_tile = far_tile or (2 * tile if two_pass else tile)
     f_block = far_block or "auto"
     calls = []  # (layer_idx jnp, line_idx jnp, plan, mode)
-    all_lines = jnp.arange(nu0.size)
-    lay_groups = group_by_wing(W.max(axis=1), max_groups=max_groups,
+
+    for s_idx, s_mode in special:
+        if not s_idx.size:
+            continue
+        # Special-profile lines (SD-Voigt pcqsdhc / Rosenkranz mixing):
+        # single-pass dense evaluation over each line's own wing window
+        # (no exact cheap far-wing split like the Voigt asym/core
+        # decomposition applies to these forms).
+        W_s = W[:, s_idx]
+        # VMEM guard: the kernels hold ~15 dense (block x tile) f32
+        # intermediates live; cap block so block*tile stays ~256K elements
+        # (wing_abs-dominated workloads want wide tiles — 8192 at 350 cm^-1
+        # wings — which would otherwise pair with density-driven blocks of
+        # 256 and spill ~200 MB of registers; measured on v5e).
+        blk_cap = max(8, ((1 << 18) // tile) // 8 * 8)
+        for lay_idx, _ in group_by_wing(W_s.max(axis=1),
+                                        max_groups=max_groups,
+                                        ratio=group_ratio):
+            lay_idx = np.sort(lay_idx)
+            w_line = W_s[lay_idx].max(axis=0)
+            plan = plan_buckets_packed(nu0[s_idx], g, w_line, tile=tile,
+                                       block="auto")
+            if plan.block > blk_cap:
+                plan = plan_buckets_packed(nu0[s_idx], g, w_line, tile=tile,
+                                           block=blk_cap)
+            calls.append((jnp.asarray(lay_idx), jnp.asarray(s_idx),
+                          plan, s_mode))
+
+    if not v_idx.size:
+        return calls
+    nu0_v = nu0[v_idx]
+    W_v = W[:, v_idx]
+    v_lines = jnp.asarray(v_idx)
+    lay_groups = group_by_wing(W_v.max(axis=1), max_groups=max_groups,
                                ratio=group_ratio)
     for lay_idx, _ in lay_groups:
         # Per-line wing bounds over the group's layers: packed planning
         # places each line only in the tiles its OWN wing touches, so no
         # wing-class partitioning (and its class-max inflation) is needed.
-        w_line = W[np.sort(lay_idx)].max(axis=0)            # (L,)
-        plan = plan_buckets_packed(nu0, g, w_line, tile=f_tile, block=f_block)
-        calls.append((jnp.asarray(np.sort(lay_idx)), all_lines,
+        w_line = W_v[np.sort(lay_idx)].max(axis=0)          # (Lv,)
+        plan = plan_buckets_packed(nu0_v, g, w_line, tile=f_tile, block=f_block)
+        calls.append((jnp.asarray(np.sort(lay_idx)), v_lines,
                       plan, wing_mode))
     if two_pass:
         # Core pass: the Weideman region spans only a few tens of grid
@@ -373,11 +483,12 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
         # v5e: narrow tiles starve the pipeline; block 16 beats 32+.
         from ..kernels.faddeeva import REGION_BOUND
 
-        y_lo = np.min([core_y_matrix(lines, iso, s) for s in states], axis=0)
+        y_lo = np.min([core_y_matrix(lines, iso, s) for s in states],
+                      axis=0)[:, v_idx]
         w_line = np.max([core_wing_per_line(lines, iso, s) for s in states],
-                        axis=0)
+                        axis=0)[v_idx]
         y_thresh = REGION_BOUND * 1.25
-        ovh_pairs = 0.04 * W.shape[0] * nu0.size   # ~per-call fixed cost
+        ovh_pairs = 0.04 * W.shape[0] * nu0_v.size  # ~per-call fixed cost
         segs = []  # (lay_idx, line_mask)
         for lay_idx, _ in lay_groups:
             lay_idx = np.sort(lay_idx)
@@ -394,17 +505,17 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
                     continue
             segs.append((lay_idx, m))
         for lay_idx, m in segs:
-            cls_idx = np.nonzero(m)[0]
-            w_sub = w_line[cls_idx]
+            cls_local = np.nonzero(m)[0]
+            w_sub = w_line[cls_local]
             w_core = float(w_sub.max())
             seg_tile = core_tile
             if seg_tile is None:
                 seg_tile = _pow2_tile(int(np.ceil(2.0 * w_core / g.dx)),
                                       lo=256, hi=min(512, max(256, tile)))
-            core_plan = plan_buckets_packed(nu0[cls_idx], g, w_sub,
+            core_plan = plan_buckets_packed(nu0_v[cls_local], g, w_sub,
                                             tile=seg_tile, block=core_block)
-            calls.append((jnp.asarray(np.sort(lay_idx)), jnp.asarray(cls_idx),
-                          core_plan, "core"))
+            calls.append((jnp.asarray(np.sort(lay_idx)),
+                          jnp.asarray(v_idx[cls_local]), core_plan, "core"))
     return calls
 
 
@@ -414,7 +525,11 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
                       two_pass: bool = True, far_tile: int | None = None,
                       far_block: int | None = None, group_ratio: float = 4.0,
                       core_tile: int | None = None,
-                      core_block: int = 16, fast_rcp: bool = True):
+                      core_block: int = 16, fast_rcp: bool = True,
+                      profile: str = "voigt",
+                      continuum: str = "none", continuum_factors=None,
+                      differentiable: bool = False,
+                      line_mixing: dict | None = None):
     """Build a jitted (T, p_pa, pl, vmr) -> (nL, nX) OD function with static
     Pallas bucket plans baked in.
 
@@ -446,6 +561,25 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
     """
     from ..kernels.pallas_xsect import UniformGrid, xsect_pallas
 
+    if differentiable:
+        if profile != "voigt" or line_mixing is not None:
+            raise NotImplementedError(
+                "differentiable Pallas OD supports the plain Voigt profile; "
+                "sdvoigt/mixing Jacobians ride the jnp engine")
+        # the analytic JVP kernel implements the single-pass 'full' blend
+        two_pass = False
+
+    mix_idx = None
+    y_air = y_self = None
+    n_T = 0.75
+    if line_mixing is not None:
+        y_air = np.asarray(line_mixing["y_air"], dtype=np.float64)
+        y_self_arr = line_mixing.get("y_self")
+        y_self = (None if y_self_arr is None
+                  else jnp.asarray(np.asarray(y_self_arr)))
+        n_T = float(line_mixing.get("n_T", 0.75))
+        mix_idx = np.nonzero(y_air != 0.0)[0]
+
     g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
     lines_h, iso_h, states_h = _host_planning_views(lines, iso, atmos_class)
     cols = jnp.asarray(_line_species_cols(lines_h, states_h[0].mol_ids))
@@ -454,10 +588,16 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
         max_groups=max_groups, tile=tile,
         two_pass=two_pass, far_tile=far_tile, far_block=far_block,
         group_ratio=group_ratio,
-        core_tile=core_tile, core_block=core_block)
+        core_tile=core_tile, core_block=core_block, profile=profile,
+        mix_idx=mix_idx)
+    cont = _make_continuum_term(g, states_h[0].mol_ids, continuum,
+                                continuum_factors)
+    y_air_j = None if y_air is None else jnp.asarray(y_air)
 
     @jax.jit
     def od_fn(T, p_pa, pl, vmr):
+        import dataclasses as _dc
+
         p_atm = p_pa / PA_PER_ATM
 
         def one(T_l, p_l, pl_l, vmr_l):
@@ -465,9 +605,115 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
             return compute_line_params(
                 lines, iso, T_l, p_l, vmr_self=vmr_l[cols],
                 wing_abs=wing_abs, wing_hw=wing_hw, strength_scale=u[cols],
+                profile=profile,
             )
 
         params = jax.vmap(one)(T, p_atm, pl, vmr)
+        params_mix = None
+        if y_air_j is not None:
+            from ..kernels.linemixing import mixing_coefficient
+
+            Y = jax.vmap(lambda T_l, p_l, vmr_l: mixing_coefficient(
+                y_air_j, p_l, T_l, y_self=y_self,
+                x_self=vmr_l[cols], n_T=n_T))(T, p_atm, vmr)
+            # Y rides the kernel's spare gamma_2 slot in 'mix' mode
+            params_mix = _dc.replace(params, gamma_2=Y.astype(params.gamma_2.dtype))
+        out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
+        sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
+        for lay_idx, cls_idx, plan, mode in calls:
+            src = params_mix if mode == "mix" else params
+            out = out.at[lay_idx].add(
+                xsect_pallas(plan, sub(src, lay_idx, cls_idx),
+                             n_weideman=n_weideman, mode=mode,
+                             fused_layers=True, fast_rcp=fast_rcp,
+                             differentiable=differentiable))
+        if cont is not None:
+            out = out + cont(T, p_pa, pl, vmr)
+        return out
+
+    return od_fn
+
+
+def _make_continuum_term(g, mol_ids, continuum, continuum_factors,
+                         n_local=None):
+    """Optional per-layer continuum-OD term for the Pallas OD builders.
+
+    Returns ``fn(T, p_pa, pl, vmr, k_offset=0) -> (nLay, n_local) float32``
+    or None. ``n_local``/``k_offset`` select a contiguous grid slice
+    (spectrum-sharded builders pass the shard's width and traced offset).
+    """
+    if continuum == "none":
+        return None
+    from ..atmos.continuum import CONTINUUM_MODELS
+
+    cfn = CONTINUUM_MODELS[continuum]
+    cf = (jnp.ones(7) if continuum_factors is None
+          else jnp.asarray(continuum_factors, dtype=jnp.float32))
+    if cf.shape != (7,):
+        raise ValueError("continuum_factors must have 7 elements")
+    n = g.n if n_local is None else n_local
+    mol_ids = tuple(mol_ids)
+
+    def term(T, p_pa, pl, vmr, k_offset=0):
+        # continuum coefficients are smooth — a float32 axis is plenty
+        k = (jnp.asarray(k_offset, dtype=jnp.float32)
+             + jnp.arange(n, dtype=jnp.float32))
+        nu = jnp.float32(g.x0) + jnp.float32(g.dx) * k
+        one = lambda T_l, p_l, pl_l, vmr_l: cfn(nu, T_l, p_l, vmr_l,
+                                                mol_ids, pl_l, cf)
+        return jax.vmap(one)(T, p_pa, pl, vmr).astype(jnp.float32)
+
+    return term
+
+
+def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
+                         profile: str = "voigt", wing_abs=0.0, wing_hw=50.0,
+                         max_groups: int = 8, tile: int = 512,
+                         n_weideman: int = 16, two_pass: bool = True,
+                         group_ratio: float = 4.0, fast_rcp: bool = True):
+    """Build a jitted (T_states, p_atm_states) -> (nStates, nX) cross-section
+    function [cm^2/molec] on the Pallas engine.
+
+    This is the production path for the reference's XS-table generator
+    (``misc/RT_gen_AbsXS_files.py:15-31,87-92``: a (T, p) lattice of
+    SD-Voigt cross-sections at 0.0025 cm^-1 with 350 cm^-1 absolute wings).
+    The thermodynamic *states play the role of layers* in the fused kernel —
+    the whole lattice evaluates in one set of kernel launches. HITRAN units:
+    no column-density factor is folded into the strengths (hapi
+    ``HITRAN_units=True``); ``vmr_self=0`` matches hapi's default
+    ``Diluent={'air': 1}``.
+
+    ``T_class/p_atm_class`` are concrete envelope state arrays used for the
+    static wing planning; the returned function accepts traced arrays of the
+    same length whose wings stay within the envelope.
+    """
+    from ..atmos.profile import AtmosphericState
+    from ..kernels.pallas_xsect import UniformGrid, xsect_pallas
+
+    g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
+    T_c = np.asarray(T_class, dtype=np.float64).ravel()
+    p_c = np.asarray(p_atm_class, dtype=np.float64).ravel()
+    mol_ids = tuple(int(m) for m in np.unique(np.asarray(lines.mol_id)))
+    pseudo = AtmosphericState(
+        z0=jnp.zeros(T_c.size), z1=jnp.ones(T_c.size), pl=jnp.ones(T_c.size),
+        p=jnp.asarray(p_c * PA_PER_ATM), T=jnp.asarray(T_c),
+        vmr=jnp.zeros((T_c.size, len(mol_ids))), mol_ids=mol_ids,
+    )
+    lines_h, iso_h, states_h = _host_planning_views(lines, iso, pseudo)
+    calls = _build_od_calls(
+        lines_h, iso_h, states_h, g, wing_abs=wing_abs, wing_hw=wing_hw,
+        max_groups=max_groups, tile=tile, two_pass=two_pass,
+        far_tile=None, far_block=None, group_ratio=group_ratio,
+        profile=profile)
+
+    @jax.jit
+    def xs_fn(T, p_atm):
+        def one(T_l, p_l):
+            return compute_line_params(
+                lines, iso, T_l, p_l, vmr_self=0.0,
+                wing_abs=wing_abs, wing_hw=wing_hw, profile=profile)
+
+        params = jax.vmap(one)(T, p_atm)
         out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
         sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
         for lay_idx, cls_idx, plan, mode in calls:
@@ -477,16 +723,22 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
                              fused_layers=True, fast_rcp=fast_rcp))
         return out
 
-    return od_fn
+    return xs_fn
 
 
 def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
                       wing_abs=0.0, wing_hw=50.0, plan=None, **pallas_opts):
     from ..kernels.pallas_xsect import UniformGrid, plan_buckets, xsect_pallas
 
-    if profile != "voigt":
-        raise NotImplementedError("pallas engine currently implements Voigt only")
+    if profile not in ("voigt", "sdvoigt"):
+        raise NotImplementedError(
+            "pallas engine implements 'voigt' and 'sdvoigt'; use engine='jnp' "
+            f"for {profile!r}")
     if plan is not None:
+        if profile != "voigt":
+            raise ValueError(
+                "prebuilt plan= supports Voigt only; sdvoigt needs the "
+                "per-profile call split of make_od_pallas_fn(profile=...)")
         # With a prebuilt plan only kernel-eval options apply; plan-building
         # options would be silently ignored, so reject them loudly.
         eval_opts = {k: pallas_opts.pop(k) for k in
@@ -501,7 +753,7 @@ def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
         params = layer_line_params(lines, iso, atmos, cols,
                                    wing_abs=wing_abs, wing_hw=wing_hw)
         return xsect_pallas(plan, params, **eval_opts)
-    fn = make_od_pallas_fn(lines, iso, grid, atmos,
+    fn = make_od_pallas_fn(lines, iso, grid, atmos, profile=profile,
                            wing_abs=wing_abs, wing_hw=wing_hw, **pallas_opts)
     return fn(atmos.T, atmos.p, atmos.pl, atmos.vmr)
 
@@ -511,7 +763,9 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
                             tile: int = 512, n_weideman: int = 16,
                             two_pass: bool = True, far_tile: int | None = None,
                             far_block: int | None = None,
-                            group_ratio: float = 1.6, fast_rcp: bool = True):
+                            group_ratio: float = 1.6, fast_rcp: bool = True,
+                            profile: str = "voigt",
+                            continuum: str = "none", continuum_factors=None):
     """SPMD building block: per-shard OD over a spectrum-sharded grid.
 
     All shards run the *same* program (one set of static bucket plans built
@@ -549,7 +803,9 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
         lines_h, iso_h, states_h, g, wing_abs=wing_abs, wing_hw=wing_hw,
         max_groups=max_groups, tile=tile,
         two_pass=two_pass, far_tile=far_tile, far_block=far_block,
-        group_ratio=group_ratio)
+        group_ratio=group_ratio, profile=profile)
+    cont = _make_continuum_term(g, states_h[0].mol_ids, continuum,
+                                continuum_factors, n_local=n_local)
 
     spec_data = []
     for _, _, plan, _ in calls:
@@ -571,6 +827,7 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
             return compute_line_params(
                 lines, iso, T_l, p_l, vmr_self=vmr_l[cols],
                 wing_abs=wing_abs, wing_hw=wing_hw, strength_scale=u[cols],
+                profile=profile,
             )
 
         params = jax.vmap(one)(T, p_atm, pl, vmr)
@@ -585,6 +842,8 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
                 n_tiles=n_local // plan.tile, n_out=n_local,
             )
             out = out.at[lay_idx].add(od_c)
+        if cont is not None:
+            out = out + cont(T, p_pa, pl, vmr, k_offset=k_offset)
         return out
 
     return local_fn, spec_data, g

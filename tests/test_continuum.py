@@ -1,0 +1,196 @@
+"""Water-vapor continuum: numerical anchors, T-rule, end-to-end wiring.
+
+The 'mt_ckd' model replaces the reference's LBLRTM ICNTNM=6 MT_CKD
+continuum (``radiative_transfer.py:591-601,622``). Its packaged tables are
+anchored at published window-region measurements; these tests pin the
+whole pipeline (units, partial pressures, layering, T interpolation) to
+those values.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radtxfr_tpu.atmos import std_atmosphere
+from radtxfr_tpu.atmos.continuum import (
+    H2O_CONTINUUM_LWIR,
+    H2OContinuumTables,
+    continuum_od,
+    load_mt_ckd_tables,
+)
+from radtxfr_tpu.atmos.profile import AtmosphericState
+from radtxfr_tpu.core.constants import BARYE_PER_ATM, K_BOLTZMANN_CGS
+
+
+def _single_layer(T=296.0, p_atm=1.0, x_h2o=0.01, pl_km=1.0):
+    return AtmosphericState(
+        z0=jnp.zeros(1), z1=jnp.ones(1), pl=jnp.asarray([pl_km]),
+        p=jnp.asarray([p_atm * 101325.0]), T=jnp.asarray([T]),
+        vmr=jnp.asarray([[x_h2o, 4e-4, 3e-8]]), mol_ids=(1, 2, 3),
+    )
+
+
+def _implied_coeff(nu, od, T, p_atm, x_h2o, pl_km, partial_atm):
+    """Back out C [cm^2 molec^-1 atm^-1] from a continuum OD value."""
+    n_h2o = x_h2o * p_atm * BARYE_PER_ATM / (K_BOLTZMANN_CGS * T)
+    return od / (n_h2o * partial_atm * pl_km * 1e5)
+
+
+SELF_ONLY = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+FOREIGN_ONLY = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_self_continuum_anchor_values_296K():
+    """Published 296 K self-continuum coefficients at 944 and 1000 cm^-1
+    (Burch & Alt 1984 / CKD lineage: ~2.0e-22 and ~1.55e-22
+    cm^2 molec^-1 atm^-1) through the full OD pipeline, <=3%."""
+    atm = _single_layer()
+    nu = jnp.asarray([944.0, 1000.0])
+    od = np.asarray(continuum_od(nu, atm, model="mt_ckd",
+                                 continuum_factors=SELF_ONLY))[0]
+    cs = _implied_coeff(nu, od, 296.0, 1.0, 0.01, 1.0, partial_atm=0.01)
+    np.testing.assert_allclose(cs, [2.0e-22, 1.55e-22], rtol=0.03)
+
+
+def test_foreign_continuum_anchor_value():
+    atm = _single_layer()
+    nu = jnp.asarray([1000.0])
+    od = np.asarray(continuum_od(nu, atm, model="mt_ckd",
+                                 continuum_factors=FOREIGN_ONLY))[0]
+    cf = _implied_coeff(nu, od, 296.0, 1.0, 0.01, 1.0, partial_atm=0.99)
+    np.testing.assert_allclose(cf, [1.0e-25], rtol=0.03)
+
+
+def test_self_continuum_temperature_rule():
+    """MT_CKD two-table rule: at 260 K the self coefficient equals the
+    cs260 table exactly; intermediate T falls between the tables."""
+    nu = jnp.asarray([1000.0])
+
+    def cs_at(T):
+        atm = _single_layer(T=T)
+        od = np.asarray(continuum_od(nu, atm, model="mt_ckd",
+                                     continuum_factors=SELF_ONLY))[0, 0]
+        return _implied_coeff(1000.0, od, T, 1.0, 0.01, 1.0, 0.01)
+
+    cs296, cs260, cs280 = cs_at(296.0), cs_at(260.0), cs_at(280.0)
+    i = int(np.searchsorted(H2O_CONTINUUM_LWIR.nu, 1000.0))
+    assert H2O_CONTINUUM_LWIR.nu[i] == 1000.0
+    np.testing.assert_allclose(cs296, H2O_CONTINUUM_LWIR.cs296[i], rtol=1e-6)
+    np.testing.assert_allclose(cs260, H2O_CONTINUUM_LWIR.cs260[i], rtol=1e-6)
+    assert cs296 < cs280 < cs260
+    # window T0 ~ 1800 K => 260/296 ratio ~ e^0.84 ~ 2.3
+    np.testing.assert_allclose(cs260 / cs296, 2.32, rtol=0.02)
+
+
+def test_window_column_od_magnitude():
+    """Total-column self+foreign continuum OD of the 1976 StdAtmos at
+    1000 cm^-1: O(0.05) for this dry mid-latitude profile — the
+    first-order window term the round-1 empirical stand-in underestimated
+    ~30x (Roberts coefficients mis-converted per molecule)."""
+    atm = std_atmosphere()
+    nu = jnp.asarray([1000.0])
+    od = np.asarray(continuum_od(nu, atm, model="mt_ckd",
+                                 continuum_factors=[1, 1, 0, 0, 0, 0, 0]))
+    total = od.sum()
+    assert 0.02 < total < 0.5, total
+
+
+def test_od_layers_continuum_wiring(iso_tables):
+    """compute_od_layers(continuum=...) == lines-only + continuum_od, on
+    both engines."""
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products import compute_od_layers
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(80, nu_min=995.0, nu_max=1015.0, seed=5)
+    axis = arange_drift_free(1000.0, 1010.0, 0.01)
+    base = np.asarray(compute_od_layers(lines, iso_tables, jnp.asarray(axis), atm))
+    cont = np.asarray(continuum_od(jnp.asarray(axis), atm, model="mt_ckd"))
+    got = np.asarray(compute_od_layers(lines, iso_tables, jnp.asarray(axis),
+                                       atm, continuum="mt_ckd"))
+    np.testing.assert_allclose(got, base + cont, rtol=1e-10, atol=1e-30)
+
+    # engine='pallas': continuum added to the f32 OD on a f32 axis — check
+    # the delta reproduces the f64 continuum to f32 rounding
+    got_p = np.asarray(compute_od_layers(lines, iso_tables, axis, atm,
+                                         engine="pallas", continuum="mt_ckd"))
+    base_p = np.asarray(compute_od_layers(lines, iso_tables, axis, atm,
+                                          engine="pallas"))
+    delta = got_p.astype(np.float64) - base_p
+    assert np.abs(delta - cont).max() < 1e-3 * np.abs(cont).max()
+
+
+def test_pallas_builder_continuum(iso_tables):
+    """make_od_pallas_fn(continuum='mt_ckd') folds the term into the jitted
+    function (float32 axis; tolerance covers the f32 nu rounding)."""
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(80, nu_min=995.0, nu_max=1015.0, seed=5)
+    axis = arange_drift_free(1000.0, 1010.0, 0.01)
+    fn0 = make_od_pallas_fn(lines, iso_tables, axis, atm)
+    fn1 = make_od_pallas_fn(lines, iso_tables, axis, atm, continuum="mt_ckd")
+    args = (atm.T, atm.p, atm.pl, atm.vmr)
+    od0 = np.asarray(fn0(*args))
+    diff = np.asarray(fn1(*args)).astype(np.float64) - od0
+    cont = np.asarray(continuum_od(jnp.asarray(axis), atm, model="mt_ckd"))
+    # tolerance: f32 nu-axis rounding on the continuum + f32 cancellation
+    # noise of the (large) line OD the diff rides on
+    tol = 2e-3 * np.abs(cont).max() + 1e-6 * np.abs(od0).max()
+    assert np.abs(diff - cont).max() < tol
+
+
+def test_mt_ckd_loader_roundtrip(tmp_path):
+    """load_mt_ckd_tables: AER-file variable layout -> measured-coefficient
+    convention (radiation term + reference density applied)."""
+    h5py = pytest.importorskip("h5py")
+    nu = np.array([800.0, 1000.0, 1200.0])
+    cs296_native = np.array([1.0e-3, 5.0e-4, 3.0e-4])   # cm^3/molec (native)
+    cs260_native = cs296_native * 2.0
+    cf_native = cs296_native * 1e-3
+    path = tmp_path / "absco-ref_wv-mt-ckd.nc"
+    with h5py.File(path, "w") as f:
+        f["wavenumbers"] = nu
+        f["self_absco_ref"] = cs296_native
+        f["self_absco_260"] = cs260_native
+        f["for_absco_ref"] = cf_native
+        f["ref_temp"] = np.array([296.0])
+    tab = load_mt_ckd_tables(str(path))
+    assert isinstance(tab, H2OContinuumTables)
+    c2 = 1.4387768775039337
+    n0 = BARYE_PER_ATM / (K_BOLTZMANN_CGS * 296.0)
+    want = cs296_native * nu * np.tanh(0.5 * c2 * nu / 296.0) * n0
+    np.testing.assert_allclose(tab.cs296, want, rtol=1e-12)
+    n0_260 = BARYE_PER_ATM / (K_BOLTZMANN_CGS * 260.0)
+    want260 = cs260_native * nu * np.tanh(0.5 * c2 * nu / 260.0) * n0_260
+    np.testing.assert_allclose(tab.cs260, want260, rtol=1e-12)
+
+
+def test_tables_validation():
+    with pytest.raises(ValueError):
+        H2OContinuumTables(nu=np.array([1.0, 0.5]), cs296=np.ones(2),
+                           cs260=np.ones(2), cf=np.ones(2))
+    with pytest.raises(ValueError):
+        H2OContinuumTables(nu=np.array([1.0, 2.0]), cs296=np.ones(3),
+                           cs260=np.ones(2), cf=np.ones(2))
+
+
+def test_roberts_empirical_fixed_units():
+    """The closed-form Roberts model now carries the correct per-molecule
+    conversion: Cs(944, 296 K) = (4.18 + 5578 e^{-7.87e-3 * 944}) * m_H2O
+    ~ 2.2e-22 cm^2 molec^-1 atm^-1 (within ~15% of the Burch anchor,
+    Roberts' known accuracy in the window)."""
+    atm = _single_layer()
+    nu = jnp.asarray([944.0])
+    od = np.asarray(continuum_od(nu, atm, model="h2o_empirical",
+                                 continuum_factors=SELF_ONLY))[0]
+    cs = _implied_coeff(944.0, od, 296.0, 1.0, 0.01, 1.0, 0.01)
+    g = 18.015 / 6.02214076e23
+    want = (4.18 + 5578.0 * np.exp(-7.87e-3 * 944.0)) * g
+    np.testing.assert_allclose(cs, [want], rtol=1e-10)
+    assert 1.5e-22 < cs[0] < 3.0e-22

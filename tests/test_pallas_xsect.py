@@ -151,6 +151,141 @@ def test_sdvoigt_pallas_matches_jnp_engine(iso_tables):
     assert np.abs(got - want).max() < 2e-5 * peak, np.abs(got - want).max() / peak
 
 
+def test_sdvoigt_production_path_matches_jnp(iso_tables):
+    """make_od_pallas_fn(profile='sdvoigt'): mixed sd/non-sd lines — sd
+    lines through the pcqsdhc kernel mode, sd_air == 0 lines through the
+    two-pass Voigt passes — vs the float64 jnp HTP engine (the reference's
+    SD-Voigt production workload shape, misc/RT_gen_AbsXS_files.py:87-92)."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products import compute_od_layers
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(150, nu_min=795.0, nu_max=855.0, seed=77,
+                            sd_zero_frac=0.4)
+    assert (np.asarray(lines.sd_air) == 0).any()
+    assert (np.asarray(lines.sd_air) != 0).any()
+    axis = arange_drift_free(800.0, 850.0, 0.01)
+    want = np.asarray(compute_od_layers(lines, iso_tables, jnp.asarray(axis),
+                                        atm, profile="sdvoigt"))
+    fn = make_od_pallas_fn(lines, iso_tables, axis, atm, profile="sdvoigt")
+    got = np.asarray(fn(atm.T, atm.p, atm.pl, atm.vmr))
+    assert got.shape == want.shape
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-5 * peak, \
+        np.abs(got - want).max() / peak
+
+
+def test_sdvoigt_engine_pallas_dispatch(iso_tables):
+    """compute_od_layers(engine='pallas', profile='sdvoigt') dispatches and
+    agrees with the explicit builder."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products import compute_od_layers
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(60, nu_min=795.0, nu_max=825.0, seed=78,
+                            sd_zero_frac=0.5)
+    axis = arange_drift_free(800.0, 820.0, 0.01)
+    got = np.asarray(compute_od_layers(lines, iso_tables, axis, atm,
+                                       engine="pallas", profile="sdvoigt"))
+    want = np.asarray(compute_od_layers(lines, iso_tables, jnp.asarray(axis),
+                                        atm, profile="sdvoigt"))
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-5 * peak
+
+
+def test_xsect_lattice_pallas_matches_jnp(iso_tables):
+    """make_xsect_pallas_fn: the XS-generator (T, p) lattice in HITRAN units
+    with absolute wings, states evaluated as fused 'layers'."""
+    from radtxfr_tpu.products.od import make_xsect_pallas_fn
+
+    lines = synthetic_lines(100, nu_min=795.0, nu_max=825.0, seed=9,
+                            sd_zero_frac=0.3)
+    axis = arange_drift_free(800.0, 820.0, 0.005)
+    T = jnp.asarray([275.0, 296.0, 320.0])
+    p = jnp.asarray([0.85, 1.0, 1.05])
+    fn = make_xsect_pallas_fn(lines, iso_tables, axis, T, p,
+                              profile="sdvoigt", wing_abs=25.0)
+    got = np.asarray(fn(T, p))
+    assert got.shape == (3, axis.size)
+    for i in range(3):
+        params = compute_line_params(lines, iso_tables, float(T[i]),
+                                     float(p[i]), wing_abs=25.0,
+                                     profile="sdvoigt")
+        want = np.asarray(xsect_from_params(jnp.asarray(axis), params,
+                                            profile="sdvoigt"))
+        peak = np.abs(want).max()
+        assert np.abs(got[i] - want).max() < 2e-5 * peak
+
+
+def test_differentiable_pallas_jvp_matches_jnp(iso_tables):
+    """The analytic custom-JVP kernel vs jax.jvp through the float64 jnp
+    engine, tangents flowing through compute_line_params (T and H2O)."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products import compute_od_layers
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(120, nu_min=795.0, nu_max=835.0, seed=51)
+    axis = arange_drift_free(800.0, 830.0, 0.01)
+    fn = make_od_pallas_fn(lines, iso_tables, axis, atm, differentiable=True)
+
+    # primal equals the non-differentiable single-pass build
+    fn0 = make_od_pallas_fn(lines, iso_tables, axis, atm, two_pass=False)
+    args = (atm.T, atm.p, atm.pl, atm.vmr)
+    np.testing.assert_allclose(np.asarray(fn(*args)), np.asarray(fn0(*args)),
+                               rtol=0, atol=1e-12)
+
+    # JVP w.r.t. T (per-layer tangent) vs the jnp engine's autodiff
+    t_dir = jnp.asarray(np.linspace(0.5, 1.5, atm.n_layers))
+    _, got_t = jax.jvp(lambda T: fn(T, atm.p, atm.pl, atm.vmr),
+                       (atm.T,), (t_dir,))
+
+    def jnp_od(T):
+        return compute_od_layers(lines, iso_tables, jnp.asarray(axis),
+                                 atm.replace(T=T))
+
+    _, want_t = jax.jvp(jnp_od, (atm.T,), (t_dir.astype(atm.T.dtype),))
+    peak = np.abs(np.asarray(want_t)).max()
+    assert np.abs(np.asarray(got_t) - np.asarray(want_t)).max() < 2e-5 * peak
+
+    # JVP w.r.t. the H2O vmr column
+    v_dir = jnp.zeros_like(atm.vmr).at[:, 0].set(jnp.asarray(atm.vmr[:, 0]))
+    _, got_v = jax.jvp(lambda v: fn(atm.T, atm.p, atm.pl, v),
+                       (atm.vmr,), (v_dir,))
+
+    def jnp_od_v(v):
+        return compute_od_layers(lines, iso_tables, jnp.asarray(axis),
+                                 atm.replace(vmr=v))
+
+    _, want_v = jax.jvp(jnp_od_v, (atm.vmr,), (v_dir.astype(atm.vmr.dtype),))
+    peak_v = np.abs(np.asarray(want_v)).max()
+    assert np.abs(np.asarray(got_v) - np.asarray(want_v)).max() < 2e-5 * peak_v
+
+
+def test_pallas_jacobian_engine_matches_jnp(iso_tables):
+    """tud_with_jacobian(engine='pallas') vs the jnp engine end to end."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products.jacobian import tud_with_jacobian
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(60, nu_min=798.0, nu_max=812.0, seed=52)
+    axis = arange_drift_free(800.0, 810.0, 0.02)
+    alts = jnp.asarray([2.0, 500.0])
+    tud_j, jac_j = tud_with_jacobian(lines, iso_tables, axis, atm, alts,
+                                     wrt=("T", 1), n_angles=6)
+    tud_p, jac_p = tud_with_jacobian(lines, iso_tables, axis, atm, alts,
+                                     wrt=("T", 1), n_angles=6,
+                                     engine="pallas")
+    for k in ("tau", "Lu", "Ld"):
+        np.testing.assert_allclose(np.asarray(tud_p[k]), np.asarray(tud_j[k]),
+                                   rtol=2e-4, atol=1e-6)
+        for w in ("T", "1"):
+            a, b = np.asarray(jac_p[w][k]), np.asarray(jac_j[w][k])
+            peak = np.abs(b).max()
+            assert np.abs(a - b).max() < 5e-4 * peak, (k, w)
+
+
 def test_packed_plan_matches_shared_plan(store, iso_tables):
     """plan_buckets_packed (per-tile gather packing) computes the identical
     spectrum to the shared-block plan, in both kernel layouts."""
