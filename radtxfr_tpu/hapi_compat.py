@@ -248,19 +248,32 @@ def fetch(TableName, M, I, numin, numax, ParameterGroups=None,
           Parameters=None):
     """Download lines from hitran.org into a table (hapi ``fetch``,
     ``misc/hapi.py:5276``). Network-gated like
-    :func:`radtxfr_tpu.lines.fetch.fetch`."""
-    store = _fetch.fetch(M, I if isinstance(I, (list, tuple)) else [I],
-                         numin, numax)
-    _register(TableName, store)
-    if _DB_DIR is not None:
-        _db.save_table(store, _DB_DIR, TableName)
-    return store
+    :func:`radtxfr_tpu.lines.fetch.fetch`.
+
+    ``ParameterGroups``/``Parameters`` request hitran.org's extended column
+    sets (e.g. ``['sdvoigt']``, ``['ht']``); the extra columns land in the
+    table's extras (consumed by the HT driver) and an ``SD_air`` column is
+    merged into the line store for the SD-Voigt engine
+    (``misc/hapi.py:3118-3168``)."""
+    return fetch_by_ids(
+        TableName,
+        _fetch._global_ids(M, I if isinstance(I, (list, tuple)) else [I]),
+        numin, numax, ParameterGroups=ParameterGroups, Parameters=Parameters)
 
 
 def fetch_by_ids(TableName, iso_id_list, numin, numax, ParameterGroups=None,
                  Parameters=None):
     """hapi ``fetch_by_ids`` (``misc/hapi.py:5245``) — global iso ids."""
-    store = _fetch.fetch_by_ids(iso_id_list, numin, numax)
+    out = _fetch.fetch_by_ids(iso_id_list, numin, numax,
+                              pargroups=tuple(ParameterGroups or ()),
+                              params=tuple(Parameters or ()))
+    if isinstance(out, tuple):
+        store, extras = out
+        _EXTRAS[TableName] = {
+            k: v for k, v in extras.items()
+            if np.asarray(v).dtype != object}
+    else:
+        store = out
     _register(TableName, store)
     if _DB_DIR is not None:
         _db.save_table(store, _DB_DIR, TableName)

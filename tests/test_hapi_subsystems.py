@@ -139,6 +139,113 @@ def test_fetch_url_construction():
     assert "numin=690.0" in url and "numax=1410.0" in url
 
 
+def test_fetch_custom_url_construction():
+    """ParameterGroups switch to the custom par-search URL
+    (misc/hapi.py:3130-3135): comma-separated request_params after the
+    fixwidth/sep flags."""
+    url = build_query_url([1], 690.0, 1410.0, pargroups=["sdvoigt"])
+    assert "head=False" in url
+    assert "fixwidth=0" in url
+    assert "sep=[comma]" in url
+    assert ("request_params=par_line,deltap_air,SD_air,delta_self,"
+            "deltap_self,n_self,SD_self" in url)
+
+
+def test_prepare_parlist_matches_reference():
+    """prepare_parlist reproduces hapi's prepareParlist for every group
+    and for single-parameter requests."""
+    from oracle import load_hapi
+    from radtxfr_tpu.lines.fetch import PARAMETER_GROUPS, prepare_parlist
+
+    hapi = load_hapi()
+    for group in PARAMETER_GROUPS:
+        want = hapi.prepareParlist(pargroups=[group])
+        got = prepare_parlist(pargroups=[group])
+        assert got == want, (group, got, want)
+    assert (prepare_parlist(params=["SD_air", "voigt_something"])
+            == hapi.prepareParlist(params=["SD_air", "voigt_something"]))
+    assert (prepare_parlist(pargroups=["ht"], params=["y_air"])
+            == hapi.prepareParlist(pargroups=["ht"], params=["y_air"]))
+
+
+def test_parse_custom_payload_sd_air(tmp_path):
+    """Offline parse of a custom-search payload: .par record + SD_air +
+    deltap columns -> LineStore with sd_air merged, extras nu-aligned."""
+    from radtxfr_tpu.lines.fetch import parse_custom_payload, prepare_parlist
+    from radtxfr_tpu.lines.hapi_db import write_par
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+
+    store = synthetic_lines(40, nu_min=900.0, nu_max=950.0, seed=13)
+    path = tmp_path / "lines.par"
+    write_par(store, str(path))
+    par_rows = path.read_text().splitlines()
+
+    rng = np.random.default_rng(2)
+    # payload rows arrive UNSORTED from the server; shuffle to prove the
+    # parser re-aligns extras with the nu-sorted store
+    perm = rng.permutation(len(par_rows))
+    sd = rng.uniform(0.05, 0.2, len(par_rows))
+    dp = rng.normal(0.0, 1e-5, len(par_rows))
+    rows = [f"{par_rows[i]},{dp[i]:.6E},{sd[i]:.4f}" for i in perm]
+    # one row with hapi's missing-value markers
+    rows[0] = rows[0].rsplit(",", 2)[0] + ",#,"
+
+    parlist = prepare_parlist(params=["deltap_air", "SD_air"])
+    assert parlist == ["par_line", "deltap_air", "sd_air"]
+    got, extras = parse_custom_payload(rows, ["par_line", "deltap_air",
+                                              "SD_air"])
+    assert got.n_lines == store.n_lines
+    nu_sorted = np.sort(np.asarray([float(r[3:15]) for r in par_rows])[perm])
+    np.testing.assert_allclose(np.asarray(got.nu0), nu_sorted, atol=1e-6)
+
+    # extras follow the store's nu order; the '#,'-marked row maps to 0
+    order = np.argsort(np.array([float(par_rows[i][3:15]) for i in perm]),
+                       kind="stable")
+    sd_want = sd[perm][order]
+    dp_want = dp[perm][order]
+    marked = order.tolist().index(0)  # shuffled row 0 carried the markers
+    sd_want[marked] = 0.0
+    dp_want[marked] = 0.0
+    np.testing.assert_allclose(extras["SD_air"], sd_want, atol=1e-4)
+    np.testing.assert_allclose(extras["deltap_air"], dp_want, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.sd_air), sd_want, atol=1e-4)
+
+
+def test_fetched_sd_air_drives_sdvoigt_engine(tmp_path, iso_tables):
+    """End-to-end: a parsed custom payload's SD_air column changes the
+    SD-Voigt spectrum exactly as the same column set directly."""
+    import jax.numpy as jnp
+
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.kernels.lineparams import compute_line_params
+    from radtxfr_tpu.kernels.xsect import xsect_from_params
+    from radtxfr_tpu.lines.fetch import parse_custom_payload
+    from radtxfr_tpu.lines.hapi_db import write_par
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+
+    store = synthetic_lines(20, nu_min=995.0, nu_max=1005.0, seed=7)
+    path = tmp_path / "x.par"
+    write_par(store, str(path))
+    sd = np.full(20, 0.12)
+    rows = [f"{r},{sd[i]:.4f}" for i, r in
+            enumerate(path.read_text().splitlines())]
+    fetched, _ = parse_custom_payload(rows, ["par_line", "SD_air"])
+
+    axis = jnp.asarray(arange_drift_free(998.0, 1002.0, 0.01))
+    k_f = np.asarray(xsect_from_params(
+        axis, compute_line_params(fetched, iso_tables, 296.0, 1.0,
+                                  profile="sdvoigt"), profile="sdvoigt"))
+    import dataclasses
+    direct = store  # same lines, but sd_air from the synthetic generator
+    direct2 = dataclasses.replace(
+        direct, sd_air=jnp.full_like(direct.sd_air, 0.12))
+    k_d = np.asarray(xsect_from_params(
+        axis, compute_line_params(direct2, iso_tables, 296.0, 1.0,
+                                  profile="sdvoigt"), profile="sdvoigt"))
+    # .par round-trip quantizes gamma/sw at HITRAN print precision
+    np.testing.assert_allclose(k_f, k_d, rtol=2e-3)
+
+
 def _ht_extras(store, rng):
     """Synthetic HT parameter columns for every line."""
     n = store.n_lines
