@@ -18,6 +18,7 @@ ASTER exports when the user has them.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -25,7 +26,8 @@ import jax.numpy as jnp
 
 from ..sensor.resolution import apply_resample, cubic_resample_weights
 
-__all__ = ["EmissivityDB", "synthetic_db", "save_db", "load_db"]
+__all__ = ["EmissivityDB", "synthetic_db", "save_db", "load_db",
+           "read_aster_export", "load_aster_dir"]
 
 
 @jax.tree_util.register_dataclass
@@ -165,3 +167,94 @@ def synthetic_db(n_materials: int = 24, X=None, seed: int = 0) -> EmissivityDB:
         material_id=jnp.arange(n_materials, dtype=jnp.int32),
         names=tuple(f"synthetic_{i}" for i in range(n_materials)),
     )
+
+
+# ---------------------------------------------------------------------------
+# ASTER / ECOSTRESS spectral-library ASCII export ingest
+# ---------------------------------------------------------------------------
+
+def read_aster_export(path):
+    """Parse one ASTER 2.0 / ECOSTRESS spectral-library ASCII export file.
+
+    The distribution's per-spectrum text format is a ``Key: value`` header
+    (Name, Type, Class, Measurement, "X Units: Wavelength (micrometers)",
+    "Y Units: Reflectance (percent)", ...) followed by two whitespace- or
+    tab-separated columns of (wavelength [µm], reflectance [percent]).
+    Returns ``(meta: dict, wavelength_um: ndarray, reflectance_frac:
+    ndarray)`` with reflectance converted to [0, 1] fractional values and
+    clamped like the reference ingest
+    (``Generate_ASTER_emissivity_DB.py:96-101``).
+    """
+    meta = {}
+    xs, ys = [], []
+    with open(path, errors="replace") as f:
+        for line in f:
+            s = line.strip()
+            if not s:
+                continue
+            parts = s.split()
+            if len(parts) >= 2:
+                try:
+                    x, y = float(parts[0]), float(parts[1])
+                    xs.append(x)
+                    ys.append(y)
+                    continue
+                except ValueError:
+                    pass
+            if ":" in s:
+                k, _, v = s.partition(":")
+                meta[k.strip()] = v.strip()
+    x = np.asarray(xs, dtype=np.float64)
+    y = np.asarray(ys, dtype=np.float64)
+    y_units = meta.get("Y Units", "").lower()
+    if "percent" in y_units or (y.size and y.max() > 1.5):
+        y = y / 100.0
+    return meta, x, np.clip(y, 0.0, 1.0)
+
+
+def load_aster_dir(directory, lambda_min_um: float = 6.75,
+                   lambda_max_um: float = 14.5, dX: float = 1.0,
+                   pattern: str = "*.txt", coverage_margin_um: float = 0.25):
+    """Build an :class:`EmissivityDB` from a directory of ASTER/ECOSTRESS
+    export files — the reference's licensed-data workflow
+    (``Generate_ASTER_emissivity_DB.py:58-117``) without the
+    ``spectral.AsterDatabase`` SQL layer:
+
+    * keep only spectra whose wavelength range covers
+      [lambda_min - margin, lambda_max + margin] µm (the reference's
+      MinWavelength/MaxWavelength query, ``:66-71``);
+    * common axis ``X = linspace(1e4/lambda_max, 1e4/lambda_min,
+      int((X_max - X_min)/dX))`` (``:79-80``);
+    * percent -> fractional reflectance with [0, 1] clamp, µm -> cm^-1,
+      sort/trim/dedup, cubic resample, eps = 1 - R, final clamp
+      (``:92-117``) — via :meth:`EmissivityDB.from_spectra`.
+
+    Returns (db, skipped) where ``skipped`` lists files that failed the
+    coverage filter or contained no spectrum.
+    """
+    import glob as _glob
+
+    X_min = 10000.0 / lambda_max_um
+    X_max = 10000.0 / lambda_min_um
+    X = np.linspace(X_min, X_max, int((X_max - X_min) / dX))
+
+    spectra, names, skipped = [], [], []
+    for path in sorted(_glob.glob(os.path.join(directory, pattern))):
+        meta, wl, refl = read_aster_export(path)
+        if wl.size < 4:
+            skipped.append(path)
+            continue
+        if (wl.min() > lambda_min_um - coverage_margin_um
+                or wl.max() < lambda_max_um + coverage_margin_um):
+            skipped.append(path)
+            continue
+        spectra.append((wl, refl))
+        names.append(meta.get("Name", os.path.basename(path)))
+    if not spectra:
+        raise ValueError(
+            f"no export files in {directory!r} cover "
+            f"[{lambda_min_um - coverage_margin_um}, "
+            f"{lambda_max_um + coverage_margin_um}] µm")
+    db = EmissivityDB.from_spectra(spectra, X, reflectance=True,
+                                   wavelength_um=True, names=names)
+    return db, skipped

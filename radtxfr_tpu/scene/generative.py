@@ -6,9 +6,12 @@ device:
 * whitened PCA + Gaussian-mixture density model over feature vectors
   (reference uses sklearn ``PCA(whiten=True)`` +
   ``BayesianGaussianMixture(covariance_type='full')``,
-  ``GenerativeModel_AtmosInputs.py:17-46``; here: SVD PCA + full-covariance
-  EM GMM in jnp — the variational Dirichlet prior is replaced by plain EM
-  with covariance regularization, a documented divergence);
+  ``GenerativeModel_AtmosInputs.py:17-46``; here: SVD PCA + a variational
+  GMM with the same Dirichlet-process stick-breaking weight prior
+  (:func:`bgmm_fit`) so surplus components auto-prune as in sklearn;
+  means/covariances use MAP updates rather than the full Normal-Wishart
+  posterior — a documented simplification. Plain EM (:func:`gmm_fit`)
+  remains available);
 * the physics feature transforms — ground-temperature/lapse normalization
   (``trans_T``/``itrans_T``, ``:90-126``), normalized cumulative column
   moles (``trans_C``/``itrans_C``, ``:128-165``; ``mf2mol_cum``/
@@ -39,7 +42,8 @@ from ..utils.precision import f32_matmuls as _f32_matmuls
 
 __all__ = [
     "PCAModel", "pca_fit",
-    "GMMModel", "gmm_fit", "gmm_sample", "gmm_log_prob", "gmm_predict",
+    "GMMModel", "gmm_fit", "bgmm_fit", "gmm_prune", "gmm_sample",
+    "gmm_log_prob", "gmm_predict",
     "mf2mol_cum", "mol_cum2mf", "mf2rh", "rh_filter",
     "trans_T", "itrans_T", "trans_C", "itrans_C",
     "atmos_to_features", "features_to_atmos",
@@ -138,6 +142,121 @@ def gmm_fit(key, X, n_components: int, n_iter: int = 200, reg: float = 1e-6) -> 
 
     w, mu, ch = jax.lax.fori_loop(0, n_iter, em_step, (w0, means0, chol0))
     return GMMModel(weights=w, means=mu, chols=ch)
+
+
+def _stick_breaking_log_weights(nk, gamma0):
+    """E[ln pi_k] under the truncated stick-breaking posterior
+    (a_k = 1 + N_k, b_k = gamma + sum_{j>k} N_j; Blei & Jordan 2006 —
+    sklearn's 'dirichlet_process' weight update)."""
+    from jax.scipy.special import digamma
+
+    a = 1.0 + nk
+    b = gamma0 + jnp.cumsum(nk[::-1])[::-1] - nk
+    dig_sum = digamma(a + b)
+    log_v = digamma(a) - dig_sum
+    log_1mv = digamma(b) - dig_sum
+    return log_v + jnp.concatenate([jnp.zeros(1), jnp.cumsum(log_1mv)[:-1]])
+
+
+@_f32_matmuls
+def bgmm_fit(key, X, n_components: int, n_iter: int = 500, reg: float = 1e-6,
+             weight_concentration_prior: float | None = None) -> GMMModel:
+    """Variational GMM with Dirichlet-process weights and Normal-Wishart
+    component posteriors — the behavior of sklearn's
+    ``BayesianGaussianMixture`` the reference relies on
+    (``GenerativeModel_AtmosInputs.py:30,401``): surplus components are
+    driven to ~zero weight, so the effective cluster count adapts to the
+    data instead of being fixed.
+
+    Variational updates follow Bishop PRML §10.2 with sklearn's default
+    priors: stick-breaking weight concentration gamma = 1/K, mean precision
+    beta0 = 1 at m0 = mean(X), Wishart dof nu0 = d with the empirical
+    covariance as scale prior. The Normal-Wishart E-step terms
+    (E[ln det Lambda] - d/beta - nu * mahalanobis) supply the Occam
+    pressure that collapses redundant components — a MAP/EM covariance
+    update (``gmm_fit``) has no such pressure and keeps every slot alive.
+
+    Returns a :class:`GMMModel` with the variational expected weights
+    (near-zero for pruned components; :func:`gmm_prune` drops them) and
+    the posterior-expected covariances W^{-1}/(nu - d - 1).
+    """
+    from jax.scipy.special import digamma
+
+    X = jnp.asarray(X)
+    n, d = X.shape
+    gamma0 = (weight_concentration_prior
+              if weight_concentration_prior is not None
+              else 1.0 / n_components)
+    beta0 = 1.0
+    nu0 = float(d)
+    m0 = X.mean(axis=0)
+    Xc = X - m0
+    W0inv = (Xc.T @ Xc) / n + reg * jnp.eye(d)
+    eye = jnp.eye(d)
+    iarange = jnp.arange(1, d + 1)
+    ln2, ln2pi = jnp.log(2.0), jnp.log(2.0 * jnp.pi)
+    eps = 10 * jnp.finfo(X.dtype).eps
+
+    def posteriors(r):
+        nk = r.sum(axis=0) + eps
+        xbar = (r.T @ X) / nk[:, None]
+        diff = X[:, None, :] - xbar[None, :, :]
+        nk_sk = jnp.einsum("nk,nki,nkj->kij", r, diff, diff)
+        beta = beta0 + nk
+        nu = nu0 + nk
+        m = (beta0 * m0 + nk[:, None] * xbar) / beta[:, None]
+        dm = xbar - m0
+        w_inv = (W0inv[None] + nk_sk
+                 + (beta0 * nk / beta)[:, None, None]
+                 * jnp.einsum("ki,kj->kij", dm, dm))
+        return nk, beta, nu, m, w_inv
+
+    def e_step(nk, beta, nu, m, w_inv):
+        L = jnp.linalg.cholesky(w_inv)          # W^{-1} = L L^T
+        lndet_winv = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        eln_lam = (jnp.sum(digamma(0.5 * (nu[:, None] + 1.0 - iarange)),
+                           axis=1) + d * ln2 - lndet_winv)
+        diff = X[:, None, :] - m[None, :, :]
+        sol = jax.vmap(
+            lambda Lk, v: jax.scipy.linalg.solve_triangular(
+                Lk, v.T, lower=True).T,
+            in_axes=(0, 1), out_axes=1)(L, diff)
+        maha = jnp.sum(sol**2, axis=-1)         # (x-m)^T W (x-m)
+        log_w = _stick_breaking_log_weights(nk, gamma0)
+        logrho = (log_w[None, :] + 0.5 * eln_lam[None, :]
+                  - 0.5 * d / beta[None, :] - 0.5 * nu[None, :] * maha
+                  - 0.5 * d * ln2pi)
+        return jnp.exp(logrho - logsumexp(logrho, axis=1, keepdims=True))
+
+    # init: hard assignment to K distinct random data points
+    k0 = jax.random.choice(key, n, (n_components,), replace=False)
+    d2 = jnp.sum((X[:, None, :] - X[k0][None, :, :]) ** 2, axis=-1)
+    r0 = jax.nn.one_hot(jnp.argmin(d2, axis=1), n_components, dtype=X.dtype)
+
+    def vb_step(_, r):
+        return e_step(*posteriors(r))
+
+    r = jax.lax.fori_loop(0, n_iter, vb_step, r0)
+    nk, beta, nu, m, w_inv = posteriors(r)
+    v_a = 1.0 + nk
+    v_b = gamma0 + jnp.cumsum(nk[::-1])[::-1] - nk
+    v = v_a / (v_a + v_b)
+    w = v * jnp.concatenate([jnp.ones(1), jnp.cumprod(1.0 - v)[:-1]])
+    w = w / w.sum()
+    cov = w_inv / jnp.maximum(nu - d - 1.0, 1e-3)[:, None, None] + reg * eye
+    return GMMModel(weights=w, means=m, chols=jnp.linalg.cholesky(cov))
+
+
+def gmm_prune(model: GMMModel, threshold: float = 1e-3) -> GMMModel:
+    """Drop components below a weight threshold (host-side, renormalized)."""
+    w = np.asarray(model.weights)
+    keep = np.nonzero(w > threshold)[0]
+    if keep.size == 0:
+        keep = np.array([int(w.argmax())])
+    w_k = w[keep]
+    return GMMModel(weights=jnp.asarray(w_k / w_k.sum()),
+                    means=model.means[keep], chols=model.chols[keep])
 
 
 @_f32_matmuls
@@ -335,12 +454,19 @@ def features_to_atmos(X, trans_vars, P, T=None, cH2O=None, cO3=None):
 
 def atmos_generator(key, P, T, H2O, O3, n_pca: int = 15, n_gmm: int = 20,
                     transform: bool = True, weight: bool = True,
-                    filt: bool = True, rh_max: float = 96.0):
+                    filt: bool = True, rh_max: float = 96.0,
+                    variational: bool = True):
     """Fit the PCA+GMM model; return (sample_fn, diagnostics).
 
     ``sample_fn(key, n)`` draws 5n candidates, applies the plausibility and
     RH rejections, and returns up to n surviving (T, H2O, O3) profiles plus
     their model log-likelihoods (reference ``atm_gen``, ``:225-242``).
+
+    ``variational=True`` (default) fits the Dirichlet-process-weighted
+    mixture (:func:`bgmm_fit`), matching the reference's
+    ``BayesianGaussianMixture`` component auto-pruning
+    (``GenerativeModel_AtmosInputs.py:30``); ``False`` falls back to plain
+    EM (:func:`gmm_fit`).
     """
     P = jnp.asarray(P)
     T, H2O, O3 = map(jnp.asarray, (T, H2O, O3))
@@ -353,7 +479,8 @@ def atmos_generator(key, P, T, H2O, O3, n_pca: int = 15, n_gmm: int = 20,
     w = jnp.where(w == 0, jnp.min(jnp.where(w > 0, w, jnp.inf)) / 100.0, w)
     pca = pca_fit(X * w[None, :], n_pca)
     Xr = pca.transform(X * w[None, :])
-    gmm = gmm_fit(key, Xr, n_gmm)
+    fit = bgmm_fit if variational else gmm_fit
+    gmm = fit(key, Xr, n_gmm)
     Xm = pca.inverse_transform(Xr) / w[None, :]
 
     def sample_fn(key, n: int):
@@ -374,9 +501,11 @@ def atmos_generator(key, P, T, H2O, O3, n_pca: int = 15, n_gmm: int = 20,
                            pca=pca, gmm=gmm)
 
 
-def airmass_labels(key, z, P, T, H2O, O3, n_airmass: int = 5):
+def airmass_labels(key, z, P, T, H2O, O3, n_airmass: int = 5,
+                   variational: bool = True):
     """Cluster profiles into air masses on (T_surf, lapse, total H2O, total
-    O3) features (reference ``airmass_labels``, ``:391-419``)."""
+    O3) features (reference ``airmass_labels``, ``:391-419``; BGM cluster
+    per ``:401``, so surplus air-mass slots prune themselves)."""
     z = jnp.asarray(z)
     T, H2O, O3 = map(jnp.asarray, (T, H2O, O3))
     cH2O = mf2mol_cum(H2O, P, T)
@@ -385,7 +514,8 @@ def airmass_labels(key, z, P, T, H2O, O3, n_airmass: int = 5):
     T_grad = jnp.diff(T[:, z < 6], axis=1).mean(axis=1)
     f = lambda x: (x - x.mean()) / x.std()
     feats = jnp.stack([f(T_surf), f(T_grad), f(cH2O[:, -1]), f(cO3[:, -1])], axis=1)
-    gmm = gmm_fit(key, feats, n_airmass, n_iter=300)
+    fit = bgmm_fit if variational else gmm_fit
+    gmm = fit(key, feats, n_airmass, n_iter=300)
     return np.asarray(gmm_predict(gmm, feats))
 
 

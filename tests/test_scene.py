@@ -34,6 +34,73 @@ def test_emissivity_from_spectra_and_resample():
     assert np.asarray(db2.emis).shape == (1, 60)
 
 
+_ASTER_EXPORT = """Name: Construction Concrete
+Type: manmade
+Class: Concrete
+Sample No.: 0092UUUCNC
+Owner: JHU
+Measurement: Directional Hemispherical Reflectance
+First Column: X
+Second Column: Y
+X Units: Wavelength (micrometers)
+Y Units: Reflectance (percent)
+First X Value: {x0}
+Last X Value: {x1}
+Number of X Values: {n}
+Additional Information: none
+
+"""
+
+
+def _write_aster(path, wl, refl_pct, name="Construction Concrete"):
+    body = _ASTER_EXPORT.format(x0=wl[0], x1=wl[-1], n=len(wl))
+    body = body.replace("Construction Concrete", name)
+    body += "".join(f"{x:9.6f}\t{y:8.4f}\n" for x, y in zip(wl, refl_pct))
+    path.write_text(body)
+
+
+def test_read_aster_export(tmp_path):
+    from radtxfr_tpu.scene.emissivity import read_aster_export
+
+    wl = np.linspace(2.0, 15.5, 300)
+    refl = 20.0 + 10.0 * np.sin(wl)
+    p = tmp_path / "concrete.spectrum.txt"
+    _write_aster(p, wl, refl)
+    meta, x, y = read_aster_export(str(p))
+    assert meta["Name"] == "Construction Concrete"
+    assert meta["Y Units"] == "Reflectance (percent)"
+    np.testing.assert_allclose(x, wl, atol=1e-6)
+    np.testing.assert_allclose(y, refl / 100.0, atol=1e-5)  # percent -> frac
+    assert (y >= 0).all() and (y <= 1).all()
+
+
+def test_load_aster_dir_coverage_and_conversion(tmp_path):
+    """Directory ingest mirrors Generate_ASTER_emissivity_DB.py:58-117:
+    coverage filter (+-0.25 µm margin), common 1 cm^-1 axis, eps = 1 - R."""
+    from radtxfr_tpu.scene.emissivity import load_aster_dir
+
+    wl_full = np.linspace(2.0, 15.5, 400)
+    _write_aster(tmp_path / "a.txt", wl_full, np.full(400, 30.0), name="A")
+    _write_aster(tmp_path / "b.txt", wl_full, 20 + 5 * np.sin(wl_full),
+                 name="B")
+    # covers only 8-12 µm -> fails the 6.5-14.75 coverage requirement
+    wl_short = np.linspace(8.0, 12.0, 100)
+    _write_aster(tmp_path / "short.txt", wl_short, np.full(100, 10.0),
+                 name="C")
+    db, skipped = load_aster_dir(str(tmp_path))
+    assert db.n_materials == 2
+    assert set(db.names) == {"A", "B"}
+    assert len(skipped) == 1 and skipped[0].endswith("short.txt")
+    X = np.asarray(db.X)
+    assert X.min() >= 10000.0 / 14.5 - 1.0 and X.max() <= 10000.0 / 6.75 + 1.0
+    # flat 30% reflectance -> eps = 0.70 everywhere
+    i_a = db.names.index("A")
+    np.testing.assert_allclose(np.asarray(db.emis)[i_a], 0.70, atol=1e-3)
+
+    with pytest.raises(ValueError):
+        load_aster_dir(str(tmp_path), pattern="*.nope")
+
+
 def test_pairwise_mixtures():
     db = synthetic_db(5)
     mixed = db.pairwise_mixtures(n_fractions=11)
@@ -98,6 +165,79 @@ def test_gmm_fit_and_sample_recovers_clusters():
     assert abs((samples[:, 0] > 0).mean() - 0.5) < 0.08
     ll = np.asarray(gen.gmm_log_prob(model, X))
     assert np.isfinite(ll).all()
+
+
+def test_bgmm_prunes_surplus_components():
+    """Dirichlet-process weight prior: with K=10 slots and 3 true clusters,
+    surplus components collapse to ~zero weight (the sklearn
+    BayesianGaussianMixture behavior the reference relies on,
+    GenerativeModel_AtmosInputs.py:30) — plain EM keeps all 10 alive."""
+    rng = np.random.default_rng(7)
+    X = np.concatenate([rng.normal(c, 0.4, (250, 3))
+                        for c in (-6.0, 0.0, 6.0)])
+    vb = gen.bgmm_fit(jax.random.key(0), jnp.asarray(X), 10, n_iter=500)
+    w = np.sort(np.asarray(vb.weights))[::-1]
+    assert (w > 0.02).sum() == 3, w
+    np.testing.assert_allclose(w[:3].sum(), 1.0, atol=0.01)
+
+    em = gen.gmm_fit(jax.random.key(0), jnp.asarray(X), 10, n_iter=200)
+    assert (np.asarray(em.weights) > 0.02).sum() > 3
+
+    pruned = gen.gmm_prune(vb, threshold=0.02)
+    assert pruned.weights.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(pruned.weights).sum(), 1.0,
+                               rtol=1e-6)
+    means = np.sort(np.asarray(pruned.means)[:, 0])
+    np.testing.assert_allclose(means, [-6, 0, 6], atol=0.4)
+
+
+def test_bgmm_effective_components_match_sklearn():
+    """Effective component count and major-cluster weights agree with
+    sklearn's BayesianGaussianMixture on the same data."""
+    from sklearn.mixture import BayesianGaussianMixture
+
+    rng = np.random.default_rng(8)
+    X = np.concatenate([rng.normal(-3, 0.5, (320, 2)),
+                        rng.normal(3, 0.5, (160, 2))])
+    ours = gen.bgmm_fit(jax.random.key(1), jnp.asarray(X), 8, n_iter=500)
+    sk = BayesianGaussianMixture(n_components=8, covariance_type="full",
+                                 max_iter=2000, random_state=0).fit(X)
+    w_ours = np.sort(np.asarray(ours.weights))[::-1]
+    w_sk = np.sort(sk.weights_)[::-1]
+    assert (w_ours > 0.02).sum() == (w_sk > 0.02).sum() == 2
+    # 2:1 cluster mass split recovered by both
+    np.testing.assert_allclose(w_ours[:2], w_sk[:2], atol=0.05)
+
+
+def test_atmos_generator_variational_moments():
+    """Statistical acceptance on a TIGR-like fixture: the variational
+    generator's surviving samples reproduce the training ensemble's
+    per-level T/H2O moments."""
+    rng = np.random.default_rng(9)
+    nL = 20
+    P = np.geomspace(101325.0, 1000.0, nL)
+    z = np.linspace(0, 16, nL)
+    n = 150
+    T0 = 288.0 - 60.0 * (z / 16.0)
+    T = T0[None, :] + rng.normal(0, 4.0, (n, 1)) + rng.normal(0, 1.0, (n, nL))
+    H2O = np.exp(np.log(8e-3) - z / 3.0)[None, :] * \
+        rng.uniform(0.6, 1.4, (n, 1)) * rng.uniform(0.9, 1.1, (n, nL))
+    O3 = (3e-8 + 6e-6 * (z / 16.0) ** 3)[None, :] * rng.uniform(0.85, 1.2, (n, 1))
+    sample_fn, diag = gen.atmos_generator(
+        jax.random.key(2), P, T, H2O, O3, n_pca=8, n_gmm=12)
+    T_n, H_n, O_n, ll = sample_fn(jax.random.key(3), 120)
+    assert T_n.shape[0] >= 60      # rejection keeps a healthy fraction
+    assert np.isfinite(ll).all()
+    # per-level mean T within 2 K, ensemble spread within 50%
+    np.testing.assert_allclose(T_n.mean(axis=0), T.mean(axis=0), atol=2.0)
+    ratio = T_n.std(axis=0) / T.std(axis=0)
+    assert (ratio > 0.5).all() and (ratio < 1.6).all()
+    # H2O column magnitude preserved (log-space mean within 30%)
+    cw_t = gen.mf2mol_cum(H2O, P, T)[:, -1].mean()
+    cw_n = gen.mf2mol_cum(H_n, P, T_n)[:, -1].mean()
+    assert 0.7 < float(cw_n / cw_t) < 1.3
+    # the DP prior pruned at least one of the 12 slots on ~1-cluster data
+    assert (np.asarray(diag["gmm"].weights) < 0.02).any()
 
 
 def test_mol_cum_round_trip():
