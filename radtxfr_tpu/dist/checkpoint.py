@@ -16,7 +16,8 @@ import os
 
 import numpy as np
 
-__all__ = ["EnsembleCheckpoint", "run_batched"]
+__all__ = ["EnsembleCheckpoint", "run_batched", "TiledCheckpoint",
+           "run_tiled", "host_gather"]
 
 
 class EnsembleCheckpoint:
@@ -94,6 +95,132 @@ class EnsembleCheckpoint:
             k: np.concatenate([p[k] for p in parts], axis=0)
             for k in parts[0]
         }
+
+
+class TiledCheckpoint:
+    """(ensemble-batch x nu-shard) tiled manifest for multi-host jobs.
+
+    SURVEY.md §5: a restarted job should recompute only missing
+    (nu-shard x atmosphere-batch) tiles. Each host persists the tiles it
+    owns (typically shard == its mesh column); the manifest is shared via
+    the filesystem, with atomic per-tile writes, so restarts on any host
+    count skip every completed tile. Tile files are
+    ``tile_{batch:06d}_{shard:03d}.npz``.
+    """
+
+    def __init__(self, directory: str, n_items: int, batch_size: int,
+                 n_shards: int, meta: dict | None = None):
+        self.directory = directory
+        self.n_items = int(n_items)
+        self.batch_size = int(batch_size)
+        self.n_shards = int(n_shards)
+        self.n_batches = -(-self.n_items // self.batch_size)
+        os.makedirs(directory, exist_ok=True)
+        self._manifest_path = os.path.join(directory, "manifest.json")
+        key = {"n_items": self.n_items, "batch_size": self.batch_size,
+               "n_shards": self.n_shards}
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                m = json.load(f)
+            if {k: m[k] for k in key} != key:
+                raise ValueError(
+                    f"checkpoint at {directory} was created for {m}")
+            self._manifest = m
+        else:
+            self._manifest = dict(key, completed=[], meta=meta or {})
+            self._flush()
+
+    _flush = EnsembleCheckpoint._flush
+    batch_indices = EnsembleCheckpoint.batch_indices
+
+    @property
+    def completed(self) -> set[tuple[int, int]]:
+        return {tuple(t) for t in self._manifest["completed"]}
+
+    @property
+    def pending(self) -> list[tuple[int, int]]:
+        done = self.completed
+        return [(b, s) for b in range(self.n_batches)
+                for s in range(self.n_shards) if (b, s) not in done]
+
+    def _tile_path(self, b: int, s: int) -> str:
+        return os.path.join(self.directory, f"tile_{b:06d}_{s:03d}.npz")
+
+    def write_tile(self, b: int, s: int, arrays: dict) -> None:
+        tmp = self._tile_path(b, s) + ".tmp.npz"
+        np.savez(tmp, **{k: np.asarray(v) for k, v in arrays.items()})
+        os.replace(tmp, self._tile_path(b, s))
+        # re-read the manifest before appending: on shared storage several
+        # hosts append concurrently; last-writer-wins on a stale view would
+        # drop other hosts' completions
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                self._manifest = json.load(f)
+        entry = [int(b), int(s)]
+        if entry not in self._manifest["completed"]:
+            self._manifest["completed"].append(entry)
+            self._manifest["completed"].sort()
+        self._flush()
+
+    def read_tile(self, b: int, s: int) -> dict:
+        with np.load(self._tile_path(b, s)) as f:
+            return {k: f[k].copy() for k in f.files}
+
+    def gather(self, shard_axes: dict | int = -1) -> dict:
+        """Stitch all tiles: shards concatenated along ``shard_axes``
+        (an int for every key, or a per-key dict; ``None`` = key is
+        shard-replicated, take shard 0), then batches along axis 0."""
+        if self.pending:
+            raise RuntimeError(f"tiles incomplete: {self.pending}")
+        rows = []
+        for b in range(self.n_batches):
+            tiles = [self.read_tile(b, s) for s in range(self.n_shards)]
+            row = {}
+            for k in tiles[0]:
+                ax = shard_axes.get(k, -1) if isinstance(shard_axes, dict) else shard_axes
+                row[k] = (tiles[0][k] if ax is None else
+                          np.concatenate([t[k] for t in tiles], axis=ax))
+            rows.append(row)
+        return {k: np.concatenate([r[k] for r in rows], axis=0)
+                for k in rows[0]}
+
+
+def run_tiled(ckpt: TiledCheckpoint, compute_tile, log=print,
+              shard_axes: dict | int = -1,
+              owned_shards=None) -> dict | None:
+    """Run ``compute_tile(indices, shard) -> dict`` over this host's pending
+    tiles and gather (returns None when other hosts' tiles are missing —
+    call :meth:`TiledCheckpoint.gather` after a barrier instead).
+
+    ``owned_shards`` restricts the work to the nu-shards this host computes
+    (default: all — the single-host case).
+    """
+    owned = set(range(ckpt.n_shards) if owned_shards is None else owned_shards)
+    for b, s in ckpt.pending:
+        if s not in owned:
+            continue
+        out = compute_tile(ckpt.batch_indices(b), s)
+        ckpt.write_tile(b, s, out)
+        if log:
+            log(f"checkpoint: tile (batch {b + 1}/{ckpt.n_batches}, "
+                f"shard {s}) done")
+    return None if ckpt.pending else ckpt.gather(shard_axes=shard_axes)
+
+
+def host_gather(arr):
+    """Gather a (possibly multi-host sharded) jax.Array to a host ndarray.
+
+    Fully-addressable arrays (single host, any number of local devices)
+    transfer directly; cross-host shardings go through
+    ``multihost_utils.process_allgather`` so every host receives the full
+    value (SURVEY.md §5 host-side gather for HDF5 export)."""
+    import jax
+
+    if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 def run_batched(ckpt: EnsembleCheckpoint, compute_batch, log=print,
