@@ -1,21 +1,38 @@
 #!/usr/bin/env python
-"""Headline benchmark: Voigt line-wavenumber evaluations/s/chip.
+"""Headline benchmarks (one JSON line per metric, headline first).
 
-Workload: the north-star TUD configuration (BASELINE.json) — 66-layer 1976
-US Standard Atmosphere optical-depth tensor over 500-1500 cm^-1 at
-0.0025 cm^-1 (400k points) with a 20k-line synthetic HITRAN-like list,
-evaluated by the bucketed Pallas Voigt kernel on one chip.
+Metrics (all on one chip, north-star configurations from BASELINE.json):
 
-Metric: *window* evaluations per second — sum over (layer, line) of the
-line's hapi wing-window length (the work the reference actually performs),
-divided by steady-state wall time. The baseline is the reference engine
-(hapi ``absorptionCoefficient_Voigt``, float64 serial loop) measured on this
-machine's CPU: 3.62e6 window evals/s (see tools/measure_hapi_baseline.py).
+1. ``voigt_window_evals_per_s_per_chip`` — the 66-layer 1976 US Standard
+   Atmosphere OD tensor over 500-1500 cm^-1 at 0.0025 cm^-1 (400k points)
+   with a 20k-line synthetic HITRAN-like list, bucketed Pallas Voigt kernel.
+   *Window evaluations* = sum over (layer, line) of the hapi wing-window
+   length (the work the reference engine actually performs) / wall time.
+2. ``tud_spectra_per_s`` — full TUD products (9 sensor altitudes, 30
+   downwelling angles, 0.25 cm^-1 on-device reduction) through the sharded
+   Pallas ensemble path; steady-state spectra per second including the host
+   batch loop.
+3. ``ensemble_1000_wall_s`` — wall-clock seconds for the full
+   1000-atmosphere LWIR TUD ensemble (the reference's production run,
+   ``Generate_LWIR_TUD.py``); lower is better.
+4. ``sdvoigt_window_evals_per_s_per_chip`` — the reference XS-generator
+   workload (``misc/RT_gen_AbsXS_files.py:15-31,87-92``): SD-Voigt
+   cross-sections over 400-7100 cm^-1 at 0.0025 cm^-1 (2.68M points) with
+   350 cm^-1 absolute wings on a (T, p) lattice, Pallas sdvoigt mode.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup over the reference engine (hapi, float64
+serial per-line loop) measured on this machine's CPU via
+tools/measure_hapi_baseline.py: 3.62e6 Voigt / 1.76e6 SD-Voigt window
+evals/s. For TUD metrics the baseline is the hapi time to produce the same
+spectra (window evals / Voigt rate; the reference's TUD recursions are
+negligible next to its LBL cost).
+
+Env knobs: BENCH_N_ATMOS (default 1000), BENCH_ONLY (comma list of
+{voigt,tud,sdvoigt}).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,34 +40,54 @@ import numpy as np
 # Reference (hapi) throughput measured via tools/measure_hapi_baseline.py
 # on this container's CPU (single core, float64, hapi 1.1.0.7).
 HAPI_BASELINE_EVALS_PER_S = 3.62e6
+HAPI_SDVOIGT_BASELINE_EVALS_PER_S = 1.76e6
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": vs_baseline}), flush=True)
+
+
+def _window_evals(lines, iso, atmos, grid_axis, profile="voigt",
+                  wing_abs=0.0, states=None):
+    """hapi wing-window evaluation count for a (layers x lines) workload."""
     import jax
     import jax.numpy as jnp
 
-    from radtxfr_tpu.utils import enable_persistent_cache
-    enable_persistent_cache()
+    from radtxfr_tpu.products.od import _line_species_cols, layer_line_params
 
-    from radtxfr_tpu.atmos import std_atmosphere
-    from radtxfr_tpu.core.grid import arange_drift_free
+    if states is None:
+        cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
+        params = layer_line_params(lines, iso, atmos, cols,
+                                   wing_abs=wing_abs, profile=profile)
+        nu0 = np.broadcast_to(np.asarray(params.nu0, dtype=np.float64),
+                              np.asarray(params.wing).shape)
+        wing = np.asarray(jax.device_get(params.wing), dtype=np.float64)
+    else:
+        from radtxfr_tpu.kernels.lineparams import compute_line_params
+
+        T_s, p_s = states
+        one = lambda T, p: compute_line_params(
+            lines, iso, T, p, wing_abs=wing_abs, profile=profile)
+        params = jax.vmap(one)(jnp.asarray(T_s), jnp.asarray(p_s))
+        nu0 = np.broadcast_to(np.asarray(lines.nu0, dtype=np.float64),
+                              np.asarray(params.wing).shape)
+        wing = np.asarray(jax.device_get(params.wing), dtype=np.float64)
+    lo = np.searchsorted(grid_axis, (nu0 - wing).ravel(), side="right")
+    hi = np.searchsorted(grid_axis, (nu0 + wing).ravel(), side="right")
+    return int((hi - lo).sum())
+
+
+def bench_voigt(jnp, iso, atm, lines, axis):
+    """Metric 1. Returns the hapi-equivalent seconds per spectrum for the
+    TUD baselines."""
+    import jax
+
     from radtxfr_tpu.kernels.pallas_xsect import UniformGrid
-    from radtxfr_tpu.lines.store import IsoTables
-    from radtxfr_tpu.lines.synthetic import synthetic_lines
-    from radtxfr_tpu.products.od import (
-        _line_species_cols,
-        layer_line_params,
-        make_od_pallas_fn,
-    )
+    from radtxfr_tpu.products.od import make_od_pallas_fn
 
     on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.float32
-    iso = IsoTables.load(dtype=dtype)
-    atm = std_atmosphere(dtype=dtype)
-    lines = synthetic_lines(20_000, nu_min=480.0, nu_max=1520.0, seed=0, dtype=dtype)
-    axis = arange_drift_free(500.0, 1500.0, 0.0025)
     grid = UniformGrid.from_axis(axis)
-
     fn = make_od_pallas_fn(lines, iso, grid, atm)
     args = (atm.T, atm.p, atm.pl, atm.vmr)
     out = fn(*args)
@@ -63,24 +100,138 @@ def main():
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_rep
 
-    # Window evals: per (layer, line), the hapi wing-window length.
-    cols = jnp.asarray(_line_species_cols(lines, atm.mol_ids))
-    params = layer_line_params(lines, iso, atm, cols)
-    g = axis
-    nu0 = np.broadcast_to(np.asarray(params.nu0, dtype=np.float64),
-                          np.asarray(params.wing).shape)
-    wing = np.asarray(params.wing, dtype=np.float64)
-    lo = np.searchsorted(g, (nu0 - wing).ravel(), side="right")
-    hi = np.searchsorted(g, (nu0 + wing).ravel(), side="right")
-    window_evals = int((hi - lo).sum())
+    evals = _window_evals(lines, iso, atm, axis)
+    value = evals / dt
+    _emit("voigt_window_evals_per_s_per_chip", value, "evals/s",
+          value / HAPI_BASELINE_EVALS_PER_S)
+    return evals / HAPI_BASELINE_EVALS_PER_S  # hapi seconds per spectrum
 
-    value = window_evals / dt
-    print(json.dumps({
-        "metric": "voigt_window_evals_per_s_per_chip",
-        "value": value,
-        "unit": "evals/s",
-        "vs_baseline": value / HAPI_BASELINE_EVALS_PER_S,
-    }))
+
+def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum):
+    """Metrics 2 + 3: the production ensemble run."""
+    import jax
+
+    from radtxfr_tpu.dist.ensemble import stack_states
+    from radtxfr_tpu.dist.mesh import make_mesh
+    from radtxfr_tpu.dist.pallas_ensemble import make_tud_ensemble_fn
+    from radtxfr_tpu.sensor.resolution import reduce_operator
+
+    n_atmos = int(os.environ.get("BENCH_N_ATMOS", "1000"))
+    batch = 40
+    n_dev = len(jax.devices())
+    mesh = make_mesh(1, n_dev)
+    alts = jnp.asarray([0.061, 0.305, 1.524, 3.048, 6.096, 9.144, 12.192,
+                        15.24, 500.0], dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    dT = rng.normal(0.0, 6.0, n_atmos).astype(np.float32)
+    sc_h2o = rng.uniform(0.5, 1.5, n_atmos).astype(np.float32)
+
+    def member(i):
+        vmr = atm.vmr.at[:, 0].mul(float(sc_h2o[i]))
+        return atm.replace(T=atm.T + float(dT[i]), vmr=vmr)
+
+    env = [atm.replace(T=atm.T - 25.0),
+           atm.replace(T=atm.T + 25.0, vmr=atm.vmr.at[:, 0].mul(1.5))]
+    probe = stack_states([member(i) for i in range(batch)])
+    gpad, run = make_tud_ensemble_fn(lines, iso, axis, probe, alts, mesh,
+                                     atmos_class=env, n_angles=30)
+
+    n = axis.size
+    op = reduce_operator(np.asarray(gpad.values()[:n], dtype=np.float64), 0.25)
+
+    @jax.jit
+    def reduce_batch(tau, Lu, Ld):
+        return (op(tau[:, :n, -1, 0].T).T, op(Lu[:, :n, -1, 0].T).T,
+                op(Ld[:, :n].T).T)
+
+    def run_batch(lo):
+        b = stack_states([member(i) for i in range(lo, lo + batch)])
+        tau, Lu, Ld = run(b)
+        out = reduce_batch(tau, Lu, Ld)
+        jax.block_until_ready(out)
+        return out
+
+    t_all0 = time.perf_counter()
+    run_batch(0)                       # includes compile
+    t_steady0 = time.perf_counter()
+    for lo in range(batch, n_atmos, batch):
+        run_batch(lo)
+    t_end = time.perf_counter()
+
+    steady = (n_atmos - batch) / (t_end - t_steady0)
+    _emit("tud_spectra_per_s", steady, "spectra/s",
+          steady * hapi_s_per_spectrum)
+    wall = t_end - t_all0
+    _emit("ensemble_1000_wall_s", wall, "s",
+          (n_atmos * hapi_s_per_spectrum) / wall)
+
+
+def bench_sdvoigt_xs(jnp, iso):
+    """Metric 4: the XS-generator SD-Voigt lattice."""
+    import jax
+
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products.od import make_xsect_pallas_fn
+
+    on_tpu = jax.default_backend() == "tpu"
+    wing_abs = 350.0
+    lines = synthetic_lines(30_000, nu_min=400.0, nu_max=7100.0, seed=1,
+                            dtype=jnp.float32, sd_zero_frac=0.25)
+    axis = arange_drift_free(400.0, 7100.0, 0.0025)     # 2.68M points
+    T_s = np.arange(275.0, 321.0, 5.0)                  # 10 states
+    p_s = np.full_like(T_s, 1.0)
+    # wing-dominated workload: wide tiles keep the packed-plan duplication
+    # (~wing/tile_span) and its HBM footprint in check
+    fn = make_xsect_pallas_fn(lines, iso, axis, T_s, p_s, profile="sdvoigt",
+                              wing_abs=wing_abs, tile=8192)
+    Tj = jnp.asarray(T_s, dtype=jnp.float32)
+    pj = jnp.asarray(p_s, dtype=jnp.float32)
+    out = fn(Tj, pj)
+    out.block_until_ready()
+
+    n_rep = 2 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = fn(Tj, pj)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    evals = _window_evals(lines, iso, None, axis, profile="sdvoigt",
+                          wing_abs=wing_abs, states=(T_s, p_s))
+    value = evals / dt
+    _emit("sdvoigt_window_evals_per_s_per_chip", value, "evals/s",
+          value / HAPI_SDVOIGT_BASELINE_EVALS_PER_S)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from radtxfr_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
+
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.lines.store import IsoTables
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+
+    only = set((os.environ.get("BENCH_ONLY") or "voigt,tud,sdvoigt").split(","))
+    iso = IsoTables.load(dtype=jnp.float32)
+    atm = std_atmosphere(dtype=jnp.float32)
+    lines = synthetic_lines(20_000, nu_min=480.0, nu_max=1520.0, seed=0,
+                            dtype=jnp.float32)
+    axis = arange_drift_free(500.0, 1500.0, 0.0025)
+
+    hapi_s = None
+    if "voigt" in only:
+        hapi_s = bench_voigt(jnp, iso, atm, lines, axis)
+    if "tud" in only:
+        if hapi_s is None:
+            hapi_s = _window_evals(lines, iso, atm, axis) / HAPI_BASELINE_EVALS_PER_S
+        bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s)
+    if "sdvoigt" in only:
+        bench_sdvoigt_xs(jnp, iso)
 
 
 if __name__ == "__main__":

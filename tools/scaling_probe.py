@@ -57,6 +57,7 @@ def main():
     axis = arange_drift_free(500.0, 1500.0, args.dv)
     env = [atm.replace(T=atm.T - 20.0), atm.replace(T=atm.T + 20.0)]
 
+    results = []
     print(f"{'shards':>6s} {'work/shard (Geval)':>22s} {'max/mean':>9s} "
           f"{'efficiency bound':>17s}")
     for n_shards in args.shards:
@@ -81,6 +82,29 @@ def main():
         imb = work.max() / work.mean()
         print(f"{n_shards:6d} {work.mean() / 1e9:13.2f} (mean) "
               f"{imb:9.3f} {1.0 / imb:16.1%}")
+        results.append({"n_shards": n_shards,
+                        "mean_evals_per_shard": float(work.mean()),
+                        "max_over_mean": float(imb),
+                        "efficiency_bound": float(1.0 / imb)})
+
+    import json
+
+    artifact = {
+        "workload": {"n_lines": args.n_lines, "dv": args.dv,
+                     "band": [500.0, 1500.0], "layers": 66,
+                     "wing_hw": 50.0, "two_pass": True},
+        "results": results,
+        "caveats": "Static padded-work balance only: an UPPER bound on "
+                   "spectrum-shard scaling efficiency. It ignores per-call "
+                   "kernel-launch overhead asymmetry across shards (shards "
+                   "with fewer line blocks still pay every grid step) and "
+                   "the (small) TUD psum collectives; measured multi-chip "
+                   "efficiency will be below this bound.",
+    }
+    out = os.path.join(os.path.dirname(__file__), "..", "SCALING.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {os.path.normpath(out)}")
 
 
 if __name__ == "__main__":
