@@ -215,7 +215,7 @@ def cmd_tud(args):
             _, jac = tud_with_jacobian(store, iso, grid, base, alts,
                                        wrt=("T", 1, 3),
                                        n_angles=args.n_angles,
-                                       tangent_batch=8)
+                                       tangent_batch=8, engine=engine)
         for key, name in (("T", "T"), ("1", "H2O"), ("3", "O3")):
             for prod in ("tau", "Lu", "Ld"):
                 jac_out[f"d{prod}_d{name}"] = np.asarray(jac[key][prod])

@@ -501,7 +501,8 @@ def _voigt_K_grads(x, y, wei_a, wei_L, fast: bool = False):
             jnp.where(in_core, Kyw, Kya))
 
 
-def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L, fast: bool = False):
+def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L, fast: bool = False,
+                   variant: str = "full"):
     """SD-Voigt profile value on a (BLOCK, TILE) block, real arithmetic.
 
     Follows ``pcqsdhc`` with anuVC = eta = Shift2 = 0 (the SDVoigt driver's
@@ -511,6 +512,19 @@ def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L, fast: bool = False):
     (|X| ~ Gamma0/Gamma2 >> 3e-8 |Y| and |Y| >> 1e-15 |X|); the PART4
     CPF3-vs-CPF sub-selection is reproduced exactly. Callers must route
     Gamma2 == 0 lines to the Voigt path (c2t = 0 is hapi's PART1).
+
+    ``variant`` supports the two-pass far-wing decomposition (analog of
+    the Voigt asym/core split):
+
+    * ``'full'`` — the exact pcqsdhc selection (single-pass);
+    * ``'asym'`` — both CPF evaluations forced to the ~12-flop Humlicek
+      region-1 form. Exact wherever min(|Z1|, |Z2|) >= 15 — then
+      |x| + y >= |Z| puts both points in hum1_wei's asymptotic region and
+      szmn > 8 kills the CPF3 sub-case (host planning bounds the region:
+      |dnu| >= |s0| + g2 (2c^2 + 30c + 225), see
+      ``products.od.sdvoigt_core_bound``);
+    * ``'core'`` — (full - asym), evaluated only near line centers, so
+      asym + core == full pointwise.
     """
     cte = _SQRT_LN2 / gd
     inv_g2 = 1.0 / g2
@@ -530,6 +544,10 @@ def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L, fast: bool = False):
     x12 = -v
     y1 = u - c
     y2 = u + c
+    if variant == "asym":
+        w1a = _asym_re_w(x12, y1, fast, guard=0.25)
+        w2a = _asym_re_w(x12, y2, fast, guard=0.25)
+        return cte * _INV_SQRT_PI * (w1a - w2a)
     sz1 = jnp.sqrt(v * v + y1 * y1)
     sz2 = jnp.sqrt(v * v + y2 * y2)
     szmx = jnp.maximum(sz1, sz2)
@@ -539,6 +557,10 @@ def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L, fast: bool = False):
                    _re_w_select(x12, y1, wei_a, wei_L, fast))
     w2 = jnp.where(use3, _cpf3_re_w(x12, y2),
                    _re_w_select(x12, y2, wei_a, wei_L, fast))
+    if variant == "core":
+        # subtract the SAME guarded asym the 'asym' pass added
+        w1 = w1 - _asym_re_w(x12, y1, fast, guard=0.25)
+        w2 = w2 - _asym_re_w(x12, y2, fast, guard=0.25)
     # LS = (1/pi) * sqrt(pi) * cte * (w1 - w2)
     return cte * _INV_SQRT_PI * (w1 - w2)
 
@@ -653,12 +675,14 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                 g0 = g0_ref[0, l, :].reshape(block, 1)
                 wingu = wu_ref[0, l, :].reshape(block, 1)
                 mask = (u > -wingu) & (u <= wingu)
-                if mode == "sdvoigt":
+                if mode.startswith("sdvoigt"):
+                    variant = {"sdvoigt": "full", "sdvoigt_asym": "asym",
+                               "sdvoigt_core": "core"}[mode]
                     g2 = g2_ref[0, l, :].reshape(block, 1)
                     s0 = s0_ref[0, l, :].reshape(block, 1)
                     dnu = (rel - frac0 - ds) * dx
                     prof = _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L,
-                                          fast)
+                                          fast, variant=variant)
                     contrib = jnp.where(mask, strength * prof, 0.0)
                 elif mode == "mix":
                     # first-order Rosenkranz: scale (K + Y L); the mixing
@@ -798,9 +822,15 @@ def _xsect_fused_jvp_call(cfg, k_line, frac0, ds, strength, gd, g0, wingu,
 def _flops_per_eval(n_wei: int, mode: str) -> int:
     """Per-(line, nu-point) flop estimate for the XLA scheduler: the
     Weideman series is ~8 flops/term (complex Horner), the asymptotic form
-    ~12, plus masking/scale overhead ~40."""
+    ~12, plus masking/scale overhead ~40. SD-Voigt evaluates two CPFs on
+    top of a complex sqrt (~40); its full/core variants also carry the
+    branchless 15-term CPF3 sub-case (~120 each)."""
     if mode == "asym":
         return 12 + 40
+    if mode == "sdvoigt_asym":
+        return 2 * 12 + 40 + 40
+    if mode.startswith("sdvoigt"):
+        return 2 * (8 * n_wei + 12 + 120) + 40 + 40
     return 8 * n_wei + 40
 
 
@@ -967,7 +997,7 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
     # (nu0_shifted - nu0) in float32 loses the shift to cancellation at
     # nu ~ 1000 cm^-1. SDVoigt centers the profile on nu0 and applies the
     # shift inside the HT profile, so its ds is exactly zero.
-    if mode == "sdvoigt":
+    if mode.startswith("sdvoigt"):
         ds = f32(jnp.zeros_like(params.shift0))
     else:
         ds = f32(params.shift0 / dx)

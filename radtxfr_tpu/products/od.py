@@ -306,6 +306,35 @@ def core_y_matrix(lines, iso, atmos) -> np.ndarray:
     return np.sqrt(np.log(2.0)) * g0 / gd
 
 
+def sdvoigt_core_bound(lines, iso, atmos, margin: float = 1.15) -> np.ndarray:
+    """Host-side (nLay, L) upper bound on the SD-Voigt core half-width.
+
+    Outside |dnu| >= |delta·p| + Gamma2 (2c^2 + 30c + 225), both pcqsdhc
+    CPF points satisfy min(|Z1|, |Z2|) >= 15 (derivation: |Z| >=
+    sqrt(|X| - Y) - c with |X| >= (|dnu| - |s0|)/Gamma2, Y = c^2), which
+    puts them in hum1_wei's asymptotic region and disables the CPF3
+    sub-case — the double-asym 'sdvoigt_asym' kernel variant is exact
+    there. c = Gamma_D/(2 sqrt(ln2) Gamma2) is evaluated at both the
+    nominal and a half-strength Gamma2 (the self-diluent mix shrinks
+    Gamma2 by (1 - x_self)) and the larger bound kept; ``margin`` pads for
+    runtime states moderately outside the envelope.
+    """
+    sd = np.asarray(lines.sd_air, dtype=np.float64)
+    ga = np.asarray(lines.gamma_air, dtype=np.float64)
+    p_atm = np.asarray(atmos.p, dtype=np.float64)[:, None] / PA_PER_ATM
+    g2_nom = np.maximum(sd * ga, 1e-30)[None, :] * p_atm
+    k = (np.sqrt(np.asarray(atmos.T, dtype=np.float64))[:, None]
+         * _gd_coeff(lines, iso)[None, :]) / (2.0 * np.sqrt(np.log(2.0)))
+
+    def radius(g2):
+        c = k / g2
+        return g2 * (2.0 * c * c + 30.0 * c + 225.0)
+
+    b = np.maximum(radius(g2_nom), radius(0.5 * g2_nom))
+    shift = np.abs(np.asarray(lines.delta_air, dtype=np.float64))[None, :] * p_atm
+    return margin * (shift + b)
+
+
 def max_wing_bound(lines, iso, atmos, wing_abs=0.0, wing_hw=50.0) -> float:
     """Host-side upper bound on every line's wing over all layers."""
     return float(max_wing_per_layer(lines, iso, atmos, wing_abs, wing_hw).max())
@@ -441,19 +470,41 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
         # (wing_abs-dominated workloads want wide tiles — 8192 at 350 cm^-1
         # wings — which would otherwise pair with density-driven blocks of
         # 256 and spill ~200 MB of registers; measured on v5e).
-        blk_cap = max(8, ((1 << 18) // tile) // 8 * 8)
+        # tighter budget than the Voigt passes: the pcqsdhc variants keep
+        # ~15 dense (block x tile) f32 intermediates live vs ~8
+        blk_cap = max(8, ((1 << 17) // tile) // 8 * 8)
+        # SD-Voigt gets the same far-wing split as Voigt: a double-asym
+        # pass over the full windows plus a narrow (full - asym) core pass
+        # bounded by sdvoigt_core_bound (pointwise-exact decomposition).
+        sd_split = two_pass and s_mode == "sdvoigt"
+        if sd_split:
+            B_core = np.max([sdvoigt_core_bound(lines, iso, s)
+                             for s in states], axis=0)[:, s_idx]
         for lay_idx, _ in group_by_wing(W_s.max(axis=1),
                                         max_groups=max_groups,
                                         ratio=group_ratio):
             lay_idx = np.sort(lay_idx)
             w_line = W_s[lay_idx].max(axis=0)
-            plan = plan_buckets_packed(nu0[s_idx], g, w_line, tile=tile,
-                                       block="auto")
-            if plan.block > blk_cap:
-                plan = plan_buckets_packed(nu0[s_idx], g, w_line, tile=tile,
-                                           block=blk_cap)
-            calls.append((jnp.asarray(lay_idx), jnp.asarray(s_idx),
-                          plan, s_mode))
+
+            def packed(w, t, blk):
+                p = plan_buckets_packed(nu0[s_idx], g, w, tile=t, block=blk)
+                if blk == "auto" and p.block > blk_cap:
+                    p = plan_buckets_packed(nu0[s_idx], g, w, tile=t,
+                                            block=blk_cap)
+                return p
+
+            if sd_split:
+                calls.append((jnp.asarray(lay_idx), jnp.asarray(s_idx),
+                              packed(w_line, tile, "auto"), "sdvoigt_asym"))
+                w_core = np.minimum(w_line, B_core[lay_idx].max(axis=0))
+                c_tile = _pow2_tile(int(np.ceil(2.0 * w_core.max() / g.dx)),
+                                    lo=256, hi=min(512, max(256, tile)))
+                calls.append((jnp.asarray(lay_idx), jnp.asarray(s_idx),
+                              packed(w_core, c_tile, core_block),
+                              "sdvoigt_core"))
+            else:
+                calls.append((jnp.asarray(lay_idx), jnp.asarray(s_idx),
+                              packed(w_line, tile, "auto"), s_mode))
 
     if not v_idx.size:
         return calls
@@ -462,12 +513,18 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
     v_lines = jnp.asarray(v_idx)
     lay_groups = group_by_wing(W_v.max(axis=1), max_groups=max_groups,
                                ratio=group_ratio)
+    f_cap = max(8, ((1 << 18) // f_tile) // 8 * 8)
     for lay_idx, _ in lay_groups:
         # Per-line wing bounds over the group's layers: packed planning
         # places each line only in the tiles its OWN wing touches, so no
         # wing-class partitioning (and its class-max inflation) is needed.
         w_line = W_v[np.sort(lay_idx)].max(axis=0)          # (Lv,)
         plan = plan_buckets_packed(nu0_v, g, w_line, tile=f_tile, block=f_block)
+        if f_block == "auto" and plan.block > f_cap:
+            # VMEM guard: keep block*tile <= ~256K elements (the kernels
+            # hold several dense (block x tile) f32 intermediates live)
+            plan = plan_buckets_packed(nu0_v, g, w_line, tile=f_tile,
+                                       block=f_cap)
         calls.append((jnp.asarray(np.sort(lay_idx)), v_lines,
                       plan, wing_mode))
     if two_pass:

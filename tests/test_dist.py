@@ -94,6 +94,81 @@ def test_tud_ensemble_pallas_matches_unsharded(iso_tables):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pallas_ensemble_continuum(iso_tables):
+    """The sharded Pallas ensemble with continuum='mt_ckd': the per-shard
+    continuum term (traced grid offsets) matches the host composition."""
+    from radtxfr_tpu.atmos.continuum import continuum_od
+    from radtxfr_tpu.dist.pallas_ensemble import tud_ensemble_pallas
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+    from radtxfr_tpu.products.tud import tud_from_od
+    from radtxfr_tpu.core.planck import planckian
+
+    lines = synthetic_lines(80, nu_min=990.0, nu_max=1030.0, seed=37)
+    grid = arange_drift_free(1000.0, 1020.0, 0.02)
+    base = std_atmosphere()
+    batch = stack_states([base, base.replace(T=base.T + 5.0)])
+    alts = jnp.asarray([2.0, 500.0])
+    mesh = make_mesh(2, 2)
+
+    gpad, tau_s, lu_s, ld_s = tud_ensemble_pallas(
+        lines, iso_tables, grid, batch, alts, mesh, n_angles=6,
+        continuum="mt_ckd")
+    x_pad = jnp.asarray(gpad.values(), dtype=jnp.float32)
+    st = base
+    fn = make_od_pallas_fn(lines, iso_tables, gpad, st, continuum="mt_ckd")
+    od = fn(st.T, st.p, st.pl, st.vmr)
+    B = jnp.swapaxes(planckian(x_pad, st.T), 0, 1).astype(od.dtype)
+    tud = tud_from_od(x_pad, od, B, st.z0, alts, n_angles=6)
+    n = grid.size
+    np.testing.assert_allclose(np.asarray(tau_s[0])[:n],
+                               np.asarray(tud.tau)[:n], rtol=2e-4, atol=1e-6)
+    # continuum actually contributes (tau lower than line-only)
+    gpad2, tau_n, _, _ = tud_ensemble_pallas(
+        lines, iso_tables, grid, batch, alts, mesh, n_angles=6)
+    assert (np.asarray(tau_s[0])[:n] < np.asarray(tau_n[0])[:n] + 1e-9).all()
+    assert np.asarray(tau_s[0])[:n].mean() < np.asarray(tau_n[0])[:n].mean()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spectrum_sharded_sdvoigt_matches_unsharded(iso_tables):
+    """make_od_pallas_local_fn(profile='sdvoigt'): the per-profile call
+    split (sdvoigt asym/core passes + Voigt passes) under spectrum
+    sharding."""
+    from jax.sharding import PartitionSpec as P
+
+    from radtxfr_tpu.dist.mesh import SPECTRUM
+    from radtxfr_tpu.products.od import make_od_pallas_fn, make_od_pallas_local_fn
+
+    lines = synthetic_lines(200, nu_min=790.0, nu_max=860.0, seed=36,
+                            sd_zero_frac=0.5)
+    grid = arange_drift_free(800.0, 850.0, 0.02)
+    atm = std_atmosphere()
+    n_spec = 4
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), (SPECTRUM,))
+
+    loc_fn, spec_data, gpad = make_od_pallas_local_fn(
+        lines, iso_tables, grid, atm, n_spec, profile="sdvoigt")
+    n_local = gpad.n // n_spec
+
+    def body(T, p, pl, vmr, local):
+        off = jax.lax.axis_index(SPECTRUM) * n_local
+        return loc_fn(T, p, pl, vmr, local, off)
+
+    sharded = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(),
+                  jax.tree.map(lambda _: P(SPECTRUM), spec_data)),
+        out_specs=P(None, SPECTRUM), check_vma=False))
+    got = np.asarray(sharded(atm.T, atm.p, atm.pl, atm.vmr, spec_data))
+
+    fn = make_od_pallas_fn(lines, iso_tables, gpad, atm, profile="sdvoigt")
+    want = np.asarray(fn(atm.T, atm.p, atm.pl, atm.vmr))
+    n = grid.size
+    peak = np.abs(want[:, :n]).max()
+    assert np.abs(got[:, :n] - want[:, :n]).max() < 5e-6 * peak
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_line_sharded_od_matches_replicated(iso_tables):
     """Line-sharded SPMD OD (in-band + halo lines per shard) vs the
     replicated-lines local fn."""

@@ -176,6 +176,26 @@ def test_sdvoigt_production_path_matches_jnp(iso_tables):
         np.abs(got - want).max() / peak
 
 
+def test_sdvoigt_two_pass_equals_single_pass(iso_tables):
+    """sdvoigt_asym + sdvoigt_core must equal the single-pass pcqsdhc
+    selection (the SD-Voigt far-wing split)."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(120, nu_min=795.0, nu_max=855.0, seed=79)
+    axis = arange_drift_free(800.0, 850.0, 0.01)
+    fn1 = make_od_pallas_fn(lines, iso_tables, axis, atm, profile="sdvoigt",
+                            two_pass=False)
+    fn2 = make_od_pallas_fn(lines, iso_tables, axis, atm, profile="sdvoigt",
+                            two_pass=True)
+    args = (atm.T, atm.p, atm.pl, atm.vmr)
+    a = np.asarray(fn1(*args))
+    b = np.asarray(fn2(*args))
+    peak = np.abs(a).max()
+    assert np.abs(a - b).max() < 2e-6 * peak, np.abs(a - b).max() / peak
+
+
 def test_sdvoigt_engine_pallas_dispatch(iso_tables):
     """compute_od_layers(engine='pallas', profile='sdvoigt') dispatches and
     agrees with the explicit builder."""

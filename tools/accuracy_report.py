@@ -151,6 +151,65 @@ def main():
             / np.abs(np.exp(-want[r])).max()
             for r in range(len(layer_ids))))
 
+    # ---------------- SD-Voigt Pallas production path ---------------------
+    if not on_tpu:
+        from radtxfr_tpu.products import compute_od_layers
+
+        want_sd = np.asarray(compute_od_layers(
+            lines_p, IsoTables.load(), jnp.asarray(axis), sub,
+            profile="sdvoigt"))
+        fn_sd = make_od_pallas_fn(lines_p, iso32, axis, atm32,
+                                  profile="sdvoigt")
+        got_sd = np.asarray(fn_sd(atm32.T, atm32.p, atm32.pl, atm32.vmr))
+        row("layer OD SD-Voigt (Pallas f32 vs f64)", cfg_p,
+            max(np.abs(got_sd[r] - want_sd[r]).max()
+                / np.abs(want_sd[r]).max() for r in range(len(layer_ids))))
+
+        # ------------ continuum anchors (published 296 K values) ----------
+        from radtxfr_tpu.atmos.continuum import continuum_od
+        from radtxfr_tpu.atmos.profile import AtmosphericState
+        from radtxfr_tpu.core.constants import BARYE_PER_ATM, K_BOLTZMANN_CGS
+
+        one_l = AtmosphericState(
+            z0=jnp.zeros(1), z1=jnp.ones(1), pl=jnp.ones(1),
+            p=jnp.asarray([101325.0]), T=jnp.asarray([296.0]),
+            vmr=jnp.asarray([[0.01, 4e-4, 3e-8]]), mol_ids=(1, 2, 3))
+        od_c = np.asarray(continuum_od(
+            jnp.asarray([944.0, 1000.0]), one_l, model="mt_ckd",
+            continuum_factors=[1, 0, 0, 0, 0, 0, 0]))[0]
+        n_h2o = 0.01 * BARYE_PER_ATM / (K_BOLTZMANN_CGS * 296.0)
+        cs = od_c / (n_h2o * 0.01 * 1e5)
+        anchors = np.array([2.0e-22, 1.55e-22])  # Burch & Alt 1984 / CKD
+        row("H2O self continuum vs published", "944 & 1000 cm^-1, 296 K",
+            np.abs(cs / anchors - 1.0).max())
+
+        # ------------ Rosenkranz mixing vs f64 wofz oracle ----------------
+        from scipy.special import wofz as _wofz
+
+        from radtxfr_tpu.core.constants import SQRT_LN2 as _SL2
+        from radtxfr_tpu.kernels.linemixing import (mixing_coefficient,
+                                                    xsect_voigt_mixing)
+
+        lm_lines = synthetic_lines(30, 1002.0, 1008.0, seed=9)
+        rngm = np.random.default_rng(3)
+        y_air = rngm.normal(0.0, 3e-3, 30)
+        prm = compute_line_params(lm_lines, IsoTables.load(), 250.0, 0.5)
+        Ym = np.asarray(mixing_coefficient(y_air, 0.5, 250.0))
+        gmix = arange_drift_free(1003.0, 1007.0, 0.005)
+        got_m = np.asarray(xsect_voigt_mixing(jnp.asarray(gmix), prm, Ym))
+        pm = jax.device_get(prm)
+        want_m = np.zeros_like(gmix)
+        for i in range(30):
+            cte = _SL2 / pm.gamma_d[i]
+            w = _wofz((gmix - pm.nu0_shifted[i]) * cte
+                      + 1j * pm.gamma_0[i] * cte)
+            vals = cte / np.sqrt(np.pi) * (w.real + Ym[i] * w.imag)
+            msk = ((gmix > pm.nu0[i] - pm.wing[i])
+                   & (gmix <= pm.nu0[i] + pm.wing[i]))
+            want_m += np.where(msk, pm.strength[i] * vals, 0.0)
+        row("Rosenkranz mixing (jnp f64 vs wofz)", "30 lines, Y~N(0,3e-3)",
+            np.abs(got_m - want_m).max() / np.abs(want_m).max())
+
     if on_tpu:
         # TUD on the real chip vs a pure-numpy f64 reference recursion
         from radtxfr_tpu.products import tud_from_od

@@ -30,21 +30,32 @@ from oracle import hapi_xsect
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default="Voigt",
+                    choices=["Voigt", "SDVoigt", "Lorentz", "Doppler"],
+                    help="reference driver to measure (bench.py baselines: "
+                         "Voigt 3.62e6, SDVoigt 1.76e6 on this container)")
+    args = ap.parse_args()
+
     store = synthetic_lines(500, nu_min=540.0, nu_max=610.0, seed=5)
     grid = arange_drift_free(550.0, 600.0, 0.0025)
 
     t0 = time.perf_counter()
-    hapi_xsect(store, grid, 296.0, 1.0)
+    hapi_xsect(store, grid, 296.0, 1.0, profile=args.profile)
     dt = time.perf_counter() - t0
 
     iso = IsoTables.load()
-    p = compute_line_params(store, iso, 296.0, 1.0)
+    p = compute_line_params(store, iso, 296.0, 1.0,
+                            profile=args.profile.lower())
     nu0 = np.asarray(p.nu0)
     wing = np.asarray(p.wing)
     lo = np.searchsorted(grid, nu0 - wing, side="right")
     hi = np.searchsorted(grid, nu0 + wing, side="right")
     evals = int((hi - lo).sum())
-    print(f"hapi: {dt:.2f}s, {evals} window evals, {evals/dt:.3e} evals/s")
+    print(f"hapi {args.profile}: {dt:.2f}s, {evals} window evals, "
+          f"{evals/dt:.3e} evals/s")
 
 
 if __name__ == "__main__":

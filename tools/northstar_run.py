@@ -36,6 +36,12 @@ def main():
                     help="downwelling rule: 'uniform' = reference parity "
                          "(30 angles); 'gauss' = double-Gauss (8 nodes "
                          "beat uniform-30)")
+    ap.add_argument("--continuum", default="none",
+                    help="continuum model ('mt_ckd' = the reference's "
+                         "LBLRTM ICNTNM=6 production setting)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed before building the "
+                         "mesh (multi-host pods; see dist.init)")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +61,12 @@ def main():
     from radtxfr_tpu.lines.synthetic import synthetic_lines
     from radtxfr_tpu.sensor.resolution import reduce_operator
     from radtxfr_tpu.utils import PhaseTimer
+
+    if args.multihost:
+        from radtxfr_tpu.dist.init import init_multihost, runtime_info
+
+        init_multihost()
+        print(f"multihost runtime: {runtime_info()}")
 
     n_dev = len(jax.devices())
     mesh = make_mesh(1, n_dev) if n_dev > 1 else make_mesh(1, 1)
@@ -87,7 +99,8 @@ def main():
     with timer.phase("build+compile"):
         gpad, run = make_tud_ensemble_fn(
             lines, iso, grid, probe, alts, mesh, atmos_class=env,
-            n_angles=args.n_angles, quadrature=args.quadrature)
+            n_angles=args.n_angles, quadrature=args.quadrature,
+            continuum=args.continuum)
     print(f"compile: {timer.phases['build+compile']:.0f} s "
           f"(padded grid {gpad.n} points)")
 
