@@ -38,7 +38,7 @@ from ..core.constants import (
 from ..lines.tips import partition_sum
 from .htp import pcqsdhc
 
-__all__ = ["xsect_ht"]
+__all__ = ["xsect_ht", "resolve_ht_columns", "ht_params"]
 
 _STORE_COLS = ("gamma_air", "gamma_self", "n_air", "delta_air", "sd_air")
 
@@ -61,17 +61,9 @@ def _nz(primary, fallback):
     return np.where(primary != 0.0, primary, fallback)
 
 
-def xsect_ht(grid, lines, iso, T, p_atm, diluent=None, extras=None,
-             wing_abs: float = 0.0, wing_hw: float = 50.0, chunk: int = 128):
-    """HT-profile absorption cross-section on ``grid`` [cm^2/molec]."""
-    if diluent is None:
-        diluent = {"air": 1.0}
-    grid = jnp.asarray(grid)
-    nu0_np = np.asarray(lines.nu0, dtype=np.float64)
-    L = nu0_np.shape[0]
-    z = np.zeros(L)
-
-    # ---- host-side column resolution per diluent --------------------------
+def resolve_ht_columns(lines, extras, diluent):
+    """Host-side HT column resolution per diluent (hapi fallbacks;
+    see module docstring). Returns a list of (abundance, 9 jnp arrays)."""
     resolved = []
     for d, abun in diluent.items():
         d = d.lower()
@@ -97,10 +89,20 @@ def xsect_ht(grid, lines, iso, T, p_atm, diluent=None, extras=None,
         eta_db = _col(lines, extras, f"eta_HT_{d}")
         resolved.append((float(abun), *map(jnp.asarray,
                         (g0db, ndb, d0, dp, g2db, d2db, nuvc_db, kappa_db, eta_db))))
+    return resolved
 
-    # ---- traced thermodynamic scaling -------------------------------------
+
+def ht_params(resolved, lines, iso, T, p_atm, wing_abs=0.0, wing_hw=50.0,
+              complex_dtype=None):
+    """Traced per-line HT parameters at (T, p) from resolved columns.
+
+    Returns a dict: strength, gamma_d, gamma0, shift0, gamma2, shift2,
+    nuvc, eta (complex), wing — the exact quantities the reference HT
+    driver feeds ``PROFILE_HT`` (``misc/hapi.py:10530-10650``).
+    """
     T = jnp.asarray(T)
     p = jnp.asarray(p_atm)
+    L = np.asarray(lines.nu0).shape[0]
 
     all_rows = jnp.arange(iso.q.shape[0])
     q_t = partition_sum(iso.q, all_rows, T)[lines.iso_row]
@@ -115,13 +117,15 @@ def xsect_ht(grid, lines, iso, T, p_atm, diluent=None, extras=None,
     gamma_d = jnp.sqrt(2.0 * K_BOLTZMANN_CGS * T * np.log(2.0) / mass_g
                        / C_LIGHT_CGS**2) * nu0
 
+    if complex_dtype is None:
+        complex_dtype = (jnp.complex128 if gamma_d.dtype == jnp.float64
+                         else jnp.complex64)
     gamma0 = 0.0
     shift0 = 0.0
     gamma2 = 0.0
     shift2 = 0.0
     nuvc = 0.0
-    eta_num = jnp.zeros(L, dtype=jnp.complex128 if grid.dtype == jnp.float64
-                        else jnp.complex64)
+    eta_num = jnp.zeros(L, dtype=complex_dtype)
     for abun, g0db, ndb, d0, dp, g2db, d2db, nuvc_db, kappa_db, eta_db in resolved:
         g0t = g0db * (p / P_REF) * (T_REF / T) ** ndb
         s0t = (d0 + dp * (T - T_REF)) * (p / P_REF)
@@ -135,6 +139,29 @@ def xsect_ht(grid, lines, iso, T, p_atm, diluent=None, extras=None,
 
     wing = jnp.maximum(jnp.asarray(wing_abs),
                        jnp.maximum(wing_hw * gamma0, wing_hw * gamma_d))
+    return dict(strength=strength, gamma_d=gamma_d, gamma0=gamma0,
+                shift0=shift0, gamma2=gamma2, shift2=shift2, nuvc=nuvc,
+                eta=eta, wing=wing)
+
+
+def xsect_ht(grid, lines, iso, T, p_atm, diluent=None, extras=None,
+             wing_abs: float = 0.0, wing_hw: float = 50.0, chunk: int = 128):
+    """HT-profile absorption cross-section on ``grid`` [cm^2/molec]."""
+    if diluent is None:
+        diluent = {"air": 1.0}
+    grid = jnp.asarray(grid)
+    resolved = resolve_ht_columns(lines, extras, diluent)
+    prm = ht_params(resolved, lines, iso, T, p_atm,
+                    wing_abs=wing_abs, wing_hw=wing_hw,
+                    complex_dtype=(jnp.complex128
+                                   if grid.dtype == jnp.float64
+                                   else jnp.complex64))
+    nu0 = jnp.asarray(lines.nu0)
+    L = np.asarray(lines.nu0).shape[0]
+    strength, gamma_d = prm["strength"], prm["gamma_d"]
+    gamma0, shift0 = prm["gamma0"], prm["shift0"]
+    gamma2, shift2 = prm["gamma2"], prm["shift2"]
+    nuvc, eta, wing = prm["nuvc"], prm["eta"], prm["wing"]
 
     # ---- chunked lines x grid evaluation ----------------------------------
     n_pad = (-L) % chunk

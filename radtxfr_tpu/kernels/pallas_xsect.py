@@ -40,7 +40,7 @@ from .faddeeva import weideman_coeffs, REGION_BOUND
 from .lineparams import LineParams
 
 __all__ = ["UniformGrid", "BucketPlan", "plan_buckets",
-           "plan_buckets_packed", "xsect_pallas"]
+           "plan_buckets_packed", "xsect_pallas", "xsect_ht_pallas"]
 
 _SQRT_LN2 = math.sqrt(math.log(2.0))
 _INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
@@ -706,6 +706,134 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
             jax.lax.fori_loop(0, n_lay, body, 0)
 
     return kernel
+
+
+#: layered-array order of the HT kernel's per-line inputs (after strength
+#: and the wing): the ht_line_constants keys
+_HT_CONST_KEYS = ("cte", "c0tr", "c0ti", "c2tr", "c2ti", "cyr", "cyi",
+                  "d0r", "d0i", "e2r", "e2i")
+
+
+def _make_fused_ht_kernel(tile: int, block: int, n_lay: int, dx: float,
+                          n_weideman: int, fast: bool = False):
+    """Layer-fused Hartmann-Tran kernel: the full real-arithmetic pcqsdhc
+    (:func:`radtxfr_tpu.kernels.htp_real.pcqsdhc_real` — PART1-4 incl. the
+    CPF3 sub-case and complex eta) over (line-block x nu-tile) pairs."""
+    from .htp_real import pcqsdhc_real
+
+    dx = np.float32(dx)
+    wei_L_f, wei_a_f = weideman_coeffs(n_weideman)
+    wei_a = tuple(np.float32(c) for c in wei_a_f)
+    wei_L = np.float32(wei_L_f)
+
+    def kernel(starts_ref, counts_ref, off_ref, k_ref, f0_ref, s_ref,
+               wu_ref, *refs):
+        const_refs = refs[:-1]
+        out_ref = refs[-1]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(j < counts_ref[i])
+        def _accumulate():
+            k_line = k_ref[0, 0, :].reshape(block, 1)
+            frac0 = f0_ref[0, 0, :].reshape(block, 1)
+            k_grid = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+                      + i * tile + off_ref[0])
+            rel = (k_grid - k_line).astype(jnp.float32)
+            u = rel - frac0
+
+            def body(l, _):
+                get = lambda ref: ref[0, l, :].reshape(block, 1)
+                consts = {key: get(r)
+                          for key, r in zip(_HT_CONST_KEYS, const_refs)}
+                strength = get(s_ref)
+                wingu = get(wu_ref)
+                ls = pcqsdhc_real(u * dx, consts, wei_a, wei_L, fast)
+                mask = (u > -wingu) & (u <= wingu)
+                out_ref[0, l, :] += jnp.sum(
+                    jnp.where(mask, strength * ls, 0.0), axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, n_lay, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def _xsect_fused_ht_call(cfg, k_line, frac0, strength, wingu, consts,
+                         starts, counts, offset, interpret=False):
+    # consts: tuple of 11 (n_blocks, n_lay, block) arrays (_HT_CONST_KEYS)
+    tile, block, nb, nt, mb, n_out, dx, n_wei, _mode, fast = cfg
+    n_lay = strength.shape[1]
+    kernel = _make_fused_ht_kernel(tile, block, n_lay, dx, n_wei, fast)
+
+    def line_map(i, j, starts_ref, counts_ref, off_ref):
+        return (jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt, mb),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, n_lay, block), line_map, memory_space=pltpu.VMEM)
+        ] * (2 + len(consts)),
+        out_specs=pl.BlockSpec((1, n_lay, tile),
+                               lambda i, j, s, c, o: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, n_lay, tile), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_lay * nt * mb * block * tile * (6 * (8 * n_wei) + 600),
+            bytes_accessed=(nt * n_lay * tile * 4
+                            + nt * mb * n_lay * block * 13 * 4),
+            transcendentals=0,
+        ),
+    )(starts, counts, offset, k_line, frac0, strength, wingu, *consts)
+    return out.transpose(1, 0, 2).reshape(n_lay, nt * tile)[:, :n_out]
+
+
+def xsect_ht_pallas(plan: BucketPlan, strength, wing, consts: dict,
+                    n_weideman: int = 24, fast_rcp: bool = False,
+                    interpret: bool | None = None):
+    """Hartmann-Tran layered spectra with the Pallas kernel.
+
+    ``strength``/``wing`` and every entry of ``consts``
+    (:func:`~radtxfr_tpu.kernels.htp_real.ht_line_constants` output) are
+    (n_layers, n_lines) arrays over the SAME sorted line list that built
+    ``plan`` (a packed plan — ``plan_buckets_packed``). Returns
+    (n_layers, grid.n) float32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if plan.gather is None:
+        raise ValueError("xsect_ht_pallas requires a packed plan "
+                         "(plan_buckets_packed)")
+    f32 = lambda a: jnp.atleast_2d(jnp.asarray(a, dtype=jnp.float32))
+    gth = jnp.asarray(plan.gather)
+    pad = lambda a, fill: _gather_fused(f32(a), gth, fill)
+    wing_cap = (plan.max_wing if plan.wing_line is None
+                else jnp.asarray(plan.wing_line, dtype=jnp.float32))
+    wingu = jnp.minimum(f32(wing), wing_cap) / plan.grid.dx
+    cfg = (plan.tile, plan.block, plan.n_blocks, plan.n_tiles,
+           plan.max_blocks, plan.grid.n, plan.grid.dx, n_weideman, "ht",
+           fast_rcp and not interpret)
+    consts_padded = tuple(pad(consts[k], 1.0 if k == "cte" else 0.0)
+                          for k in _HT_CONST_KEYS)
+    return _xsect_fused_ht_call(
+        cfg, jnp.asarray(plan.k_line), jnp.asarray(plan.frac0),
+        pad(strength, 0.0), pad(wingu, 0.0), consts_padded,
+        jnp.asarray(plan.starts), jnp.asarray(plan.counts),
+        jnp.zeros((1,), dtype=jnp.int32), interpret=interpret)
 
 
 def _make_fused_jvp_kernel(tile: int, block: int, n_lay: int, dx: float,

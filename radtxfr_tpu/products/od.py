@@ -32,7 +32,7 @@ from ..kernels.xsect import xsect_from_params
 from ..lines.store import IsoTables, LineStore
 
 __all__ = ["species_column", "compute_od_layer", "compute_od_layers",
-           "make_od_pallas_fn", "make_xsect_pallas_fn",
+           "make_od_pallas_fn", "make_xsect_pallas_fn", "make_ht_pallas_fn",
            "make_od_pallas_local_fn", "make_od_plan"]
 
 
@@ -781,6 +781,85 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
         return out
 
     return xs_fn
+
+
+def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
+                      extras=None, wing_abs=0.0, wing_hw=50.0,
+                      tile: int = 512, n_weideman: int = 24,
+                      max_groups: int = 4, group_ratio: float = 4.0,
+                      fast_rcp: bool = True):
+    """Build a jitted (T_states, p_atm_states) -> (nStates, nX)
+    Hartmann-Tran cross-section function [cm^2/molec] on the Pallas engine.
+
+    Completes the fast-path family: the full pcqsdhc region structure
+    (complex eta, nuVC, Shift2 — the reference's ``PROFILE_HT`` /
+    ``absorptionCoefficient_HT``, ``misc/hapi.py:10302-10650``) evaluated
+    in real arithmetic inside the bucketed kernel
+    (:func:`~radtxfr_tpu.kernels.pallas_xsect.xsect_ht_pallas`). HITRAN
+    units, hapi window mask; HT columns resolve with hapi's fallbacks from
+    the ``extras`` dict (e.g. a table fetched with ``pargroups=['ht']``).
+    """
+    from ..kernels.ht_driver import ht_params, resolve_ht_columns
+    from ..kernels.htp_real import ht_line_constants
+    from ..kernels.pallas_xsect import (UniformGrid, plan_buckets_packed,
+                                        xsect_ht_pallas)
+
+    if diluent is None:
+        diluent = {"air": 1.0}
+    g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
+    lines_h = lines.host_view()
+    resolved = resolve_ht_columns(lines_h, extras, diluent)
+    T_c = np.asarray(T_class, dtype=np.float64).ravel()
+    p_c = np.asarray(p_atm_class, dtype=np.float64).ravel()
+
+    # host wing bounds per (state, line) from the resolved HT columns
+    from ..core.constants import P_REF, T_REF
+
+    gd_coeff = _gd_coeff(lines_h, jax.device_get(iso))
+    W = np.zeros((T_c.size, np.asarray(lines_h.nu0).size))
+    for r, (T_s, p_s) in enumerate(zip(T_c, p_c)):
+        g0 = np.zeros_like(W[0])
+        for abun, g0db, ndb, *_ in resolved:
+            g0 = g0 + abun * np.asarray(g0db) * (p_s / P_REF) \
+                * (T_REF / T_s) ** np.asarray(ndb)
+        gd = np.sqrt(T_s) * gd_coeff
+        W[r] = np.maximum(wing_abs, wing_hw * np.maximum(g0, gd))
+
+    nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
+    blk_cap = max(8, ((1 << 16) // tile) // 8 * 8)   # pcqsdhc: ~40 live temps
+    plans = []
+    for lay_idx, _ in group_by_wing(W.max(axis=1), max_groups=max_groups,
+                                    ratio=group_ratio):
+        lay_idx = np.sort(lay_idx)
+        w_line = W[lay_idx].max(axis=0)
+        plan = plan_buckets_packed(nu0, g, w_line, tile=tile, block="auto")
+        if plan.block > blk_cap:
+            plan = plan_buckets_packed(nu0, g, w_line, tile=tile,
+                                       block=blk_cap)
+        plans.append((jnp.asarray(lay_idx), plan))
+
+    @jax.jit
+    def ht_fn(T, p_atm):
+        def one(T_l, p_l):
+            return ht_params(resolved, lines, iso, T_l, p_l,
+                             wing_abs=wing_abs, wing_hw=wing_hw,
+                             complex_dtype=jnp.complex64)
+
+        prm = jax.vmap(one)(T, p_atm)
+        consts = ht_line_constants(
+            prm["gamma_d"], prm["gamma0"], prm["gamma2"], prm["shift0"],
+            prm["shift2"], prm["nuvc"],
+            jnp.real(prm["eta"]), jnp.imag(prm["eta"]))
+        out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
+        sub = lambda a, li: jax.tree.map(lambda x: x[li], a)
+        for lay_idx, plan in plans:
+            out = out.at[lay_idx].add(xsect_ht_pallas(
+                plan, sub(prm["strength"], lay_idx),
+                sub(prm["wing"], lay_idx), sub(consts, lay_idx),
+                n_weideman=n_weideman, fast_rcp=fast_rcp))
+        return out
+
+    return ht_fn
 
 
 def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",

@@ -1,0 +1,127 @@
+"""Real-arithmetic pcqsdhc (the Pallas HT building block) vs the complex
+jnp reference implementation, float64, across the full region structure."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radtxfr_tpu.kernels.faddeeva import weideman_coeffs
+from radtxfr_tpu.kernels.htp import pcqsdhc
+from radtxfr_tpu.kernels.htp_real import ht_line_constants, pcqsdhc_real
+
+_WL, _WA = weideman_coeffs(24)
+_WA = tuple(float(c) for c in _WA)
+
+
+def _real(sg0, gd, g0, g2, s0, s2, nuvc, eta, sg):
+    k = ht_line_constants(
+        jnp.asarray(gd), jnp.asarray(g0), jnp.asarray(g2), jnp.asarray(s0),
+        jnp.asarray(s2), jnp.asarray(nuvc),
+        jnp.asarray(np.real(eta)), jnp.asarray(np.imag(eta)))
+    k = {kk: jnp.asarray(v)[..., None] if jnp.ndim(v) else v
+         for kk, v in k.items()}
+    dnu = jnp.asarray(sg)[None, :] - jnp.asarray(sg0)[..., None]
+    return np.asarray(pcqsdhc_real(dnu, k, _WA, float(_WL)))
+
+
+CASES = [
+    # (gamma2, shift2, nuvc, eta) — region coverage
+    ("sdvoigt-like", 0.008, 0.0, 0.0, 0.0 + 0.0j),
+    ("sd-shift", 0.008, 5e-4, 0.0, 0.0 + 0.0j),
+    ("rautian", 0.0, 0.0, 0.02, 0.0 + 0.0j),
+    ("sd-rautian", 0.01, 3e-4, 0.03, 0.0 + 0.0j),
+    ("full-ht-real-eta", 0.012, 4e-4, 0.015, 0.2 + 0.0j),
+    ("full-ht-complex-eta", 0.012, 4e-4, 0.015, 0.18 + 0.04j),
+    ("part1-voigt", 0.0, 0.0, 0.0, 0.0 + 0.0j),
+]
+
+
+@pytest.mark.parametrize("name,g2,s2,nuvc,eta", CASES)
+def test_pcqsdhc_real_matches_complex(name, g2, s2, nuvc, eta):
+    sg0 = np.array([1000.0])
+    gd, g0, s0 = 0.003, 0.07, -0.008
+    sg = np.linspace(999.0, 1001.0, 2001)
+    want = np.asarray(pcqsdhc(sg0[0], gd, g0, g2, s0, s2, nuvc, eta, sg)[0])
+    got = _real(sg0, np.array([gd]), np.array([g0]), np.array([g2]),
+                np.array([s0]), np.array([s2]), np.array([nuvc]),
+                np.array([eta]), sg)[0]
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 5e-9 * peak, \
+        (name, np.abs(got - want).max() / peak)
+
+
+def test_pcqsdhc_real_far_wing_and_regions():
+    """Wide dnu span exercises PART1's |Z1|>4e3 branch and PART4's CPF3
+    sub-case; a Doppler-dominated line approaches the small-Y regions."""
+    sg = np.concatenate([np.linspace(600.0, 1400.0, 4001),
+                         np.linspace(999.9, 1000.1, 2001)])
+    for gd, g0, g2 in [(0.003, 0.07, 0.012), (0.002, 1e-4, 2e-5),
+                       (0.0005, 0.5, 0.05)]:
+        want = np.asarray(pcqsdhc(1000.0, gd, g0, g2, -0.008, 3e-4,
+                                  0.01, 0.1 + 0.02j, sg)[0])
+        got = _real(np.array([1000.0]), np.array([gd]), np.array([g0]),
+                    np.array([g2]), np.array([-0.008]), np.array([3e-4]),
+                    np.array([0.01]), np.array([0.1 + 0.02j]), sg)[0]
+        peak = np.abs(want).max()
+        assert np.abs(got - want).max() < 1e-8 * peak, \
+            (gd, g0, g2, np.abs(got - want).max() / peak)
+
+
+def test_ht_pallas_matches_jnp_driver(iso_tables):
+    """make_ht_pallas_fn (bucketed kernel, f32) vs xsect_ht (jnp f64) with
+    full synthetic HT columns over a (T, p) lattice."""
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.kernels.ht_driver import xsect_ht
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products.od import make_ht_pallas_fn
+
+    store = synthetic_lines(60, nu_min=995.0, nu_max=1015.0, seed=23)
+    rng = np.random.default_rng(4)
+    n = store.n_lines
+    ga = np.asarray(store.gamma_air)
+    extras = {
+        "gamma_HT_0_air_296": ga * rng.uniform(0.9, 1.1, n),
+        "n_HT_air_296": rng.uniform(0.4, 0.8, n),
+        "delta_HT_0_air_296": rng.normal(0.0, 0.005, n),
+        "deltap_HT_air_296": rng.normal(0.0, 1e-5, n),
+        "gamma_HT_2_air_296": ga * rng.uniform(0.05, 0.15, n),
+        "delta_HT_2_air_296": rng.normal(0.0, 5e-4, n),
+        "nu_HT_air": rng.uniform(0.0, 0.05, n),
+        "kappa_HT_air": rng.uniform(0.0, 1.0, n),
+        "eta_HT_air": rng.uniform(0.0, 0.3, n),
+    }
+    axis = arange_drift_free(998.0, 1012.0, 0.005)
+    T = np.array([250.0, 296.0, 320.0])
+    p = np.array([0.5, 1.0, 0.9])
+    fn = make_ht_pallas_fn(store, iso_tables, axis, T, p, extras=extras)
+    got = np.asarray(fn(jnp.asarray(T, dtype=jnp.float32),
+                        jnp.asarray(p, dtype=jnp.float32)))
+    assert got.shape == (3, axis.size)
+    for i in range(3):
+        want = np.asarray(xsect_ht(jnp.asarray(axis), store, iso_tables,
+                                   float(T[i]), float(p[i]), extras=extras))
+        peak = np.abs(want).max()
+        assert np.abs(got[i] - want).max() < 5e-5 * peak, \
+            (i, np.abs(got[i] - want).max() / peak)
+
+
+def test_pcqsdhc_real_batched_lines():
+    """Per-line constants broadcast over a (lines x nu) block like the
+    kernel uses them."""
+    rng = np.random.default_rng(11)
+    n = 16
+    gd = rng.uniform(0.001, 0.01, n)
+    g0 = rng.uniform(0.02, 0.2, n)
+    g2 = np.where(rng.random(n) < 0.3, 0.0, rng.uniform(0.002, 0.03, n))
+    s0 = rng.normal(0, 0.01, n)
+    s2 = rng.normal(0, 5e-4, n) * (g2 > 0)
+    nuvc = rng.uniform(0, 0.05, n)
+    eta = (rng.uniform(0, 0.3, n) + 1j * rng.normal(0, 0.05, n)) * (g2 > 0)
+    sg0 = np.full(n, 1000.0)
+    sg = np.linspace(998.0, 1002.0, 801)
+    got = _real(sg0, gd, g0, g2, s0, s2, nuvc, eta, sg)
+    for i in range(n):
+        want = np.asarray(pcqsdhc(1000.0, gd[i], g0[i], g2[i], s0[i], s2[i],
+                                  nuvc[i], eta[i], sg)[0])
+        peak = np.abs(want).max()
+        assert np.abs(got[i] - want).max() < 1e-8 * peak, i
