@@ -19,16 +19,20 @@ Metrics (all on one chip, north-star configurations from BASELINE.json):
    workload (``misc/RT_gen_AbsXS_files.py:15-31,87-92``): SD-Voigt
    cross-sections over 400-7100 cm^-1 at 0.0025 cm^-1 (2.68M points) with
    350 cm^-1 absolute wings on a (T, p) lattice, Pallas sdvoigt mode.
+5. ``ht_window_evals_per_s_per_chip`` — full Hartmann-Tran profile
+   (``absorptionCoefficient_HT``, ``misc/hapi.py:10302-10650``) on a 10-state
+   (T, p) lattice, 20k lines over 500-1500 cm^-1 at 0.0025 cm^-1, through
+   the layer-fused real-arithmetic pcqsdhc Pallas kernel.
 
 ``vs_baseline`` is the speedup over the reference engine (hapi, float64
 serial per-line loop) measured on this machine's CPU via
-tools/measure_hapi_baseline.py: 3.62e6 Voigt / 1.76e6 SD-Voigt window
-evals/s. For TUD metrics the baseline is the hapi time to produce the same
-spectra (window evals / Voigt rate; the reference's TUD recursions are
+tools/measure_hapi_baseline.py: 3.62e6 Voigt / 1.76e6 SD-Voigt / 1.50e6 HT
+window evals/s. For TUD metrics the baseline is the hapi time to produce the
+same spectra (window evals / Voigt rate; the reference's TUD recursions are
 negligible next to its LBL cost).
 
 Env knobs: BENCH_N_ATMOS (default 1000), BENCH_ONLY (comma list of
-{voigt,tud,sdvoigt}).
+{voigt,tud,sdvoigt,ht}).
 """
 
 import json
@@ -41,6 +45,7 @@ import numpy as np
 # on this container's CPU (single core, float64, hapi 1.1.0.7).
 HAPI_BASELINE_EVALS_PER_S = 3.62e6
 HAPI_SDVOIGT_BASELINE_EVALS_PER_S = 1.76e6
+HAPI_HT_BASELINE_EVALS_PER_S = 1.50e6
 
 
 def _emit(metric, value, unit, vs_baseline):
@@ -205,6 +210,53 @@ def bench_sdvoigt_xs(jnp, iso):
           value / HAPI_SDVOIGT_BASELINE_EVALS_PER_S)
 
 
+def bench_ht_xs(jnp, iso, atm_lines, axis):
+    """Metric 5: full-HT lattice through the Pallas HT kernel."""
+    import jax
+
+    from radtxfr_tpu.kernels.ht_driver import resolve_ht_columns
+    from radtxfr_tpu.products.od import make_ht_pallas_fn
+
+    on_tpu = jax.default_backend() == "tpu"
+    T_s = np.arange(275.0, 321.0, 5.0)                  # 10 states
+    p_s = np.full_like(T_s, 1.0)
+    fn = make_ht_pallas_fn(atm_lines, iso, axis, T_s, p_s)
+    Tj = jnp.asarray(T_s, dtype=jnp.float32)
+    pj = jnp.asarray(p_s, dtype=jnp.float32)
+    out = fn(Tj, pj)
+    out.block_until_ready()
+
+    n_rep = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = fn(Tj, pj)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    # per-state hapi wing windows from the HT driver's column fallbacks
+    # (numpy: eager complex jnp ops are unsupported on this backend)
+    from radtxfr_tpu.core.constants import P_REF, T_REF
+    from radtxfr_tpu.products.od import _gd_coeff
+
+    lines_h = atm_lines.host_view()
+    resolved = resolve_ht_columns(lines_h, None, {"air": 1.0})
+    gd_coeff = _gd_coeff(lines_h, jax.device_get(iso))
+    nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
+    evals = 0
+    for T_l, p_l in zip(T_s, p_s):
+        g0 = np.zeros_like(nu0)
+        for abun, g0db, ndb, *_ in resolved:
+            g0 = g0 + abun * np.asarray(g0db) * (p_l / P_REF) \
+                * (T_REF / T_l) ** np.asarray(ndb)
+        wing = 50.0 * np.maximum(g0, np.sqrt(T_l) * gd_coeff)
+        lo = np.searchsorted(axis, nu0 - wing, side="right")
+        hi = np.searchsorted(axis, nu0 + wing, side="right")
+        evals += int((hi - lo).sum())
+    value = evals / dt
+    _emit("ht_window_evals_per_s_per_chip", value, "evals/s",
+          value / HAPI_HT_BASELINE_EVALS_PER_S)
+
+
 def main():
     import jax.numpy as jnp
 
@@ -216,7 +268,8 @@ def main():
     from radtxfr_tpu.lines.store import IsoTables
     from radtxfr_tpu.lines.synthetic import synthetic_lines
 
-    only = set((os.environ.get("BENCH_ONLY") or "voigt,tud,sdvoigt").split(","))
+    only = set((os.environ.get("BENCH_ONLY")
+                or "voigt,tud,sdvoigt,ht").split(","))
     iso = IsoTables.load(dtype=jnp.float32)
     atm = std_atmosphere(dtype=jnp.float32)
     lines = synthetic_lines(20_000, nu_min=480.0, nu_max=1520.0, seed=0,
@@ -232,6 +285,8 @@ def main():
         bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s)
     if "sdvoigt" in only:
         bench_sdvoigt_xs(jnp, iso)
+    if "ht" in only:
+        bench_ht_xs(jnp, iso, lines, axis)
 
 
 if __name__ == "__main__":

@@ -112,6 +112,20 @@ def cmd_xsect(args):
                                   wing_hw=args.wing_hw)
         K = np.asarray(fn(jnp.asarray(TT, dtype=jnp.float32),
                           jnp.asarray(PP, dtype=jnp.float32)))
+    elif engine == "pallas" and args.profile == "ht":
+        from ..products.od import make_ht_pallas_fn
+
+        fn = make_ht_pallas_fn(store, iso, X, TT, PP,
+                               wing_abs=args.wing_abs, wing_hw=args.wing_hw)
+        K = np.asarray(fn(jnp.asarray(TT, dtype=jnp.float32),
+                          jnp.asarray(PP, dtype=jnp.float32)))
+    elif args.profile == "ht":
+        from ..kernels.ht_driver import xsect_ht
+
+        K = np.stack([np.asarray(xsect_ht(
+            jnp.asarray(X, dtype=jnp.float32), store, iso, float(T_s),
+            float(p_s), wing_abs=args.wing_abs, wing_hw=args.wing_hw))
+            for T_s, p_s in zip(TT, PP)])
     else:
         rows = []
         for T_s, p_s in zip(TT, PP):
@@ -476,7 +490,7 @@ def build_parser():
     p2.add_argument("--T", type=float, default=296.0)
     p2.add_argument("--p", type=float, default=1.0, help="pressure [atm]")
     p2.add_argument("--profile", default="voigt",
-                    choices=["voigt", "lorentz", "doppler", "sdvoigt"])
+                    choices=["voigt", "lorentz", "doppler", "sdvoigt", "ht"])
     p2.add_argument("--wing-hw", dest="wing_hw", type=float, default=50.0)
     p2.add_argument("--wing-abs", dest="wing_abs", type=float, default=0.0,
                     help="absolute wing [cm^-1] (reference XS generator: 350)")

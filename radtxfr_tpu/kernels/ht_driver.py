@@ -28,6 +28,8 @@ Column values come from the :class:`LineStore` fields plus an optional
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -102,7 +104,7 @@ def ht_params(resolved, lines, iso, T, p_atm, wing_abs=0.0, wing_hw=50.0,
     """
     T = jnp.asarray(T)
     p = jnp.asarray(p_atm)
-    L = np.asarray(lines.nu0).shape[0]
+    L = jnp.shape(lines.nu0)[0]
 
     all_rows = jnp.arange(iso.q.shape[0])
     q_t = partition_sum(iso.q, all_rows, T)[lines.iso_row]
@@ -146,18 +148,31 @@ def ht_params(resolved, lines, iso, T, p_atm, wing_abs=0.0, wing_hw=50.0,
 
 def xsect_ht(grid, lines, iso, T, p_atm, diluent=None, extras=None,
              wing_abs: float = 0.0, wing_hw: float = 50.0, chunk: int = 128):
-    """HT-profile absorption cross-section on ``grid`` [cm^2/molec]."""
+    """HT-profile absorption cross-section on ``grid`` [cm^2/molec].
+
+    The traced portion runs under :func:`jax.jit` — eager complex
+    arithmetic is unimplemented on some TPU runtimes, and the chunked
+    scan dispatches thousands of ops when unjitted.
+    """
     if diluent is None:
         diluent = {"air": 1.0}
     grid = jnp.asarray(grid)
     resolved = resolve_ht_columns(lines, extras, diluent)
+    return _xsect_ht_eval(grid, resolved, lines, iso, T, p_atm,
+                          wing_abs=float(wing_abs), wing_hw=float(wing_hw),
+                          chunk=int(chunk))
+
+
+@partial(jax.jit, static_argnames=("wing_abs", "wing_hw", "chunk"))
+def _xsect_ht_eval(grid, resolved, lines, iso, T, p_atm,
+                   wing_abs=0.0, wing_hw=50.0, chunk=128):
     prm = ht_params(resolved, lines, iso, T, p_atm,
                     wing_abs=wing_abs, wing_hw=wing_hw,
                     complex_dtype=(jnp.complex128
                                    if grid.dtype == jnp.float64
                                    else jnp.complex64))
     nu0 = jnp.asarray(lines.nu0)
-    L = np.asarray(lines.nu0).shape[0]
+    L = jnp.shape(lines.nu0)[0]
     strength, gamma_d = prm["strength"], prm["gamma_d"]
     gamma0, shift0 = prm["gamma0"], prm["shift0"]
     gamma2, shift2 = prm["gamma2"], prm["shift2"]

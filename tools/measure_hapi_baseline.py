@@ -34,7 +34,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default="Voigt",
-                    choices=["Voigt", "SDVoigt", "Lorentz", "Doppler"],
+                    choices=["Voigt", "SDVoigt", "Lorentz", "Doppler", "HT"],
                     help="reference driver to measure (bench.py baselines: "
                          "Voigt 3.62e6, SDVoigt 1.76e6 on this container)")
     args = ap.parse_args()
@@ -47,10 +47,19 @@ def main():
     dt = time.perf_counter() - t0
 
     iso = IsoTables.load()
-    p = compute_line_params(store, iso, 296.0, 1.0,
-                            profile=args.profile.lower())
-    nu0 = np.asarray(p.nu0)
-    wing = np.asarray(p.wing)
+    if args.profile == "HT":
+        # the HT driver has its own column-fallback wing logic
+        from radtxfr_tpu.kernels.ht_driver import ht_params, resolve_ht_columns
+
+        resolved = resolve_ht_columns(store, None, {"air": 1.0})
+        prm = ht_params(resolved, store, iso, 296.0, 1.0)
+        nu0 = np.asarray(store.nu0)
+        wing = np.asarray(prm["wing"])
+    else:
+        p = compute_line_params(store, iso, 296.0, 1.0,
+                                profile=args.profile.lower())
+        nu0 = np.asarray(p.nu0)
+        wing = np.asarray(p.wing)
     lo = np.searchsorted(grid, nu0 - wing, side="right")
     hi = np.searchsorted(grid, nu0 + wing, side="right")
     evals = int((hi - lo).sum())
