@@ -19,10 +19,11 @@ Metrics (all on one chip, north-star configurations from BASELINE.json):
    workload (``misc/RT_gen_AbsXS_files.py:15-31,87-92``): SD-Voigt
    cross-sections over 400-7100 cm^-1 at 0.0025 cm^-1 (2.68M points) with
    350 cm^-1 absolute wings on a (T, p) lattice, Pallas sdvoigt mode.
-5. ``ht_window_evals_per_s_per_chip`` — full Hartmann-Tran profile
+5. ``ht_window_evals_per_s_per_chip`` — Hartmann-Tran profile
    (``absorptionCoefficient_HT``, ``misc/hapi.py:10302-10650``) on a 10-state
-   (T, p) lattice, 20k lines over 500-1500 cm^-1 at 0.0025 cm^-1, through
-   the layer-fused real-arithmetic pcqsdhc Pallas kernel.
+   (T, p) lattice, 20k lines over 500-1500 cm^-1 at 0.0025 cm^-1; ~30% of
+   lines carry live nuVC/eta columns (the full real-arithmetic pcqsdhc
+   Pallas kernel), the rest route to the exact SD-Voigt/Voigt degenerations.
 
 ``vs_baseline`` is the speedup over the reference engine (hapi, float64
 serial per-line loop) measured on this machine's CPU via
@@ -220,7 +221,16 @@ def bench_ht_xs(jnp, iso, atm_lines, axis):
     on_tpu = jax.default_backend() == "tpu"
     T_s = np.arange(275.0, 321.0, 5.0)                  # 10 states
     p_s = np.full_like(T_s, 1.0)
-    fn = make_ht_pallas_fn(atm_lines, iso, axis, T_s, p_s)
+    # mixed production-shaped table: ~30% of lines carry live HT columns
+    # (nuVC/eta -> the full pcqsdhc kernel), the rest resolve to the
+    # SD-Voigt / Voigt degenerations and route to the cheaper modes
+    n = int(np.asarray(atm_lines.nu0).size)
+    rng = np.random.default_rng(3)
+    ht_rows = rng.random(n) < 0.3
+    extras = {"nu_HT_air": rng.uniform(0.01, 0.05, n) * ht_rows,
+              "kappa_HT_air": rng.uniform(0.0, 1.0, n) * ht_rows,
+              "eta_HT_air": rng.uniform(0.1, 0.3, n) * ht_rows}
+    fn = make_ht_pallas_fn(atm_lines, iso, axis, T_s, p_s, extras=extras)
     Tj = jnp.asarray(T_s, dtype=jnp.float32)
     pj = jnp.asarray(p_s, dtype=jnp.float32)
     out = fn(Tj, pj)
@@ -239,7 +249,7 @@ def bench_ht_xs(jnp, iso, atm_lines, axis):
     from radtxfr_tpu.products.od import _gd_coeff
 
     lines_h = atm_lines.host_view()
-    resolved = resolve_ht_columns(lines_h, None, {"air": 1.0})
+    resolved = resolve_ht_columns(lines_h, extras, {"air": 1.0})
     gd_coeff = _gd_coeff(lines_h, jax.device_get(iso))
     nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
     evals = 0

@@ -785,7 +785,7 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
 
 def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                       extras=None, wing_abs=0.0, wing_hw=50.0,
-                      tile: int = 512, n_weideman: int = 24,
+                      tile: int = 512, n_weideman: int = 16,
                       max_groups: int = 4, group_ratio: float = 4.0,
                       fast_rcp: bool = True):
     """Build a jitted (T_states, p_atm_states) -> (nStates, nX)
@@ -798,11 +798,20 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
     (:func:`~radtxfr_tpu.kernels.pallas_xsect.xsect_ht_pallas`). HITRAN
     units, hapi window mask; HT columns resolve with hapi's fallbacks from
     the ``extras`` dict (e.g. a table fetched with ``pargroups=['ht']``).
+
+    Per-line specialization: pcqsdhc degenerates exactly to the SD-Voigt
+    block when eta = nuVC = Shift2 = 0, and to the shifted Voigt profile
+    when additionally Gamma2 = 0 — which is what the resolved columns give
+    for every line lacking HT-specific parameters (most of HITRAN; hapi
+    then pays full pcqsdhc anyway). Such lines are routed host-side to the
+    cheaper Pallas modes; only lines with live eta/nuVC/Shift2 columns run
+    the ~40-temp HT kernel. Identical math, same window mask.
     """
     from ..kernels.ht_driver import ht_params, resolve_ht_columns
     from ..kernels.htp_real import ht_line_constants
+    from ..kernels.lineparams import LineParams
     from ..kernels.pallas_xsect import (UniformGrid, plan_buckets_packed,
-                                        xsect_ht_pallas)
+                                        xsect_ht_pallas, xsect_pallas)
 
     if diluent is None:
         diluent = {"air": 1.0}
@@ -826,17 +835,39 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
         W[r] = np.maximum(wing_abs, wing_hw * np.maximum(g0, gd))
 
     nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
-    blk_cap = max(8, ((1 << 16) // tile) // 8 * 8)   # pcqsdhc: ~40 live temps
-    plans = []
-    for lay_idx, _ in group_by_wing(W.max(axis=1), max_groups=max_groups,
-                                    ratio=group_ratio):
-        lay_idx = np.sort(lay_idx)
-        w_line = W[lay_idx].max(axis=0)
-        plan = plan_buckets_packed(nu0, g, w_line, tile=tile, block="auto")
-        if plan.block > blk_cap:
-            plan = plan_buckets_packed(nu0, g, w_line, tile=tile,
-                                       block=blk_cap)
-        plans.append((jnp.asarray(lay_idx), plan))
+
+    # host routing masks from the resolved (concrete) columns
+    L = nu0.size
+    g2_any = np.zeros(L, dtype=bool)
+    full_m = np.zeros(L, dtype=bool)
+    for _abun, _g0db, _ndb, _d0, _dp, g2db, d2db, nuvc_db, _kap, eta_db in resolved:
+        g2_any |= np.asarray(g2db) != 0.0
+        full_m |= ((np.asarray(d2db) != 0.0) | (np.asarray(nuvc_db) != 0.0)
+                   | (np.asarray(eta_db) != 0.0))
+
+    cap_ht = max(8, ((1 << 16) // tile) // 8 * 8)   # pcqsdhc: ~40 live temps
+    cap_sd = max(8, ((1 << 17) // tile) // 8 * 8)
+    subsets = [("ht", np.nonzero(full_m)[0], cap_ht),
+               ("sdvoigt", np.nonzero(~full_m & g2_any)[0], cap_sd),
+               ("full", np.nonzero(~full_m & ~g2_any)[0], cap_sd)]
+
+    calls = []
+    for mode, idx, cap in subsets:
+        if idx.size == 0:
+            continue
+        W_s = W[:, idx]
+        for lay_idx, _ in group_by_wing(W_s.max(axis=1), max_groups=max_groups,
+                                        ratio=group_ratio):
+            lay_idx = np.sort(lay_idx)
+            w_line = W_s[lay_idx].max(axis=0)
+            plan = plan_buckets_packed(nu0[idx], g, w_line, tile=tile,
+                                       block="auto")
+            if plan.block > cap:
+                plan = plan_buckets_packed(nu0[idx], g, w_line, tile=tile,
+                                           block=cap)
+            calls.append((mode, jnp.asarray(lay_idx), jnp.asarray(idx), plan))
+
+    nu0_j = jnp.asarray(nu0, dtype=jnp.float32)
 
     @jax.jit
     def ht_fn(T, p_atm):
@@ -846,17 +877,31 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                              complex_dtype=jnp.complex64)
 
         prm = jax.vmap(one)(T, p_atm)
-        consts = ht_line_constants(
-            prm["gamma_d"], prm["gamma0"], prm["gamma2"], prm["shift0"],
-            prm["shift2"], prm["nuvc"],
-            jnp.real(prm["eta"]), jnp.imag(prm["eta"]))
         out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
-        sub = lambda a, li: jax.tree.map(lambda x: x[li], a)
-        for lay_idx, plan in plans:
-            out = out.at[lay_idx].add(xsect_ht_pallas(
-                plan, sub(prm["strength"], lay_idx),
-                sub(prm["wing"], lay_idx), sub(consts, lay_idx),
-                n_weideman=n_weideman, fast_rcp=fast_rcp))
+        sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
+        for mode, lay_idx, idx, plan in calls:
+            if mode == "ht":
+                consts = ht_line_constants(
+                    prm["gamma_d"], prm["gamma0"], prm["gamma2"],
+                    prm["shift0"], prm["shift2"], prm["nuvc"],
+                    jnp.real(prm["eta"]), jnp.imag(prm["eta"]))
+                out = out.at[lay_idx].add(xsect_ht_pallas(
+                    plan, sub(prm["strength"], lay_idx, idx),
+                    sub(prm["wing"], lay_idx, idx),
+                    sub(consts, lay_idx, idx),
+                    n_weideman=n_weideman, fast_rcp=fast_rcp))
+            else:
+                lp = LineParams(
+                    nu0=nu0_j[idx], nu0_shifted=nu0_j[idx],
+                    strength=sub(prm["strength"], lay_idx, idx),
+                    gamma_d=sub(prm["gamma_d"], lay_idx, idx),
+                    gamma_0=sub(prm["gamma0"], lay_idx, idx),
+                    wing=sub(prm["wing"], lay_idx, idx),
+                    gamma_2=sub(prm["gamma2"], lay_idx, idx),
+                    shift0=sub(prm["shift0"], lay_idx, idx))
+                out = out.at[lay_idx].add(xsect_pallas(
+                    plan, lp, mode=mode, fused_layers=True,
+                    n_weideman=n_weideman, fast_rcp=fast_rcp))
         return out
 
     return ht_fn

@@ -105,6 +105,45 @@ def test_ht_pallas_matches_jnp_driver(iso_tables):
             (i, np.abs(got[i] - want).max() / peak)
 
 
+def test_ht_pallas_mixed_routing(iso_tables):
+    """Per-line specialization: lines lacking HT-specific columns route to
+    the SD-Voigt / Voigt Pallas modes (exact pcqsdhc degenerations) while
+    lines with live eta/nuVC run the full HT kernel — mixed-table parity
+    against the jnp driver covers all three call modes at once."""
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.kernels.ht_driver import xsect_ht
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products.od import make_ht_pallas_fn
+
+    # sd_zero_frac=0.4: lines with SD_air == 0 resolve Gamma2 = 0 -> the
+    # plain-Voigt mode; nonzero SD_air -> the SD-Voigt mode; the first
+    # third gets nuVC/eta columns -> the full HT kernel.
+    store = synthetic_lines(90, nu_min=995.0, nu_max=1015.0, seed=31,
+                            sd_zero_frac=0.4)
+    rng = np.random.default_rng(7)
+    n = store.n_lines
+    third = n // 3
+    nuvc = np.zeros(n)
+    nuvc[:third] = rng.uniform(0.01, 0.05, third)
+    eta = np.zeros(n)
+    eta[:third] = rng.uniform(0.1, 0.3, third)
+    extras = {"nu_HT_air": nuvc,
+              "kappa_HT_air": rng.uniform(0.0, 1.0, n) * (nuvc > 0),
+              "eta_HT_air": eta}
+    axis = arange_drift_free(998.0, 1012.0, 0.005)
+    T = np.array([260.0, 296.0])
+    p = np.array([0.8, 1.0])
+    fn = make_ht_pallas_fn(store, iso_tables, axis, T, p, extras=extras)
+    got = np.asarray(fn(jnp.asarray(T, dtype=jnp.float32),
+                        jnp.asarray(p, dtype=jnp.float32)))
+    for i in range(T.size):
+        want = np.asarray(xsect_ht(jnp.asarray(axis), store, iso_tables,
+                                   float(T[i]), float(p[i]), extras=extras))
+        peak = np.abs(want).max()
+        assert np.abs(got[i] - want).max() < 5e-5 * peak, \
+            (i, np.abs(got[i] - want).max() / peak)
+
+
 def test_pcqsdhc_real_batched_lines():
     """Per-line constants broadcast over a (lines x nu) block like the
     kernel uses them."""
