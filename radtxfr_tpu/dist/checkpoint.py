@@ -4,15 +4,20 @@ The reference re-saves its whole shared-memory arrays to one ``.npz`` after
 every 24-atmosphere batch and has no code path that reads it back to skip
 completed work (``Generate_LWIR_TUD.py:150``; SURVEY.md §5 "a checkpoint
 without a resume path"). Here production runs over an ensemble are split
-into a deterministic batch manifest; each completed batch is persisted as
-its own ``.npz`` plus a manifest entry, and a restarted job recomputes only
-the missing batches.
+into a deterministic batch plan; each completed batch is persisted as its
+own atomically-renamed ``.npz``, completion is *derived from the shard
+files themselves* (so concurrent hosts on shared storage cannot race on
+manifest state), and a restarted job recomputes only the missing batches.
+The JSON manifest holds only the immutable plan (sizes + meta) for
+restart validation.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
 
 import numpy as np
 
@@ -44,13 +49,15 @@ class EnsembleCheckpoint:
             self._manifest = {
                 "n_items": self.n_items,
                 "batch_size": self.batch_size,
-                "completed": [],
                 "meta": meta or {},
             }
             self._flush()
 
     def _flush(self):
-        tmp = self._manifest_path + ".tmp"
+        # unique temp name per writer: several hosts/processes may flush the
+        # same manifest concurrently on shared storage, and a shared fixed
+        # temp path would interleave their writes into invalid JSON
+        tmp = f"{self._manifest_path}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(self._manifest, f)
         os.replace(tmp, self._manifest_path)
@@ -61,7 +68,12 @@ class EnsembleCheckpoint:
 
     @property
     def completed(self) -> set[int]:
-        return set(self._manifest["completed"])
+        # completion is derived from the atomically-renamed shard files
+        # themselves, never from manifest state: concurrent writers on
+        # shared storage cannot lose each other's completions this way
+        pat = re.compile(r"^batch_(\d{6})\.npz$")
+        return {int(m.group(1)) for name in os.listdir(self.directory)
+                if (m := pat.match(name))}
 
     @property
     def pending(self) -> list[int]:
@@ -72,13 +84,9 @@ class EnsembleCheckpoint:
         return os.path.join(self.directory, f"batch_{b:06d}.npz")
 
     def write_batch(self, b: int, arrays: dict) -> None:
-        tmp = self._batch_path(b) + ".tmp.npz"
+        tmp = f"{self._batch_path(b)}.tmp.{uuid.uuid4().hex}.npz"
         np.savez(tmp, **{k: np.asarray(v) for k, v in arrays.items()})
         os.replace(tmp, self._batch_path(b))
-        if b not in self._manifest["completed"]:
-            self._manifest["completed"].append(b)
-            self._manifest["completed"].sort()
-        self._flush()
 
     def read_batch(self, b: int) -> dict:
         with np.load(self._batch_path(b)) as f:
@@ -102,9 +110,10 @@ class TiledCheckpoint:
 
     SURVEY.md §5: a restarted job should recompute only missing
     (nu-shard x atmosphere-batch) tiles. Each host persists the tiles it
-    owns (typically shard == its mesh column); the manifest is shared via
-    the filesystem, with atomic per-tile writes, so restarts on any host
-    count skip every completed tile. Tile files are
+    owns (typically shard == its mesh column) as atomic renames; completion
+    state is the set of tile files present, so any number of hosts write
+    concurrently without coordination and restarts on any host count skip
+    every completed tile. Tile files are
     ``tile_{batch:06d}_{shard:03d}.npz``.
     """
 
@@ -127,7 +136,7 @@ class TiledCheckpoint:
                     f"checkpoint at {directory} was created for {m}")
             self._manifest = m
         else:
-            self._manifest = dict(key, completed=[], meta=meta or {})
+            self._manifest = dict(key, meta=meta or {})
             self._flush()
 
     _flush = EnsembleCheckpoint._flush
@@ -135,7 +144,13 @@ class TiledCheckpoint:
 
     @property
     def completed(self) -> set[tuple[int, int]]:
-        return {tuple(t) for t in self._manifest["completed"]}
+        # derived from the atomically-renamed tile files (see
+        # EnsembleCheckpoint.completed): hosts completing tiles
+        # concurrently never race on shared manifest state
+        pat = re.compile(r"^tile_(\d{6})_(\d{3})\.npz$")
+        return {(int(m.group(1)), int(m.group(2)))
+                for name in os.listdir(self.directory)
+                if (m := pat.match(name))}
 
     @property
     def pending(self) -> list[tuple[int, int]]:
@@ -147,20 +162,9 @@ class TiledCheckpoint:
         return os.path.join(self.directory, f"tile_{b:06d}_{s:03d}.npz")
 
     def write_tile(self, b: int, s: int, arrays: dict) -> None:
-        tmp = self._tile_path(b, s) + ".tmp.npz"
+        tmp = f"{self._tile_path(b, s)}.tmp.{uuid.uuid4().hex}.npz"
         np.savez(tmp, **{k: np.asarray(v) for k, v in arrays.items()})
         os.replace(tmp, self._tile_path(b, s))
-        # re-read the manifest before appending: on shared storage several
-        # hosts append concurrently; last-writer-wins on a stale view would
-        # drop other hosts' completions
-        if os.path.exists(self._manifest_path):
-            with open(self._manifest_path) as f:
-                self._manifest = json.load(f)
-        entry = [int(b), int(s)]
-        if entry not in self._manifest["completed"]:
-            self._manifest["completed"].append(entry)
-            self._manifest["completed"].sort()
-        self._flush()
 
     def read_tile(self, b: int, s: int) -> dict:
         with np.load(self._tile_path(b, s)) as f:

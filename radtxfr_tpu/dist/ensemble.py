@@ -96,6 +96,8 @@ def tud_ensemble_sharded(
                 cfn = CONTINUUM_MODELS[continuum]
                 cfac = (jnp.ones(7) if continuum_factors is None
                         else jnp.asarray(continuum_factors))
+                if cfac.shape != (7,):
+                    raise ValueError("continuum_factors must have 7 elements")
                 one_cont = lambda T_l, p_l, pl_l, vmr_l: cfn(
                     grid_loc, T_l, p_l, vmr_l, batch.mol_ids, pl_l, cfac)
                 od = od + jax.vmap(one_cont)(T_a, p_a, pl_a, vmr_a

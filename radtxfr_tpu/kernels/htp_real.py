@@ -38,12 +38,16 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _cinv(ar, ai, guard=1e-300):
-    m = jnp.maximum(ar * ar + ai * ai, guard)
+def _cinv(ar, ai, guard=None):
+    # dtype-aware zero guard: a 1e-300 literal underflows to 0.0 in
+    # float32, which would make the guard a no-op on the kernel path
+    m = ar * ar + ai * ai
+    g = jnp.finfo(jnp.result_type(m)).tiny if guard is None else guard
+    m = jnp.maximum(m, g)
     return ar / m, -ai / m
 
 
-def _cdiv(ar, ai, br, bi, guard=1e-300):
+def _cdiv(ar, ai, br, bi, guard=None):
     ir, ii = _cinv(br, bi, guard)
     return _cmul(ar, ai, ir, ii)
 
@@ -69,26 +73,12 @@ def _wofz_pair(x, y, wei_a, wei_L, fast: bool = False):
 
 
 def _cpf3_pair(x, y):
-    """(Re, Im) of the 15-term asymptotic CPF (``cpf3``,
-    ``misc/hapi.py:9645-9670``)."""
-    m = jnp.maximum(x * x + y * y, 1e-300)
-    ar = x / m
-    ai = -y / m
-    m2r = ar * ar - ai * ai
-    m2i = 2.0 * ar * ai
-    sr = jnp.ones_like(x)
-    si = jnp.zeros_like(x)
-    tr_ = jnp.ones_like(x)
-    ti_ = jnp.zeros_like(x)
-    for tt in (0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5, 8.5, 9.5, 10.5,
-               11.5, 12.5, 13.5, 14.5):
-        tr_, ti_ = (tr_ * m2r - ti_ * m2i) * tt, (tr_ * m2i + ti_ * m2r) * tt
-        sr = sr + tr_
-        si = si + ti_
-    # w = i * zm1 * zsum / sqrt(pi)
-    re = -(ar * si + ai * sr) * _INV_SQRT_PI
-    im = (ar * sr - ai * si) * _INV_SQRT_PI
-    return re, im
+    """(Re, Im) of the 15-term asymptotic CPF — shared implementation in
+    :mod:`.pallas_xsect` (local import, same pattern as
+    :func:`_wofz_pair`)."""
+    from .pallas_xsect import _cpf3_pair as impl
+
+    return impl(x, y)
 
 
 def _w_of_pair(zr, zi, wei_a, wei_L, fast: bool = False):

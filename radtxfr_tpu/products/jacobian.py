@@ -10,8 +10,9 @@ qualitatively better, not just faster.
 
 Two engines: the jnp line-by-line engine (dtype-polymorphic autodiff) and
 the Pallas kernel with an analytic ``jax.custom_jvp`` (tangents w.r.t.
-strength/gamma_d/gamma_0/shift flow through the Faddeeva identity
-w' = -2 z w + 2i/sqrt(pi) in a paired primal+tangent kernel) — so
+strength/gamma_d/gamma_0/shift flow through region-consistent analytic
+w-derivatives in a dedicated tangent kernel, launched separately from the
+primal so the primal stays unbatched under ``jacfwd``) — so
 production-resolution Jacobians run at kernel speed. In both, wing cutoffs
 are held fixed at the linearization point: the hapi window mask is
 piecewise-constant in (T, p), so its derivative is zero almost everywhere

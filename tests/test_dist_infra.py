@@ -109,6 +109,24 @@ def test_tiled_checkpoint_resume(tmp_path):
         TiledCheckpoint(d, n_items=5, batch_size=2, n_shards=4)
 
 
+def test_tiled_checkpoint_concurrent_writers(tmp_path):
+    """Completion is derived from the atomically-renamed tile files, so
+    interleaved writers on the same directory never lose each other's
+    completions (the failure mode of a manifest read-modify-write)."""
+    from radtxfr_tpu.dist.checkpoint import TiledCheckpoint
+
+    d = str(tmp_path / "ck")
+    a = TiledCheckpoint(d, n_items=4, batch_size=2, n_shards=2)
+    b = TiledCheckpoint(d, n_items=4, batch_size=2, n_shards=2)
+    pay = lambda: {"v": np.zeros((2, 2), np.float32)}
+    a.write_tile(0, 0, pay())
+    b.write_tile(0, 1, pay())   # b holds no view of a's completion
+    a.write_tile(1, 0, pay())
+    b.write_tile(1, 1, pay())
+    assert a.completed == b.completed == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert not a.pending and not b.pending
+
+
 def test_tiled_checkpoint_owned_shards(tmp_path):
     """Per-host shard ownership: a host computes only its shards; gather
     refuses until every host's tiles exist."""

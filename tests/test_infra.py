@@ -115,7 +115,9 @@ def test_cli_xsect_and_tud_pipeline(tmp_path):
 
     data = read_h5(h5)
     assert data["tau"].data.shape[0] == 3
-    assert json.load(open(os.path.join(ck, "manifest.json")))["completed"] == [0, 1]
+    from radtxfr_tpu.dist.checkpoint import EnsembleCheckpoint
+
+    assert EnsembleCheckpoint(ck, 3, 2).completed == {0, 1}
 
     # config 4 + 5 downstream
     mk = str(tmp_path / "mako.h5")
