@@ -9,9 +9,10 @@ Metrics (all on one chip, north-star configurations from BASELINE.json):
    *Window evaluations* = sum over (layer, line) of the hapi wing-window
    length (the work the reference engine actually performs) / wall time.
 2. ``tud_spectra_per_s`` — full TUD products (9 sensor altitudes, 30
-   downwelling angles, 0.25 cm^-1 on-device reduction) through the sharded
-   Pallas ensemble path; steady-state spectra per second including the host
-   batch loop.
+   downwelling angles, MT_CKD-formulation continuum on — the reference's
+   ICNTNM=6 production physics — and 0.25 cm^-1 on-device reduction)
+   through the sharded Pallas ensemble path; steady-state spectra per
+   second including the host batch loop.
 3. ``ensemble_1000_wall_s`` — wall-clock seconds for the full
    1000-atmosphere LWIR TUD ensemble (the reference's production run,
    ``Generate_LWIR_TUD.py``); lower is better.
@@ -124,6 +125,9 @@ def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum):
 
     n_atmos = int(os.environ.get("BENCH_N_ATMOS", "1000"))
     batch = 40
+    # fixed batch shape (one compiled program); round the member count up
+    # so every batch index is valid, and report on the rounded count
+    n_atmos = max(batch, -(-n_atmos // batch) * batch)
     n_dev = len(jax.devices())
     mesh = make_mesh(1, n_dev)
     alts = jnp.asarray([0.061, 0.305, 1.524, 3.048, 6.096, 9.144, 12.192,
@@ -141,7 +145,8 @@ def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum):
            atm.replace(T=atm.T + 25.0, vmr=atm.vmr.at[:, 0].mul(1.5))]
     probe = stack_states([member(i) for i in range(batch)])
     gpad, run = make_tud_ensemble_fn(lines, iso, axis, probe, alts, mesh,
-                                     atmos_class=env, n_angles=30)
+                                     atmos_class=env, n_angles=30,
+                                     continuum="mt_ckd")
 
     n = axis.size
     op = reduce_operator(np.asarray(gpad.values()[:n], dtype=np.float64), 0.25)
@@ -243,25 +248,17 @@ def bench_ht_xs(jnp, iso, atm_lines, axis):
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_rep
 
-    # per-state hapi wing windows from the HT driver's column fallbacks
-    # (numpy: eager complex jnp ops are unsupported on this backend)
-    from radtxfr_tpu.core.constants import P_REF, T_REF
-    from radtxfr_tpu.products.od import _gd_coeff
+    # per-state hapi wing windows: the library's own planning rule
+    from radtxfr_tpu.products.od import ht_wing_bounds
 
     lines_h = atm_lines.host_view()
     resolved = resolve_ht_columns(lines_h, extras, {"air": 1.0})
-    gd_coeff = _gd_coeff(lines_h, jax.device_get(iso))
+    W = ht_wing_bounds(resolved, lines_h, iso, T_s, p_s)
     nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
-    evals = 0
-    for T_l, p_l in zip(T_s, p_s):
-        g0 = np.zeros_like(nu0)
-        for abun, g0db, ndb, *_ in resolved:
-            g0 = g0 + abun * np.asarray(g0db) * (p_l / P_REF) \
-                * (T_REF / T_l) ** np.asarray(ndb)
-        wing = 50.0 * np.maximum(g0, np.sqrt(T_l) * gd_coeff)
-        lo = np.searchsorted(axis, nu0 - wing, side="right")
-        hi = np.searchsorted(axis, nu0 + wing, side="right")
-        evals += int((hi - lo).sum())
+    nu0_b = np.broadcast_to(nu0, W.shape)
+    lo = np.searchsorted(axis, (nu0_b - W).ravel(), side="right")
+    hi = np.searchsorted(axis, (nu0_b + W).ravel(), side="right")
+    evals = int((hi - lo).sum())
     value = evals / dt
     _emit("ht_window_evals_per_s_per_chip", value, "evals/s",
           value / HAPI_HT_BASELINE_EVALS_PER_S)

@@ -103,7 +103,8 @@ def cmd_xsect(args):
     TT, PP = [a.ravel() for a in np.meshgrid(T_states, p_states, indexing="ij")]
 
     engine = _engine(args)
-    if engine == "pallas" and args.profile in ("voigt", "sdvoigt"):
+    if engine == "pallas" and args.profile in ("voigt", "sdvoigt",
+                                               "lorentz", "doppler"):
         from ..products.od import make_xsect_pallas_fn
 
         fn = make_xsect_pallas_fn(store, iso, X, TT, PP,

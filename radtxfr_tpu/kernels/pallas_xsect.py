@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.constants import LN2, SQRT_LN2_DIV_SQRT_PI
 from .faddeeva import weideman_coeffs, REGION_BOUND
 from .lineparams import LineParams
 
@@ -44,6 +45,18 @@ __all__ = ["UniformGrid", "BucketPlan", "plan_buckets",
 
 _SQRT_LN2 = math.sqrt(math.log(2.0))
 _INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
+_INV_PI = 1.0 / math.pi
+
+
+def _simple_profile(mode, dnu, gd, g0, strength, fast):
+    """Per-line Lorentz/Doppler contribution scale on a (BLOCK, TILE) block
+    (hapi's own profile forms incl. its truncated Doppler constants:
+    ``misc/hapi.py:10142,10160``)."""
+    if mode == "lorentz":
+        return strength * g0 * (_INV_PI * _rcp(g0 * g0 + dnu * dnu, fast))
+    inv_gd = _rcp(gd, fast)
+    t = dnu * inv_gd
+    return (strength * SQRT_LN2_DIV_SQRT_PI) * inv_gd * jnp.exp(-LN2 * t * t)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -379,10 +392,15 @@ def _weideman_re_w(x, y, wei_a, wei_L, fast: bool = False):
             + _INV_SQRT_PI * er * inv_e)
 
 
-def _cpf3_re_w(x, y):
-    """Real part of the 15-term asymptotic CPF (``cpf3``,
-    ``misc/hapi.py:9645-9670``) in real arithmetic."""
+def _cpf3_pair(x, y):
+    """(Re, Im) of the 15-term asymptotic CPF (``cpf3``,
+    ``misc/hapi.py:9645-9670``) in real arithmetic — the single
+    implementation shared by the SD-Voigt block (real part) and the HT
+    kernel (:mod:`.htp_real`, full pair). The zero-magnitude guard is the
+    dtype's smallest normal: a 1e-300 literal underflows to 0.0 in
+    float32, which would make the guard a no-op on the kernel path."""
     m = x * x + y * y
+    m = jnp.maximum(m, jnp.finfo(jnp.result_type(m)).tiny)
     ar = x / m
     ai = -y / m
     # zm2 = zm1^2
@@ -397,8 +415,16 @@ def _cpf3_re_w(x, y):
         tr_, ti_ = (tr_ * m2r - ti_ * m2i) * tt, (tr_ * m2i + ti_ * m2r) * tt
         sr = sr + tr_
         si = si + ti_
-    # Re(i * zm1 * zsum) / sqrt(pi) = -(ar*si + ai*sr)/sqrt(pi)
-    return -(ar * si + ai * sr) * _INV_SQRT_PI
+    # w = i * zm1 * zsum / sqrt(pi)
+    re = -(ar * si + ai * sr) * _INV_SQRT_PI
+    im = (ar * sr - ai * si) * _INV_SQRT_PI
+    return re, im
+
+
+def _cpf3_re_w(x, y):
+    """Real part of :func:`_cpf3_pair` (the unused imaginary-part ops are
+    dead-code-eliminated by the compiler)."""
+    return _cpf3_pair(x, y)[0]
 
 
 def _re_w_select(x, y, wei_a, wei_L, fast: bool = False):
@@ -510,8 +536,10 @@ def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L, fast: bool = False,
     real, so Y and csqrtY are real and the PART4 terms share an imaginary
     part. PART2/PART3 cannot trigger for physical SDVoigt parameters
     (|X| ~ Gamma0/Gamma2 >> 3e-8 |Y| and |Y| >> 1e-15 |X|); the PART4
-    CPF3-vs-CPF sub-selection is reproduced exactly. Callers must route
-    Gamma2 == 0 lines to the Voigt path (c2t = 0 is hapi's PART1).
+    CPF3-vs-CPF sub-selection is reproduced exactly. Callers should route
+    Gamma2 == 0 lines to the Voigt path (c2t = 0 is hapi's PART1);
+    runtime-vanishing Gamma2 the caller could not see is clamped to the
+    Voigt limit below.
 
     ``variant`` supports the two-pass far-wing decomposition (analog of
     the Voigt asym/core split):
@@ -527,6 +555,14 @@ def _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L, fast: bool = False,
       asym + core == full pointwise.
     """
     cte = _SQRT_LN2 / gd
+    # Runtime Gamma2 can vanish even for sd_air != 0 lines (x_self = 1
+    # pure-species layers: lineparams.py:158 has a (1 - x_self) factor)
+    # and host routing cannot see that — while c2t = 0 is hapi's PART1,
+    # whose 1/Gamma2 would NaN here. Clamp to 1e-4 Gamma0: pcqsdhc tends
+    # to the Voigt limit continuously with O(Gamma2/Gamma0) relative
+    # deviation, so clamped lines move by < ~1e-4 of their local value,
+    # and the block's arithmetic stays in f32 range (c ~ 1e3 worst case).
+    g2 = jnp.maximum(g2, 1e-4 * g0 + 1e-12)
     inv_g2 = 1.0 / g2
     c0tr = (g0 - 1.5 * g2) * inv_g2          # Re X (per line)
     xr = jnp.broadcast_to(c0tr, dnu.shape)
@@ -621,14 +657,19 @@ def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24,
             # include iff nu0 - wing < g <= nu0 + wing
             # in grid units: frac0 - wingu < rel - 0 ... rel > frac0 - wingu
             u = rel - frac0
-            # Per-line constants folded so the (BLOCK, TILE) work is minimal:
-            # x = (u - ds) * (dx * cte), contribution = scale * Re w.
-            cte = _SQRT_LN2 / gd
-            wr = _voigt_wr((u - ds) * (dx * cte), g0 * cte, wei_a, wei_L,
-                           mode, fast)
-            scale = strength * (_INV_SQRT_PI * cte)
             mask = (u > -wingu) & (u <= wingu)
-            contrib = jnp.where(mask, scale * wr, 0.0)
+            if mode in ("lorentz", "doppler"):
+                vals = _simple_profile(mode, (u - ds) * dx, gd, g0,
+                                       strength, fast)
+            else:
+                # Per-line constants folded so the (BLOCK, TILE) work is
+                # minimal: x = (u - ds) * (dx * cte), contribution =
+                # scale * Re w.
+                cte = _SQRT_LN2 / gd
+                wr = _voigt_wr((u - ds) * (dx * cte), g0 * cte, wei_a, wei_L,
+                               mode, fast)
+                vals = strength * (_INV_SQRT_PI * cte) * wr
+            contrib = jnp.where(mask, vals, 0.0)
             out_ref[...] += jnp.sum(contrib, axis=0).reshape(out_ref.shape)
 
     return kernel
@@ -694,6 +735,10 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                                        wei_a, wei_L, fast)
                     scale = strength * (_INV_SQRT_PI * cte)
                     contrib = jnp.where(mask, scale * (K + y_mix * L), 0.0)
+                elif mode in ("lorentz", "doppler"):
+                    vals = _simple_profile(mode, (u - ds) * dx, gd, g0,
+                                           strength, fast)
+                    contrib = jnp.where(mask, vals, 0.0)
                 else:
                     cte = _SQRT_LN2 / gd
                     wr = _voigt_wr((u - ds) * (dx * cte), g0 * cte,
@@ -838,8 +883,9 @@ def xsect_ht_pallas(plan: BucketPlan, strength, wing, consts: dict,
 
 def _make_fused_jvp_kernel(tile: int, block: int, n_lay: int, dx: float,
                            n_weideman: int, fast: bool = False):
-    """Layer-fused Voigt kernel computing primal AND directional derivative
-    in one pass (mode 'full' region blend).
+    """Layer-fused Voigt kernel emitting the directional derivative (the
+    tangent) for mode 'full'; the JVP rule launches it alongside a separate
+    primal kernel so the primal stays unbatched under ``jacfwd``.
 
     (dK/dx, dK/dy) come from the region-consistent analytic derivatives of
     each approximation (:func:`_voigt_K_grads` — NOT the exact-Faddeeva
@@ -966,9 +1012,11 @@ def _flops_per_eval(n_wei: int, mode: str) -> int:
 def xsect_fused_voigt_diff(cfg, k_line, frac0, ds, strength, gd, g0, wingu,
                            starts, counts, offset, interpret=False):
     """Differentiable fused Voigt call (mode 'full'): the primal is the
-    ordinary kernel; the JVP runs the paired primal+tangent kernel
-    (:func:`_make_fused_jvp_kernel`) so Jacobians get the fast path instead
-    of falling back to the jnp engine. Tangents flow through
+    ordinary kernel; the JVP launches the tangent kernel
+    (:func:`_make_fused_jvp_kernel`) as a second, separate kernel — two
+    launches per JVP, which keeps the primal unbatched under ``jacfwd`` —
+    so Jacobians get the fast path instead of falling back to the jnp
+    engine. Tangents flow through
     (ds, strength, gamma_d, gamma_0); wing-cutoff tangents are dropped
     (piecewise-constant window, as in the reference's finite differences)."""
     g2 = jnp.ones_like(strength)

@@ -438,10 +438,15 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
     elif profile == "voigt":
         special = []
         v_mask = np.ones(nu0.size, dtype=bool)
+    elif profile in ("lorentz", "doppler"):
+        # single-pass dense modes: both forms are a handful of flops/eval,
+        # so the asym/core far-wing split would buy nothing
+        special = [(np.arange(nu0.size), profile)]
+        v_mask = np.zeros(nu0.size, dtype=bool)
     else:
         raise NotImplementedError(
-            f"pallas engine implements profiles 'voigt' and 'sdvoigt', "
-            f"got {profile!r}")
+            f"pallas engine implements profiles 'voigt', 'sdvoigt', "
+            f"'lorentz' and 'doppler', got {profile!r}")
     if mix_idx is not None and len(mix_idx):
         if profile != "voigt":
             raise NotImplementedError("line mixing composes with Voigt only")
@@ -783,6 +788,30 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
     return xs_fn
 
 
+def ht_wing_bounds(resolved, lines_h, iso, T_states, p_atm_states,
+                   wing_abs=0.0, wing_hw=50.0):
+    """(nStates, nLines) hapi wing bounds from resolved HT columns.
+
+    The same rule the traced :func:`~radtxfr_tpu.kernels.ht_driver.ht_params`
+    applies — ``max(wing_abs, wing_hw * max(Gamma0(T,p), GammaD(T)))`` with
+    the diluent-summed Gamma0 — evaluated host-side in numpy. Single source
+    for the Pallas planner and the benchmark's window-eval accounting."""
+    from ..core.constants import P_REF, T_REF
+
+    gd_coeff = _gd_coeff(lines_h, jax.device_get(iso))
+    T_c = np.asarray(T_states, dtype=np.float64).ravel()
+    p_c = np.asarray(p_atm_states, dtype=np.float64).ravel()
+    W = np.zeros((T_c.size, np.asarray(lines_h.nu0).size))
+    for r, (T_s, p_s) in enumerate(zip(T_c, p_c)):
+        g0 = np.zeros_like(W[0])
+        for abun, g0db, ndb, *_ in resolved:
+            g0 = g0 + abun * np.asarray(g0db) * (p_s / P_REF) \
+                * (T_REF / T_s) ** np.asarray(ndb)
+        gd = np.sqrt(T_s) * gd_coeff
+        W[r] = np.maximum(wing_abs, wing_hw * np.maximum(g0, gd))
+    return W
+
+
 def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                       extras=None, wing_abs=0.0, wing_hw=50.0,
                       tile: int = 512, n_weideman: int = 16,
@@ -818,21 +847,10 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
     g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
     lines_h = lines.host_view()
     resolved = resolve_ht_columns(lines_h, extras, diluent)
-    T_c = np.asarray(T_class, dtype=np.float64).ravel()
-    p_c = np.asarray(p_atm_class, dtype=np.float64).ravel()
 
     # host wing bounds per (state, line) from the resolved HT columns
-    from ..core.constants import P_REF, T_REF
-
-    gd_coeff = _gd_coeff(lines_h, jax.device_get(iso))
-    W = np.zeros((T_c.size, np.asarray(lines_h.nu0).size))
-    for r, (T_s, p_s) in enumerate(zip(T_c, p_c)):
-        g0 = np.zeros_like(W[0])
-        for abun, g0db, ndb, *_ in resolved:
-            g0 = g0 + abun * np.asarray(g0db) * (p_s / P_REF) \
-                * (T_REF / T_s) ** np.asarray(ndb)
-        gd = np.sqrt(T_s) * gd_coeff
-        W[r] = np.maximum(wing_abs, wing_hw * np.maximum(g0, gd))
+    W = ht_wing_bounds(resolved, lines_h, iso, T_class, p_atm_class,
+                       wing_abs=wing_abs, wing_hw=wing_hw)
 
     nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
 
@@ -911,10 +929,10 @@ def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
                       wing_abs=0.0, wing_hw=50.0, plan=None, **pallas_opts):
     from ..kernels.pallas_xsect import UniformGrid, plan_buckets, xsect_pallas
 
-    if profile not in ("voigt", "sdvoigt"):
+    if profile not in ("voigt", "sdvoigt", "lorentz", "doppler"):
         raise NotImplementedError(
-            "pallas engine implements 'voigt' and 'sdvoigt'; use engine='jnp' "
-            f"for {profile!r}")
+            "pallas engine implements 'voigt', 'sdvoigt', 'lorentz' and "
+            f"'doppler'; use engine='jnp' for {profile!r}")
     if plan is not None:
         if profile != "voigt":
             raise ValueError(

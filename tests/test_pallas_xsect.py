@@ -151,6 +151,76 @@ def test_sdvoigt_pallas_matches_jnp_engine(iso_tables):
     assert np.abs(got - want).max() < 2e-5 * peak, np.abs(got - want).max() / peak
 
 
+@pytest.mark.parametrize("profile", ["lorentz", "doppler"])
+def test_simple_profile_pallas_matches_jnp_engine(iso_tables, profile):
+    """Pallas lorentz/doppler modes vs the float64 jnp engine — completes
+    the five-driver fast-path family (hapi absorptionCoefficient_Lorentz /
+    _Doppler per-driver rules come from compute_line_params)."""
+    import dataclasses
+
+    store = synthetic_lines(120, nu_min=795.0, nu_max=815.0, seed=71)
+    axis = arange_drift_free(800.0, 810.0, 0.005)
+    grid = UniformGrid.from_axis(axis)
+    params = compute_line_params(store, iso_tables, 280.0, 0.8,
+                                 profile=profile)
+    plan = plan_buckets(np.asarray(store.nu0), grid, 12.0, tile=512, block=32)
+    got = np.asarray(xsect_pallas(plan, params, interpret=True,
+                                  mode=profile, fused_layers=True))
+    clamped = dataclasses.replace(params, wing=jnp.minimum(params.wing, 12.0))
+    want = np.asarray(xsect_from_params(jnp.asarray(axis), clamped,
+                                        profile=profile))
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-6 * peak, \
+        np.abs(got - want).max() / peak
+
+
+@pytest.mark.parametrize("profile", ["lorentz", "doppler"])
+def test_simple_profile_production_path_matches_jnp(iso_tables, profile):
+    """make_od_pallas_fn(profile='lorentz'|'doppler'): the single-pass
+    dense call decomposition vs the jnp engine on the layered OD."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products import compute_od_layers
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(100, nu_min=795.0, nu_max=855.0, seed=79)
+    axis = arange_drift_free(800.0, 850.0, 0.01)
+    want = np.asarray(compute_od_layers(lines, iso_tables, jnp.asarray(axis),
+                                        atm, profile=profile))
+    fn = make_od_pallas_fn(lines, iso_tables, axis, atm, profile=profile)
+    got = np.asarray(fn(atm.T, atm.p, atm.pl, atm.vmr))
+    assert got.shape == want.shape
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-6 * peak, \
+        np.abs(got - want).max() / peak
+
+
+def test_sdvoigt_runtime_zero_gamma2_is_voigt_limit(iso_tables):
+    """vmr_self = 1 (pure-species layer) makes runtime Gamma2 exactly 0
+    even for sd_air != 0 lines (lineparams.py:158) — host routing cannot
+    see it, so _sdvoigt_block clamps to the Voigt limit instead of
+    dividing by zero. Output must be finite and match the jnp engine
+    (whose pcqsdhc handles c2t = 0 via PART1)."""
+    import dataclasses
+
+    store = synthetic_lines(120, nu_min=795.0, nu_max=815.0, seed=71)
+    axis = arange_drift_free(800.0, 810.0, 0.005)
+    grid = UniformGrid.from_axis(axis)
+    params = compute_line_params(store, iso_tables, 280.0, 0.8,
+                                 vmr_self=1.0, profile="sdvoigt")
+    assert float(jnp.abs(params.gamma_2).max()) == 0.0
+    plan = plan_buckets(np.asarray(store.nu0), grid, 12.0, tile=512, block=32)
+    got = np.asarray(xsect_pallas(plan, params, interpret=True,
+                                  mode="sdvoigt", fused_layers=True))
+    assert np.isfinite(got).all()
+    clamped = dataclasses.replace(params, wing=jnp.minimum(params.wing, 12.0))
+    want = np.asarray(xsect_from_params(jnp.asarray(axis), clamped,
+                                        profile="sdvoigt"))
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-4 * peak, \
+        np.abs(got - want).max() / peak
+
+
 def test_sdvoigt_production_path_matches_jnp(iso_tables):
     """make_od_pallas_fn(profile='sdvoigt'): mixed sd/non-sd lines — sd
     lines through the pcqsdhc kernel mode, sd_air == 0 lines through the
