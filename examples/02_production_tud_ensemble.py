@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Production ensemble TUD: generative atmospheres -> SPMD TUD -> HDF5.
+
+Replaces ``Generate_LWIR_TUD.py``: where the reference fans 1000
+atmospheres over a process pool with shared-memory arrays and a lock
+(``Generate_LWIR_TUD.py:98-149``), here one jitted SPMD program runs
+batches over an (ensemble x spectrum) device mesh; the resumable
+checkpoint directory replaces its write-only ``.npz`` dumps
+(``:150``), and the HDF5 output carries the reference's units-metadata
+convention (``:157-221``).
+
+Small demo configuration — scale ``N_ATMOS``/grid for production.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radtxfr_tpu.atmos import std_atmosphere
+from radtxfr_tpu.core.grid import arange_drift_free
+from radtxfr_tpu.dist.checkpoint import EnsembleCheckpoint, run_batched
+from radtxfr_tpu.dist.ensemble import stack_states
+from radtxfr_tpu.dist.mesh import make_mesh
+from radtxfr_tpu.dist.pallas_ensemble import make_tud_ensemble_fn
+from radtxfr_tpu.io.h5 import Var, write_h5
+from radtxfr_tpu.scene.generative import atmos_generator
+
+N_ATMOS = 8
+BATCH = 4
+ALTITUDES = [2.0, 500.0]
+
+atm = std_atmosphere(dtype=jnp.float32)
+X = arange_drift_free(980.0, 1080.0, 0.01)
+
+# --- generative atmosphere model (reference GenerativeModel_AtmosInputs) ---
+# Train on an ensemble of perturbed standard atmospheres; production runs
+# train on TIGR soundings (atmos.regrid.load_tigr_mat).
+rng = np.random.default_rng(0)
+n_train = 64
+T_tr = np.asarray(atm.T)[None] + rng.normal(0, 5, (n_train, 1)) \
+    * np.exp(-np.asarray(atm.z0) / 8.0)[None]
+H_tr = np.asarray(atm.vmr[:, 0])[None] * rng.lognormal(0, 0.25, (n_train, 1))
+O_tr = np.asarray(atm.vmr[:, 2])[None] * rng.lognormal(0, 0.1, (n_train, 1))
+sample_fn, _diag = atmos_generator(
+    jax.random.PRNGKey(0), np.asarray(atm.p), T_tr, H_tr, O_tr,
+    n_pca=8, n_gmm=4)
+T_g, H_g, O_g, _ll = sample_fn(jax.random.PRNGKey(1), N_ATMOS)
+n = T_g.shape[0]
+print(f"generative model accepted {n}/{N_ATMOS} candidate atmospheres")
+
+def member(i):
+    vmr = atm.vmr.at[:, 0].set(jnp.asarray(H_g[i]))
+    vmr = vmr.at[:, 2].set(jnp.asarray(O_g[i]))
+    return atm.replace(T=jnp.asarray(T_g[i]), vmr=vmr)
+
+# --- SPMD TUD over the device mesh -----------------------------------------
+from radtxfr_tpu.lines.store import IsoTables
+from radtxfr_tpu.lines.synthetic import synthetic_lines
+
+lines = synthetic_lines(1_500, nu_min=960.0, nu_max=1100.0, seed=3,
+                        dtype=jnp.float32)
+iso = IsoTables.load(dtype=jnp.float32)
+mesh = make_mesh(1, len(jax.devices()))
+env = [atm.replace(T=atm.T - 25.0),
+       atm.replace(T=atm.T + 25.0, vmr=atm.vmr.at[:, 0].mul(2.0))]
+probe = stack_states([member(i % n) for i in range(BATCH)])
+gpad, run = make_tud_ensemble_fn(lines, iso, X, probe, jnp.asarray(ALTITUDES),
+                                 mesh, atmos_class=env, n_angles=12,
+                                 continuum="mt_ckd")
+
+nX = X.size
+
+def compute_batch(indices):
+    b = stack_states([member(int(i) % n) for i in indices])
+    tau, Lu, Ld = run(b)
+    return {"tau": np.asarray(tau[:, :nX, :, 0]),
+            "Lu": np.asarray(Lu[:, :nX, :, 0]),
+            "Ld": np.asarray(Ld[:, :nX])}
+
+ck = EnsembleCheckpoint("./_demo_tud_ck", n_items=N_ATMOS, batch_size=BATCH)
+out = run_batched(ck, compute_batch)   # restarts skip completed batches
+
+# --- HDF5 with the reference's units-metadata convention -------------------
+write_h5("./_demo_tud.h5", {
+    "X": Var(np.asarray(X), units="cm^{-1}", name="wavenumbers"),
+    "tau": Var(out["tau"], units="unitless", name="transmittance",
+               info="(atmos, X, altitude)"),
+    "Lu": Var(out["Lu"], units="microflick", name="upwelling radiance"),
+    "Ld": Var(out["Ld"], units="microflick",
+              name="hemispherically-averaged downwelling radiance"),
+    "T": Var(T_g, units="K", name="temperature profiles"),
+}, attrs={"altitudes_km": ALTITUDES})
+print(f"wrote _demo_tud.h5: tau {out['tau'].shape}, "
+      f"Lu {out['Lu'].shape}, Ld {out['Ld'].shape}")
+print("OK")
