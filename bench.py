@@ -37,8 +37,10 @@ Env knobs: BENCH_N_ATMOS (default 1000), BENCH_ONLY (comma list of
 {voigt,tud,sdvoigt,ht}).
 """
 
+import datetime
 import json
 import os
+import platform
 import time
 
 import numpy as np
@@ -48,11 +50,178 @@ import numpy as np
 HAPI_BASELINE_EVALS_PER_S = 3.62e6
 HAPI_SDVOIGT_BASELINE_EVALS_PER_S = 1.76e6
 HAPI_HT_BASELINE_EVALS_PER_S = 1.50e6
+HAPI_BASELINE_PROVENANCE = (
+    "tools/measure_hapi_baseline.py, 2026-08 round-2 container CPU "
+    "(single core, float64, hapi 1.1.0.7 serial per-line loop)")
+
+_PROVENANCE = {}
 
 
-def _emit(metric, value, unit, vs_baseline):
-    print(json.dumps({"metric": metric, "value": value, "unit": unit,
-                      "vs_baseline": vs_baseline}), flush=True)
+def _provenance():
+    """Self-describing run metadata carried on every JSON line (VERDICT r2
+    #10): baseline values + where they were measured, and the chip."""
+    if not _PROVENANCE:
+        import jax
+        d = jax.devices()[0]
+        _PROVENANCE.update({
+            "chip": d.device_kind,
+            "backend": d.platform,
+            "host": platform.node(),
+            "run_date": datetime.date.today().isoformat(),
+            "hapi_baseline_evals_per_s": {
+                "voigt": HAPI_BASELINE_EVALS_PER_S,
+                "sdvoigt": HAPI_SDVOIGT_BASELINE_EVALS_PER_S,
+                "ht": HAPI_HT_BASELINE_EVALS_PER_S,
+            },
+            "hapi_baseline_provenance": HAPI_BASELINE_PROVENANCE,
+        })
+    return _PROVENANCE
+
+
+_RT = {}
+
+
+def _sync(out):
+    """Force device-execution completion via a host scalar read.
+
+    ``block_until_ready`` can return before remote execution completes on
+    tunneled backends (measured here: an 8192^2 f32 matmul "completes" in
+    0.2 ms by block_until_ready but takes 33 ms — a plausible 33 TFLOP/s —
+    when a scalar is read back; the round-2 kernel numbers were inflated
+    by this). A device->host read of one element cannot return until the
+    producing computation (and everything queued before it on the stream)
+    has executed.
+    """
+    import jax
+    while isinstance(out, (tuple, list)):
+        out = out[0]
+    return float(np.asarray(jax.device_get(out)).ravel()[0])
+
+
+def _round_trip_s():
+    """Median host<->device scalar read-back latency [s], subtracted from
+    timed loops (one sync per loop)."""
+    if "rt" not in _RT:
+        import jax.numpy as jnp
+        x = jnp.arange(8, dtype=jnp.float32)
+        _sync(x)
+        ts = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            _sync(x)
+            ts.append(time.perf_counter() - t0)
+        _RT["rt"] = float(np.median(ts))
+    return _RT["rt"]
+
+
+def _timed(fn_call, n_rep, trials: int = 3):
+    """Time n_rep dispatches + one forced sync per trial; subtract the
+    read-back round trip; return best-of-``trials`` seconds per call (the
+    tunneled backend shows ~±40% run-to-run noise; the minimum is the
+    reproducible achieved-throughput figure)."""
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_rep):
+            out = fn_call()
+        _sync(out)
+        dt = max(time.perf_counter() - t0 - _round_trip_s(), 1e-12) / n_rep
+        best = min(best, dt)
+    return best
+
+
+_VPU_PEAK = {}
+
+
+def measured_vpu_peak():
+    """Empirical f32 elementwise-FMA roofline on this chip [FLOP/s].
+
+    The line-shape kernels are VPU-bound (elementwise transcendental-free
+    rational series, not MXU matmuls), so the meaningful peak for a
+    utilization figure is the sustained f32 fused-multiply-add rate, which
+    is not a published spec number — measure it with a Pallas kernel that
+    holds a (512, 1024) f32 block in VMEM and runs 64 x 4000 dependent
+    FMAs over it in a single dispatch (single dispatch matters: this
+    tunneled backend has ~30 ms per-dispatch overhead, so multi-dispatch
+    micro-benchmarks measure the tunnel, not the chip). Best of 5 trials.
+    """
+    if _VPU_PEAK:
+        return _VPU_PEAK["flops"]
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    UNROLL, ITERS, shape = 64, 4000, (512, 1024)
+
+    def kernel(y_ref, o_ref):
+        y = y_ref[...]
+        a = jnp.float32(0.9999999)
+        b = jnp.float32(1e-9)
+
+        def body(_, y):
+            for _ in range(UNROLL):
+                y = a * y + b
+            return y
+
+        o_ref[...] = lax.fori_loop(0, ITERS, body, y)
+
+    y = jnp.full(shape, 0.5, dtype=jnp.float32)
+    f = jax.jit(lambda y: pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32))(y))
+    _sync(f(y))
+    best = min(_timed(lambda: f(y), 1) for _ in range(5))
+    _VPU_PEAK["flops"] = 2.0 * UNROLL * ITERS * shape[0] * shape[1] / best
+    return _VPU_PEAK["flops"]
+
+
+def _roofline(evals, dt, mode, compiled=None, n_wei=16):
+    """Achieved FLOP/s + fraction of the measured VPU-FMA peak.
+
+    Two figures (VERDICT r2 #6):
+
+    * ``device_flops_per_s`` — XLA cost-analysis flops (which include the
+      Pallas kernels' published CostEstimates, i.e. the padded-block work
+      the chip actually executes) divided by measured wall time; its
+      ``pct_measured_vpu_peak`` is the MFU-style utilization figure.
+    * ``useful_flops_per_s`` — hapi-window evaluations x the per-eval flop
+      model (`_flops_per_eval`, 'full' mode); overcounts two-pass far-wing
+      evals (which run the ~52-flop asymptotic form) and excludes padding,
+      so it is a work-rate figure, not a utilization figure.
+    """
+    from radtxfr_tpu.kernels.pallas_xsect import _flops_per_eval
+
+    if mode == "ht":
+        per = 6 * (8 * n_wei) + 600     # pallas_xsect.py HT cost estimate
+    else:
+        per = _flops_per_eval(n_wei, mode)
+    peak = measured_vpu_peak()
+    out = {"useful_flops_per_s": evals * per / dt,
+           "flops_per_eval_model": per,
+           "measured_vpu_peak_flops_per_s": peak,
+           "roofline_note": ("cost-model flops are scheduler estimates "
+                             "(upper bound) and the FMA probe is a lower "
+                             "bound on chip peak; pct near/above 100 = "
+                             "VPU-bound at speed-of-light")}
+    if compiled is not None:
+        try:
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            dev = float(ca["flops"]) / dt
+            out["device_flops_per_s"] = dev
+            out["pct_measured_vpu_peak"] = 100.0 * dev / peak
+        except Exception:
+            pass
+    return out
+
+
+def _emit(metric, value, unit, vs_baseline, extra=None):
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline}
+    rec.update(extra or {})
+    rec.update(_provenance())
+    print(json.dumps(rec), flush=True)
 
 
 def _window_evals(lines, iso, atmos, grid_axis, profile="voigt",
@@ -97,20 +266,17 @@ def bench_voigt(jnp, iso, atm, lines, axis):
     grid = UniformGrid.from_axis(axis)
     fn = make_od_pallas_fn(lines, iso, grid, atm)
     args = (atm.T, atm.p, atm.pl, atm.vmr)
-    out = fn(*args)
-    out.block_until_ready()
+    _sync(fn(*args))
+    compiled = jax.jit(fn).lower(*args).compile()
 
-    n_rep = 5 if on_tpu else 1
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = fn(*args)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
+    n_rep = 10 if on_tpu else 1
+    dt = _timed(lambda: fn(*args), n_rep)
 
     evals = _window_evals(lines, iso, atm, axis)
     value = evals / dt
     _emit("voigt_window_evals_per_s_per_chip", value, "evals/s",
-          value / HAPI_BASELINE_EVALS_PER_S)
+          value / HAPI_BASELINE_EVALS_PER_S,
+          extra=_roofline(evals, dt, "full", compiled=compiled))
     return evals / HAPI_BASELINE_EVALS_PER_S  # hapi seconds per spectrum
 
 
@@ -160,7 +326,7 @@ def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum):
         b = stack_states([member(i) for i in range(lo, lo + batch)])
         tau, Lu, Ld = run(b)
         out = reduce_batch(tau, Lu, Ld)
-        jax.block_until_ready(out)
+        _sync(out)          # real completion, not block_until_ready
         return out
 
     t_all0 = time.perf_counter()
@@ -199,21 +365,18 @@ def bench_sdvoigt_xs(jnp, iso):
                               wing_abs=wing_abs, tile=8192)
     Tj = jnp.asarray(T_s, dtype=jnp.float32)
     pj = jnp.asarray(p_s, dtype=jnp.float32)
-    out = fn(Tj, pj)
-    out.block_until_ready()
+    _sync(fn(Tj, pj))
+    compiled = jax.jit(fn).lower(Tj, pj).compile()
 
-    n_rep = 2 if on_tpu else 1
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = fn(Tj, pj)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
+    n_rep = 3 if on_tpu else 1
+    dt = _timed(lambda: fn(Tj, pj), n_rep)
 
     evals = _window_evals(lines, iso, None, axis, profile="sdvoigt",
                           wing_abs=wing_abs, states=(T_s, p_s))
     value = evals / dt
     _emit("sdvoigt_window_evals_per_s_per_chip", value, "evals/s",
-          value / HAPI_SDVOIGT_BASELINE_EVALS_PER_S)
+          value / HAPI_SDVOIGT_BASELINE_EVALS_PER_S,
+          extra=_roofline(evals, dt, "sdvoigt", compiled=compiled))
 
 
 def bench_ht_xs(jnp, iso, atm_lines, axis):
@@ -238,15 +401,11 @@ def bench_ht_xs(jnp, iso, atm_lines, axis):
     fn = make_ht_pallas_fn(atm_lines, iso, axis, T_s, p_s, extras=extras)
     Tj = jnp.asarray(T_s, dtype=jnp.float32)
     pj = jnp.asarray(p_s, dtype=jnp.float32)
-    out = fn(Tj, pj)
-    out.block_until_ready()
+    _sync(fn(Tj, pj))
+    compiled = jax.jit(fn).lower(Tj, pj).compile()
 
     n_rep = 3 if on_tpu else 1
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = fn(Tj, pj)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = _timed(lambda: fn(Tj, pj), n_rep)
 
     # per-state hapi wing windows: the library's own planning rule
     from radtxfr_tpu.products.od import ht_wing_bounds
@@ -261,7 +420,8 @@ def bench_ht_xs(jnp, iso, atm_lines, axis):
     evals = int((hi - lo).sum())
     value = evals / dt
     _emit("ht_window_evals_per_s_per_chip", value, "evals/s",
-          value / HAPI_HT_BASELINE_EVALS_PER_S)
+          value / HAPI_HT_BASELINE_EVALS_PER_S,
+          extra=_roofline(evals, dt, "ht", compiled=compiled))
 
 
 def main():

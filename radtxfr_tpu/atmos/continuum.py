@@ -265,7 +265,10 @@ def _rayleigh(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
     n_ref = 1.0 + 2.79e-4                  # dry air, long-wavelength limit
     f_k = 1.061
     lorentz = (n_ref**2 - 1.0) / (n_ref**2 + 2.0)
-    sigma = (24.0 * jnp.pi**3 * nu**4 / n_s**2) * lorentz**2 * f_k  # cm^2
+    # (nu^2/n_s)^2 rather than nu^4/n_s^2: n_s^2 = 6.49e38 overflows the
+    # float32 max (3.4e38) when this runs inside an f32 jit (the
+    # Pallas-ensemble path); the regrouped intermediate is ~1e-14.
+    sigma = 24.0 * jnp.pi**3 * (nu * nu / n_s)**2 * lorentz**2 * f_k  # cm^2
     n_air = (p_pa * 10.0) / (K_BOLTZMANN_CGS * T)   # molec/cm^3 (Pa->barye)
     return cf[6] * sigma * n_air * pl_km * CM_PER_KM
 

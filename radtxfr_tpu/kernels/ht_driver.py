@@ -40,7 +40,8 @@ from ..core.constants import (
 from ..lines.tips import partition_sum
 from .htp import pcqsdhc
 
-__all__ = ["xsect_ht", "resolve_ht_columns", "ht_params"]
+__all__ = ["xsect_ht", "resolve_ht_columns", "ht_params",
+           "ht_xsect_from_params"]
 
 _STORE_COLS = ("gamma_air", "gamma_self", "n_air", "delta_air", "sd_air")
 
@@ -95,12 +96,18 @@ def resolve_ht_columns(lines, extras, diluent):
 
 
 def ht_params(resolved, lines, iso, T, p_atm, wing_abs=0.0, wing_hw=50.0,
-              complex_dtype=None):
+              complex_dtype=None, abun=None):
     """Traced per-line HT parameters at (T, p) from resolved columns.
 
     Returns a dict: strength, gamma_d, gamma0, shift0, gamma2, shift2,
     nuvc, eta (complex), wing — the exact quantities the reference HT
     driver feeds ``PROFILE_HT`` (``misc/hapi.py:10530-10650``).
+
+    ``abun`` optionally overrides the resolved diluent abundances with
+    traced values (scalars or (L,) arrays, one per resolved diluent) —
+    the layered-OD path resolves ``{'air': 1, 'self': 1}`` host-side and
+    passes ``[1 - x_self, x_self]`` per layer here, the same
+    vmr-dependent diluent mix the Voigt layer drivers apply.
     """
     T = jnp.asarray(T)
     p = jnp.asarray(p_atm)
@@ -128,15 +135,17 @@ def ht_params(resolved, lines, iso, T, p_atm, wing_abs=0.0, wing_hw=50.0,
     shift2 = 0.0
     nuvc = 0.0
     eta_num = jnp.zeros(L, dtype=complex_dtype)
-    for abun, g0db, ndb, d0, dp, g2db, d2db, nuvc_db, kappa_db, eta_db in resolved:
+    for i, (a_res, g0db, ndb, d0, dp, g2db, d2db, nuvc_db, kappa_db,
+            eta_db) in enumerate(resolved):
+        a = a_res if abun is None else abun[i]
         g0t = g0db * (p / P_REF) * (T_REF / T) ** ndb
         s0t = (d0 + dp * (T - T_REF)) * (p / P_REF)
-        gamma0 = gamma0 + abun * g0t
-        shift0 = shift0 + abun * s0t
-        gamma2 = gamma2 + abun * g2db * (p / P_REF)
-        shift2 = shift2 + abun * d2db * (p / P_REF)
-        nuvc = nuvc + abun * nuvc_db * (T_REF / T) ** kappa_db * p
-        eta_num = eta_num + eta_db * abun * (g0t + 1j * s0t)
+        gamma0 = gamma0 + a * g0t
+        shift0 = shift0 + a * s0t
+        gamma2 = gamma2 + a * g2db * (p / P_REF)
+        shift2 = shift2 + a * d2db * (p / P_REF)
+        nuvc = nuvc + a * nuvc_db * (T_REF / T) ** kappa_db * p
+        eta_num = eta_num + eta_db * a * (g0t + 1j * s0t)
     eta = eta_num / (gamma0 + 1j * shift0)
 
     wing = jnp.maximum(jnp.asarray(wing_abs),
@@ -171,12 +180,22 @@ def _xsect_ht_eval(grid, resolved, lines, iso, T, p_atm,
                     complex_dtype=(jnp.complex128
                                    if grid.dtype == jnp.float64
                                    else jnp.complex64))
-    nu0 = jnp.asarray(lines.nu0)
-    L = jnp.shape(lines.nu0)[0]
+    return ht_xsect_from_params(grid, jnp.asarray(lines.nu0), prm,
+                                chunk=chunk)
+
+
+def ht_xsect_from_params(grid, nu0, prm, chunk=128, strength_scale=None):
+    """Chunked lines x grid pcqsdhc evaluation from an :func:`ht_params`
+    dict (hapi window mask); the shared eval of the lattice and layered
+    jnp HT engines. ``strength_scale`` optionally multiplies the HITRAN
+    strengths (the layered OD path passes the species column density)."""
     strength, gamma_d = prm["strength"], prm["gamma_d"]
+    if strength_scale is not None:
+        strength = strength * strength_scale
     gamma0, shift0 = prm["gamma0"], prm["shift0"]
     gamma2, shift2 = prm["gamma2"], prm["shift2"]
     nuvc, eta, wing = prm["nuvc"], prm["eta"], prm["wing"]
+    L = jnp.shape(nu0)[0]
 
     # ---- chunked lines x grid evaluation ----------------------------------
     n_pad = (-L) % chunk

@@ -16,9 +16,10 @@ with the pressure-proportional mixing coefficient
 
 ``y_air``/``y_self`` are the HITRAN ``linemixing`` parameter-group columns
 [1/atm at 296 K] (fetchable via ``pargroups=['linemixing']``,
-:mod:`radtxfr_tpu.lines.fetch`); ``n_T`` is an empirical temperature
-exponent (~0.75, matching the collisional-width scaling, since HITRAN's
-first-order columns carry no T dependence). Setting Y = 0 recovers the
+:mod:`radtxfr_tpu.lines.fetch`); ``n_T`` defaults to 0 — the plain
+Rosenkranz Y(p) convention (HITRAN's first-order columns carry no T
+dependence); users may opt into an empirical collisional-width-like
+exponent (~0.75) explicitly. Setting Y = 0 recovers the
 Voigt profile exactly, so the module composes with (not replaces) the
 Voigt engines; the intensity sum rule sum_k S_k Y_k = 0 holds for physical
 coefficient sets and is NOT enforced here — it is the data's property.
@@ -45,7 +46,7 @@ _INV_SQRT_PI = 0.5641895835477563
 
 
 def mixing_coefficient(y_air, p_atm, T, y_self=None, x_self=0.0,
-                       n_T: float = 0.75):
+                       n_T: float = 0.0):
     """Per-line first-order mixing coefficient Y(p, T).
 
     ``y_air``/``y_self`` in 1/atm at 296 K (HITRAN ``y_air``/``y_self``

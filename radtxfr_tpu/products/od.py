@@ -124,15 +124,22 @@ def compute_od_layers(
     continuum: str = "none",
     continuum_factors=None,
     line_mixing: dict | None = None,
+    ht_extras: dict | None = None,
 ):
     """(nL, nX) optical-depth tensor for a layered atmosphere.
 
     ``engine='jnp'``: chunked lines x nu evaluation under ``lax.map`` over
     layers (dtype-polymorphic, any profile — the correctness path).
     ``engine='pallas'``: the bucketed TPU kernel
-    (:mod:`radtxfr_tpu.kernels.pallas_xsect`) — float32, Voigt/SD-Voigt,
-    fastest. Pass a prebuilt ``plan`` (:func:`make_od_plan`) to amortize
-    bucketing.
+    (:mod:`radtxfr_tpu.kernels.pallas_xsect`) — float32, Voigt/SD-Voigt/
+    Lorentz/Doppler/HT, fastest. Pass a prebuilt ``plan``
+    (:func:`make_od_plan`) to amortize bucketing.
+
+    ``profile='ht'`` evaluates the full Hartmann-Tran pcqsdhc per layer
+    with the air/self diluent mix (``abun = [1-x_self, x_self]`` from each
+    layer's vmr) and hapi's HT-column fallbacks; ``ht_extras`` supplies
+    HT-specific columns (e.g. fetched with ``pargroups=['ht']``) keyed as
+    in :func:`~radtxfr_tpu.kernels.ht_driver.resolve_ht_columns`.
 
     ``continuum``: additive continuum model name (default ``'none'`` — the
     hapi-parity setting; ``'mt_ckd'`` matches the reference's LBLRTM
@@ -144,6 +151,8 @@ def compute_od_layers(
         opts = dict(pallas_opts or {})
         if line_mixing is not None:
             opts.setdefault("line_mixing", line_mixing)
+        if profile == "ht" and ht_extras is not None:
+            opts.setdefault("extras", ht_extras)
         od = _od_layers_pallas(
             lines, iso, grid, atmos, profile=profile, wing_abs=wing_abs,
             wing_hw=wing_hw, plan=plan, **opts,
@@ -157,7 +166,7 @@ def compute_od_layers(
         y_air = jnp.asarray(np.asarray(line_mixing["y_air"]))
         y_self_arr = line_mixing.get("y_self")
         y_self = None if y_self_arr is None else jnp.asarray(np.asarray(y_self_arr))
-        n_T = float(line_mixing.get("n_T", 0.75))
+        n_T = float(line_mixing.get("n_T", 0.0))
         gridj = jnp.asarray(grid)
 
         def one(args):
@@ -172,6 +181,29 @@ def compute_od_layers(
             return xsect_voigt_mixing(gridj, prm, Y, chunk=chunk)
 
         od = jax.lax.map(one, (atmos.T, atmos.p, atmos.pl, atmos.vmr))
+    elif profile == "ht":
+        from ..kernels.ht_driver import (ht_params, ht_xsect_from_params,
+                                         resolve_ht_columns)
+
+        cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
+        resolved = resolve_ht_columns(lines.host_view(), ht_extras,
+                                      {"air": 1.0, "self": 1.0})
+        gridj = jnp.asarray(grid.values() if hasattr(grid, "values")
+                            else grid)
+        nu0j = jnp.asarray(lines.nu0)
+
+        def one_ht(args):
+            T_l, p_l, pl_l, vmr_l = args
+            p_atm = p_l / PA_PER_ATM
+            x_self = vmr_l[cols]
+            u = species_column(p_l, T_l, pl_l, vmr_l)
+            prm = ht_params(resolved, lines, iso, T_l, p_atm,
+                            wing_abs=wing_abs, wing_hw=wing_hw,
+                            abun=[1.0 - x_self, x_self])
+            return ht_xsect_from_params(gridj, nu0j, prm, chunk=chunk,
+                                        strength_scale=u[cols])
+
+        od = jax.lax.map(one_ht, (atmos.T, atmos.p, atmos.pl, atmos.vmr))
     else:
         cols = jnp.asarray(_line_species_cols(lines, atmos.mol_ids))
         od = _od_layers_jit(
@@ -633,13 +665,13 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
 
     mix_idx = None
     y_air = y_self = None
-    n_T = 0.75
+    n_T = 0.0
     if line_mixing is not None:
         y_air = np.asarray(line_mixing["y_air"], dtype=np.float64)
         y_self_arr = line_mixing.get("y_self")
         y_self = (None if y_self_arr is None
                   else jnp.asarray(np.asarray(y_self_arr)))
-        n_T = float(line_mixing.get("n_T", 0.75))
+        n_T = float(line_mixing.get("n_T", 0.0))
         mix_idx = np.nonzero(y_air != 0.0)[0]
 
     g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
@@ -925,14 +957,150 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
     return ht_fn
 
 
+def make_od_ht_pallas_fn(lines, iso, grid, atmos_class, extras=None,
+                         wing_abs=0.0, wing_hw=50.0, tile: int = 512,
+                         n_weideman: int = 16, max_groups: int = 8,
+                         group_ratio: float = 4.0, fast_rcp: bool = True,
+                         continuum: str = "none", continuum_factors=None):
+    """Build a jitted (T, p_pa, pl, vmr) -> (nL, nX) **Hartmann-Tran** OD
+    function for a layered atmosphere on the Pallas engine (VERDICT r2 #5:
+    the full-HT fast path at layered production scale, matching
+    ``absorptionCoefficient_HT``, ``misc/hapi.py:10302-10650``, with the
+    layer drivers' air/self diluent mix).
+
+    Same structure as :func:`make_ht_pallas_fn` with atmosphere layers in
+    the role of lattice states, plus the layered-OD specifics:
+
+    * **diluent mix is vmr-dependent**: columns resolve host-side for both
+      ``air`` and ``self`` (hapi fallbacks), and the traced abundances
+      ``[1 - x_self, x_self]`` — the line's own-molecule vmr per layer —
+      enter :func:`~radtxfr_tpu.kernels.ht_driver.ht_params` per layer;
+    * **strengths carry the species column density** (OD units, like every
+      layer driver);
+    * **per-line routing**: lines whose resolved columns make pcqsdhc
+      degenerate exactly (eta = nuVC = Shift2 = 0 -> SD-Voigt block;
+      additionally Gamma2 = 0 -> shifted Voigt) run the cheaper kernels;
+      only live-HT lines pay the ~40-temp HT kernel.
+
+    ``atmos_class`` (state or list) sizes the static plans; wing bounds
+    use the conservative air+self column sum.
+    """
+    from ..kernels.ht_driver import ht_params, resolve_ht_columns
+    from ..kernels.htp_real import ht_line_constants
+    from ..kernels.lineparams import LineParams
+    from ..kernels.pallas_xsect import (UniformGrid, plan_buckets_packed,
+                                        xsect_ht_pallas, xsect_pallas)
+
+    g = grid if isinstance(grid, UniformGrid) else UniformGrid.from_axis(np.asarray(grid))
+    lines_h, iso_h, states_h = _host_planning_views(lines, iso, atmos_class)
+    cols = jnp.asarray(_line_species_cols(lines_h, states_h[0].mol_ids))
+    # abundance placeholders 1.0: traced [1-x_self, x_self] supplied per call
+    resolved = resolve_ht_columns(lines_h, extras, {"air": 1.0, "self": 1.0})
+
+    # conservative (layer, line) wing bounds: abun-1 air+self sum >= any mix
+    W = np.max([ht_wing_bounds(resolved, lines_h, iso_h,
+                               np.asarray(s.T), np.asarray(s.p) / PA_PER_ATM,
+                               wing_abs=wing_abs, wing_hw=wing_hw)
+                for s in states_h], axis=0)
+    nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
+
+    # host routing masks over BOTH diluents' resolved columns
+    L = nu0.size
+    g2_any = np.zeros(L, dtype=bool)
+    full_m = np.zeros(L, dtype=bool)
+    for _abun, _g0db, _ndb, _d0, _dp, g2db, d2db, nuvc_db, _kap, eta_db in resolved:
+        g2_any |= np.asarray(g2db) != 0.0
+        full_m |= ((np.asarray(d2db) != 0.0) | (np.asarray(nuvc_db) != 0.0)
+                   | (np.asarray(eta_db) != 0.0))
+
+    cap_ht = max(8, ((1 << 16) // tile) // 8 * 8)   # pcqsdhc: ~40 live temps
+    cap_sd = max(8, ((1 << 17) // tile) // 8 * 8)
+    subsets = [("ht", np.nonzero(full_m)[0], cap_ht),
+               ("sdvoigt", np.nonzero(~full_m & g2_any)[0], cap_sd),
+               ("full", np.nonzero(~full_m & ~g2_any)[0], cap_sd)]
+
+    calls = []
+    for mode, idx, cap in subsets:
+        if idx.size == 0:
+            continue
+        W_s = W[:, idx]
+        for lay_idx, _ in group_by_wing(W_s.max(axis=1), max_groups=max_groups,
+                                        ratio=group_ratio):
+            lay_idx = np.sort(lay_idx)
+            w_line = W_s[lay_idx].max(axis=0)
+            plan = plan_buckets_packed(nu0[idx], g, w_line, tile=tile,
+                                       block="auto")
+            if plan.block > cap:
+                plan = plan_buckets_packed(nu0[idx], g, w_line, tile=tile,
+                                           block=cap)
+            calls.append((mode, jnp.asarray(lay_idx), jnp.asarray(idx), plan))
+
+    cont = _make_continuum_term(g, states_h[0].mol_ids, continuum,
+                                continuum_factors)
+    nu0_j = jnp.asarray(nu0, dtype=jnp.float32)
+
+    @jax.jit
+    def od_fn(T, p_pa, pl, vmr):
+        p_atm = p_pa / PA_PER_ATM
+
+        def one(T_l, p_l, pl_l, vmr_l):
+            x_self = vmr_l[cols]
+            u = species_column(p_l * PA_PER_ATM, T_l, pl_l, vmr_l)
+            prm = ht_params(resolved, lines, iso, T_l, p_l,
+                            wing_abs=wing_abs, wing_hw=wing_hw,
+                            complex_dtype=jnp.complex64,
+                            abun=[1.0 - x_self, x_self])
+            prm["strength"] = prm["strength"] * u[cols]
+            return prm
+
+        prm = jax.vmap(one)(T, p_atm, pl, vmr)
+        out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
+        sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
+        for mode, lay_idx, idx, plan in calls:
+            if mode == "ht":
+                consts = ht_line_constants(
+                    prm["gamma_d"], prm["gamma0"], prm["gamma2"],
+                    prm["shift0"], prm["shift2"], prm["nuvc"],
+                    jnp.real(prm["eta"]), jnp.imag(prm["eta"]))
+                out = out.at[lay_idx].add(xsect_ht_pallas(
+                    plan, sub(prm["strength"], lay_idx, idx),
+                    sub(prm["wing"], lay_idx, idx),
+                    sub(consts, lay_idx, idx),
+                    n_weideman=n_weideman, fast_rcp=fast_rcp))
+            else:
+                lp = LineParams(
+                    nu0=nu0_j[idx], nu0_shifted=nu0_j[idx],
+                    strength=sub(prm["strength"], lay_idx, idx),
+                    gamma_d=sub(prm["gamma_d"], lay_idx, idx),
+                    gamma_0=sub(prm["gamma0"], lay_idx, idx),
+                    wing=sub(prm["wing"], lay_idx, idx),
+                    gamma_2=sub(prm["gamma2"], lay_idx, idx),
+                    shift0=sub(prm["shift0"], lay_idx, idx))
+                out = out.at[lay_idx].add(xsect_pallas(
+                    plan, lp, mode=mode, fused_layers=True,
+                    n_weideman=n_weideman, fast_rcp=fast_rcp))
+        if cont is not None:
+            out = out + cont(T, p_pa, pl, vmr)
+        return out
+
+    return od_fn
+
+
 def _od_layers_pallas(lines, iso, grid, atmos, profile="voigt",
                       wing_abs=0.0, wing_hw=50.0, plan=None, **pallas_opts):
     from ..kernels.pallas_xsect import UniformGrid, plan_buckets, xsect_pallas
 
+    if profile == "ht":
+        if plan is not None:
+            raise ValueError("prebuilt plan= supports Voigt only")
+        fn = make_od_ht_pallas_fn(lines, iso, grid, atmos,
+                                  wing_abs=wing_abs, wing_hw=wing_hw,
+                                  **pallas_opts)
+        return fn(atmos.T, atmos.p, atmos.pl, atmos.vmr)
     if profile not in ("voigt", "sdvoigt", "lorentz", "doppler"):
         raise NotImplementedError(
-            "pallas engine implements 'voigt', 'sdvoigt', 'lorentz' and "
-            f"'doppler'; use engine='jnp' for {profile!r}")
+            "pallas engine implements 'voigt', 'sdvoigt', 'lorentz', "
+            f"'doppler' and 'ht'; use engine='jnp' for {profile!r}")
     if plan is not None:
         if profile != "voigt":
             raise ValueError(

@@ -229,8 +229,11 @@ def bgmm_fit(key, X, n_components: int, n_iter: int = 500, reg: float = 1e-6,
                   - 0.5 * d * ln2pi)
         return jnp.exp(logrho - logsumexp(logrho, axis=1, keepdims=True))
 
-    # init: hard assignment to K distinct random data points
-    k0 = jax.random.choice(key, n, (n_components,), replace=False)
+    # init: hard assignment to K distinct random data points. When the
+    # dataset is smaller than n_components, sample seeds with replacement
+    # (sklearn's BayesianGaussianMixture also accepts n < K; surplus
+    # components are pruned by the stick-breaking weights).
+    k0 = jax.random.choice(key, n, (n_components,), replace=(n < n_components))
     d2 = jnp.sum((X[:, None, :] - X[k0][None, :, :]) ** 2, axis=-1)
     r0 = jax.nn.one_hot(jnp.argmin(d2, axis=1), n_components, dtype=X.dtype)
 

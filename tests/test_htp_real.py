@@ -164,3 +164,66 @@ def test_pcqsdhc_real_batched_lines():
                                   nuvc[i], eta[i], sg)[0])
         peak = np.abs(want).max()
         assert np.abs(got[i] - want).max() < 1e-8 * peak, i
+
+
+def test_layered_ht_pallas_matches_jnp(iso_tables):
+    """VERDICT r2 #5: compute_od_layers(profile='ht', engine='pallas') —
+    the full-HT fast path at layered-atmosphere scale — against the jnp
+    layered HT engine (per-layer air/self diluent mix, column-density
+    strengths), with mixed routing (live-HT / SD-Voigt / Voigt lines)."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products import compute_od_layers
+
+    store = synthetic_lines(80, nu_min=995.0, nu_max=1015.0, seed=41,
+                            sd_zero_frac=0.3)
+    rng = np.random.default_rng(11)
+    n = store.n_lines
+    third = n // 3
+    nuvc = np.zeros(n)
+    nuvc[:third] = rng.uniform(0.01, 0.05, third)
+    eta = np.zeros(n)
+    eta[:third] = rng.uniform(0.1, 0.3, third)
+    extras = {"nu_HT_air": nuvc,
+              "kappa_HT_air": rng.uniform(0.0, 1.0, n) * (nuvc > 0),
+              "eta_HT_air": eta,
+              "delta_HT_2_air_296": np.where(nuvc > 0,
+                                             rng.normal(0.0, 5e-4, n), 0.0)}
+    axis = arange_drift_free(998.0, 1012.0, 0.005)
+    atm = std_atmosphere()
+
+    want = np.asarray(compute_od_layers(store, iso_tables, jnp.asarray(axis),
+                                        atm, profile="ht", engine="jnp",
+                                        ht_extras=extras))
+    got = np.asarray(compute_od_layers(store, iso_tables, axis, atm,
+                                       profile="ht", engine="pallas",
+                                       ht_extras=extras))
+    assert got.shape == want.shape == (atm.T.shape[0], axis.size)
+    peak = np.abs(want).max()
+    rel = np.abs(got - want).max(axis=1) / peak
+    # Tropospheric/stratospheric layers (the TUD-dominant ones) are tight;
+    # above ~55 km the narrow Doppler-limited cores stress the f32 kernel
+    # (same 2e-4-of-peak class as the SD-Voigt kernel tests).
+    assert rel[:40].max() < 2e-5, rel[:40].max()
+    assert rel.max() < 3e-4, rel.max()
+
+
+def test_layered_ht_jnp_zero_ht_columns_is_sdvoigt(iso_tables):
+    """With no HT-specific columns the layered HT engine must reduce to
+    the layered SD-Voigt engine (pcqsdhc degeneration; the air/self mix
+    follows compute_line_params' gamma blending)."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products import compute_od_layers
+
+    store = synthetic_lines(40, nu_min=998.0, nu_max=1012.0, seed=42)
+    axis = arange_drift_free(999.0, 1011.0, 0.01)
+    atm = std_atmosphere()
+    ht = np.asarray(compute_od_layers(store, iso_tables, jnp.asarray(axis),
+                                      atm, profile="ht", engine="jnp"))
+    sd = np.asarray(compute_od_layers(store, iso_tables, jnp.asarray(axis),
+                                      atm, profile="sdvoigt", engine="jnp"))
+    peak = np.abs(sd).max()
+    assert np.abs(ht - sd).max() < 1e-7 * peak

@@ -29,9 +29,13 @@ def mix_setup(iso_tables):
 def test_mixing_coefficient_scaling():
     y = mixing_coefficient(2e-3, 0.5, 296.0)
     np.testing.assert_allclose(float(y), 1e-3, rtol=1e-12)
-    # (Tref/T)^0.75 temperature scaling
+    # default is the plain Rosenkranz Y(p) convention: NO T dependence
+    # (HITRAN first-order columns define none; ADVICE r2)
     y_cold = mixing_coefficient(2e-3, 0.5, 250.0)
-    np.testing.assert_allclose(float(y_cold) / float(y),
+    np.testing.assert_allclose(float(y_cold), float(y), rtol=1e-12)
+    # opt-in empirical exponent
+    y_cold_n = mixing_coefficient(2e-3, 0.5, 250.0, n_T=0.75)
+    np.testing.assert_allclose(float(y_cold_n) / float(y),
                                (296.0 / 250.0) ** 0.75, rtol=1e-10)
     # diluent mix
     y_m = mixing_coefficient(2e-3, 1.0, 296.0, y_self=4e-3, x_self=0.5)
@@ -109,7 +113,7 @@ def test_od_layers_line_mixing_jnp(mix_setup, iso_tables):
                               vmr_self=jnp.asarray(vmr0)[cols],
                               strength_scale=jnp.asarray(u)[cols])
     Y0 = mixing_coefficient(jnp.asarray(y_air), p0 / PA_PER_ATM, T0,
-                            x_self=jnp.asarray(vmr0)[cols])
+                            x_self=jnp.asarray(vmr0)[cols], n_T=0.75)
     want0 = np.asarray(xsect_voigt_mixing(jnp.asarray(axis), prm, Y0))
     np.testing.assert_allclose(od[0], want0, rtol=1e-10, atol=1e-300)
 

@@ -191,6 +191,18 @@ def test_bgmm_prunes_surplus_components():
     np.testing.assert_allclose(means, [-6, 0, 6], atol=0.4)
 
 
+def test_bgmm_small_dataset_does_not_crash():
+    """n_samples < n_components must fit (sklearn handles this case;
+    ADVICE r2): seeds are drawn with replacement and surplus components
+    prune to ~zero weight."""
+    rng = np.random.default_rng(9)
+    X = rng.normal(0.0, 1.0, (4, 2))
+    vb = gen.bgmm_fit(jax.random.key(0), jnp.asarray(X), 8, n_iter=100)
+    w = np.asarray(vb.weights)
+    assert np.isfinite(w).all()
+    np.testing.assert_allclose(w.sum(), 1.0, atol=0.01)
+
+
 def test_bgmm_effective_components_match_sklearn():
     """Effective component count and major-cluster weights agree with
     sklearn's BayesianGaussianMixture on the same data."""
