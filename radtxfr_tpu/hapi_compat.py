@@ -15,9 +15,11 @@ Deliberate divergences (all documented per function):
 * Tables are packed :class:`~radtxfr_tpu.lines.store.LineStore` arrays, not
   per-row dicts; row-object internals (``getRowObject`` etc.) have no
   equivalent.
-* ``EnvDependences`` / custom ``partitionFunction`` overrides of the
-  drivers are not supported (hapi's own defaults are used; passing a
-  non-default raises).
+* ``EnvDependences`` / custom ``partitionFunction`` are honored by the
+  Voigt-family drivers (per-line callbacks evaluated host-side, exactly
+  hapi's loop semantics incl. the post-override intensity threshold); the
+  HT driver still raises on them, and the Doppler driver ignores
+  ``EnvDependences`` as hapi's own does (``misc/hapi.py:11384-11581``).
 * ``fetch`` requires network access and is gated exactly like
   :mod:`radtxfr_tpu.lines.fetch`.
 """
@@ -625,6 +627,129 @@ def _resolve_diluent(Diluent, GammaL):
     raise ValueError(f"unknown GammaL value: {GammaL!r}")
 
 
+def _hooked_xsect(profile, sub, iso_tab, name, keep, T, p, diluent,
+                  grid, wing_abs, wing_hw, pf, env_dep, ratio,
+                  Environment, threshold, line_shift):
+    """Driver hot loop with the user extension hooks evaluated host-side
+    (hapi ``EnvDependences`` / custom ``partitionFunction``,
+    ``misc/hapi.py:10931-11138``): per-line parameters are assembled in
+    NumPy exactly as the reference loop does — custom ``sw`` /
+    ``gamma_<sp>`` / ``delta_<sp>`` / ``SD_<sp>`` overrides, the hapi
+    ``n_self``/``deltap`` fallback rules, the post-override intensity
+    threshold — then handed to the vectorized engine as a ready-made
+    :class:`LineParams`. The per-line Python callback costs what hapi's
+    own loop costs; without callbacks the default vectorized path is used
+    instead, so only hook users pay it.
+    """
+    from .core.constants import T_REF
+    from .kernels.lineparams import LineParams
+
+    import jax
+
+    h = sub.host_view()
+    n = h.nu0.size
+    iso_h = jax.device_get(iso_tab)
+    mol = np.asarray(h.mol_id)
+    loc = np.asarray(iso_h.iso)[np.asarray(h.iso_row)]
+    mass = np.asarray(iso_h.molar_mass)[np.asarray(h.iso_row)]
+
+    cols = {"nu": np.asarray(h.nu0, dtype=np.float64),
+            "sw": np.asarray(h.sw, dtype=np.float64),
+            "elower": np.asarray(h.elower, dtype=np.float64),
+            "gamma_air": np.asarray(h.gamma_air, dtype=np.float64),
+            "gamma_self": np.asarray(h.gamma_self, dtype=np.float64),
+            "n_air": np.asarray(h.n_air, dtype=np.float64),
+            "delta_air": np.asarray(h.delta_air, dtype=np.float64),
+            "SD_air": np.asarray(h.sd_air, dtype=np.float64),
+            "molec_id": mol, "local_iso_id": loc}
+    extras = _EXTRAS.get(name) or {}
+    idx = np.nonzero(keep)[0]
+    for k, v in extras.items():
+        if np.ndim(v) == 1 and len(v) == keep.size:
+            cols.setdefault(k, np.asarray(v)[idx])
+
+    pf = pf or PYTIPS
+    Tref, pref = float(T_REF), 1.0
+    q_t, q_ref = {}, {}
+    for m_i in {(int(m), int(i)) for m, i in zip(mol, loc)}:
+        q_t[m_i] = float(pf(m_i[0], m_i[1], T))
+        q_ref[m_i] = float(pf(m_i[0], m_i[1], Tref))
+    sig_t = np.array([q_t[(int(m), int(i))] for m, i in zip(mol, loc)])
+    sig_ref = np.array([q_ref[(int(m), int(i))] for m, i in zip(mol, loc)])
+
+    Env = {"T": T, "p": p}
+    Env.update({k: v for k, v in (Environment or {}).items()})
+    Env["Tref"], Env["pref"] = Tref, pref
+
+    col = lambda nm, d=0.0: cols.get(nm, np.full(n, d))
+
+    def custom(i):
+        if env_dep is None:
+            return {}
+        return env_dep(Env, {k: v[i] for k, v in cols.items()}) or {}
+
+    cds = [custom(i) for i in range(n)]
+    get = lambda cd, key, default: float(cd[key]) if key in cd else default
+
+    s_def = np.asarray(EnvironmentDependency_Intensity(
+        cols["sw"], T, Tref, sig_t, sig_ref, cols["elower"], cols["nu"]))
+    strength = np.array([get(cd, "sw", s_def[i]) for i, cd in enumerate(cds)])
+
+    c_mass_mol = 1.66053873e-27
+    m_kg = mass * c_mass_mol * 1000.0
+    c_bolts, cc = 1.380648813e-16, 2.99792458e10
+    gamma_d = np.sqrt(2 * c_bolts * T * np.log(2) / m_kg / cc**2) * cols["nu"]
+
+    gamma0 = np.zeros(n)
+    shift0 = np.zeros(n)
+    gamma2 = np.zeros(n)
+    if profile != "doppler":
+        for sp, abun in diluent.items():
+            sp = sp.lower()
+            g_db = col(f"gamma_{sp}")
+            n_db = col(f"n_{sp}", np.nan)
+            if sp == "self":
+                # hapi: present-but-zero n_self falls back to n_air
+                n_db = np.where(np.isnan(n_db) | (n_db == 0.0),
+                                cols["n_air"], n_db)
+            else:
+                n_db = np.where(np.isnan(n_db), cols["n_air"], n_db)
+            d_db = col(f"delta_{sp}")
+            dp_db = col(f"deltap_{sp}")
+            g_def = np.asarray(EnvironmentDependency_Gamma0(
+                g_db, T, Tref, p, pref, n_db))
+            s_def_sp = (d_db + dp_db * (T - Tref)) * p / pref
+            sd_def = col(f"SD_{sp}") * p / pref
+            for i, cd in enumerate(cds):
+                gamma0[i] += abun * get(cd, f"gamma_{sp}", g_def[i])
+                shift0[i] += abun * get(cd, f"delta_{sp}", s_def_sp[i])
+                if profile == "sdvoigt":
+                    # hapi: Gamma0DB multiplies OUTSIDE the override
+                    # (misc/hapi.py:10889-10890)
+                    gamma2[i] += (abun * get(cd, f"SD_{sp}", sd_def[i])
+                                  * g_db[i])
+    elif line_shift:
+        shift0 = cols["delta_air"] * p / pref
+
+    wing = np.maximum(wing_abs,
+                      np.maximum(wing_hw * gamma0, wing_hw * gamma_d))
+    m = strength >= threshold
+    if not m.any():
+        return jnp.zeros(grid.shape[0], dtype=jnp.float64)
+    centered_inside = profile in ("sdvoigt", "ht")
+    params = LineParams(
+        nu0=jnp.asarray(cols["nu"][m]),
+        nu0_shifted=jnp.asarray(cols["nu"][m] if centered_inside
+                                else cols["nu"][m] + shift0[m]),
+        strength=jnp.asarray(strength[m] * np.asarray(ratio)[m]),
+        gamma_d=jnp.asarray(gamma_d[m]),
+        gamma_0=jnp.asarray(gamma0[m]),
+        wing=jnp.asarray(wing[m]),
+        gamma_2=jnp.asarray(gamma2[m]),
+        shift0=jnp.asarray(shift0[m]))
+    return _xsect(jnp.asarray(grid), params, profile=profile)
+
+
 def _abs_coefficient(profile, Components, SourceTables, partitionFunction,
                      Environment, OmegaRange, OmegaStep, OmegaWing,
                      IntensityThreshold, OmegaWingHW, GammaL, HITRAN_units,
@@ -634,13 +759,15 @@ def _abs_coefficient(profile, Components, SourceTables, partitionFunction,
                      EnvDependences):
     import dataclasses
 
-    if EnvDependences is not None:
+    # hapi's Doppler driver accepts EnvDependences but never calls it
+    # (misc/hapi.py:11384-11581) — faithful: ignore it there.
+    hooked = ((EnvDependences is not None and profile != "doppler")
+              or partitionFunction not in (None, PYTIPS))
+    if hooked and profile == "ht":
         raise NotImplementedError(
-            "EnvDependences overrides are not supported; hapi's default "
-            "HITRAN T/p laws are built into the engine")
-    if partitionFunction not in (None, PYTIPS):
-        raise NotImplementedError(
-            "custom partitionFunction is not supported; TIPS-2011 is built in")
+            "EnvDependences / custom partitionFunction are not supported "
+            "by the HT driver (documented divergence); the Voigt-family "
+            "drivers honor both")
 
     tables, stores, comps, env, grid, wing_abs, wing_hw = _driver_common(
         Components, SourceTables, Environment, OmegaRange, OmegaStep,
@@ -655,6 +782,18 @@ def _abs_coefficient(profile, Components, SourceTables, partitionFunction,
     k_total = jnp.zeros(grid.shape[0], dtype=jnp.float64)
     for name, store in zip(tables, stores):
         keep, ratio = _component_mask_and_ratio(store, comps)
+        if hooked:
+            # the intensity threshold applies AFTER a custom 'sw'/pf
+            # (misc/hapi.py:11075-11082) — it lives inside the hooked path
+            if not keep.any():
+                continue
+            sub = _mask_store(store, keep)
+            k_total = k_total + _hooked_xsect(
+                profile, sub, iso_tab, name, keep, T, p, diluent, grid,
+                wing_abs, wing_hw, partitionFunction, EnvDependences,
+                ratio[keep], Environment, float(IntensityThreshold),
+                bool(LineShift))
+            continue
         keep &= _threshold_mask(store, T, float(IntensityThreshold))
         if not keep.any():
             continue

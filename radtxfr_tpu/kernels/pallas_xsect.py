@@ -993,6 +993,186 @@ def _xsect_fused_jvp_call(cfg, k_line, frac0, ds, strength, gd, g0, wingu,
     return tan.transpose(1, 0, 2).reshape(n_lay, nt * tile)[:, :n_out]
 
 
+def _make_fused_sdvoigt_jvp_kernel(tile: int, block: int, n_lay: int,
+                                   dx: float, n_weideman: int,
+                                   fast: bool = False):
+    """Layer-fused SD-Voigt tangent kernel (VERDICT r2 #7).
+
+    Differentiates the pcqsdhc SD-Voigt block analytically through the
+    complex-sqrt chain. With X = (Gamma0 - 1.5 Gamma2 + i (Shift0 - dnu))
+    / Gamma2, c = GammaD / (2 sqrt(ln2) Gamma2), Y = c^2, S = sqrt(X + Y),
+    Z1,2 = S -+ c, and the profile A (K(Z1) - K(Z2)) with
+    A = cte/sqrt(pi), K(Z) = Re w(iZ):
+
+        dX  = [dGamma0 - (1.5 + X) dGamma2 + i dShift0] / Gamma2
+        dc  = c (dGammaD/GammaD - dGamma2/Gamma2)
+        dS  = (dX + 2 c dc) / (2 S)
+        dK(Z_k) = Kx * (-Im dZ_k) + Ky * Re dZ_k,   dZ_k = dS -+ dc
+
+    with (Kx, Ky) the region-consistent derivatives of the hum1_wei
+    approximation (:func:`_voigt_K_grads`; same rationale as the Voigt
+    tangent kernel — the exact-Faddeeva identity amplifies approximation
+    error in the far wing). Inside the primal's narrow CPF3 sub-band the
+    tangent uses the Weideman/asym blend's slope instead of CPF3's — both
+    approximate w to ~1e-6, so the slope mismatch is far below the f32
+    kernel tolerance. The runtime Voigt-limit clamp (Gamma2 ->
+    max(Gamma2, 1e-4 Gamma0)) propagates d(1e-4 Gamma0) in the clamped
+    region. Wing-cutoff tangents are dropped (piecewise-constant window).
+    """
+    dx = np.float32(dx)
+    wei_L_f, wei_a_f = weideman_coeffs(n_weideman)
+    wei_a = tuple(np.float32(c) for c in wei_a_f)
+    wei_L = np.float32(wei_L_f)
+
+    def kernel(starts_ref, counts_ref, off_ref, k_ref, f0_ref,
+               s_ref, gd_ref, g0_ref, g2_ref, s0_ref, wu_ref,
+               st_ref, gdt_ref, g0t_ref, g2t_ref, s0t_ref,
+               tan_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            tan_ref[...] = jnp.zeros_like(tan_ref)
+
+        @pl.when(j < counts_ref[i])
+        def _accumulate():
+            k_line = k_ref[0, 0, :].reshape(block, 1)
+            frac0 = f0_ref[0, 0, :].reshape(block, 1)
+            k_grid = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+                      + i * tile + off_ref[0])
+            rel = (k_grid - k_line).astype(jnp.float32)
+            u = rel - frac0
+
+            def body(l, _):
+                get = lambda ref: ref[0, l, :].reshape(block, 1)
+                s, gd, g0 = get(s_ref), get(gd_ref), get(g0_ref)
+                g2_raw, s0, wingu = get(g2_ref), get(s0_ref), get(wu_ref)
+                s_t, gd_t, g0_t = get(st_ref), get(gdt_ref), get(g0t_ref)
+                g2_t, s0_t = get(g2t_ref), get(s0t_ref)
+
+                dnu = u * dx
+                cte = _SQRT_LN2 / gd
+                clamp = 1e-4 * g0 + 1e-12
+                g2 = jnp.maximum(g2_raw, clamp)
+                g2e_t = jnp.where(g2_raw >= clamp, g2_t, 1e-4 * g0_t)
+                inv_g2 = 1.0 / g2
+                xr = (g0 - 1.5 * g2) * inv_g2
+                xi = (s0 - dnu) * inv_g2
+                c = 0.5 / (cte * g2)
+                Y = c * c
+
+                # S = sqrt(X + Y) as a real pair (us, vs), as in the primal
+                a = xr + Y
+                r = jnp.sqrt(a * a + xi * xi)
+                us = jnp.sqrt(jnp.maximum((r + a) * 0.5, 0.0))
+                vs = jnp.sign(xi) * jnp.sqrt(jnp.maximum((r - a) * 0.5, 0.0))
+                x12 = -vs
+                y1 = us - c
+                y2 = us + c
+                K1, Kx1, Ky1 = _voigt_K_grads(x12, y1, wei_a, wei_L, fast)
+                K2, Kx2, Ky2 = _voigt_K_grads(x12, y2, wei_a, wei_L, fast)
+
+                # tangents of X, c, Y, S, Z
+                dXr = inv_g2 * (g0_t - (1.5 + xr) * g2e_t)
+                dXi = inv_g2 * (s0_t - xi * g2e_t)
+                dc = c * (gd_t / gd - inv_g2 * g2e_t)
+                num_r = dXr + 2.0 * c * dc
+                num_i = dXi
+                den = 2.0 * jnp.maximum(us * us + vs * vs, 1e-30)
+                dSr = (num_r * us + num_i * vs) / den
+                dSi = (num_i * us - num_r * vs) / den
+                # point coords (x, y) = (-Im Z, Re Z):
+                dK1 = Kx1 * (-dSi) + Ky1 * (dSr - dc)
+                dK2 = Kx2 * (-dSi) + Ky2 * (dSr + dc)
+
+                A = _INV_SQRT_PI * cte
+                dK12 = K1 - K2
+                tan = (s_t * A * dK12
+                       - gd_t * (s * A / gd) * dK12
+                       + s * A * (dK1 - dK2))
+                mask = (u > -wingu) & (u <= wingu)
+                tan_ref[0, l, :] += jnp.sum(jnp.where(mask, tan, 0.0), axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, n_lay, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def _xsect_fused_sdvoigt_jvp_call(cfg, k_line, frac0, strength, gd, g0, g2,
+                                  s0, wingu, s_t, gd_t, g0_t, g2_t, s0_t,
+                                  starts, counts, offset, interpret=False):
+    tile, block, nb, nt, mb, n_out, dx, n_wei, _mode, fast = cfg
+    n_lay = strength.shape[1]
+    kernel = _make_fused_sdvoigt_jvp_kernel(tile, block, n_lay, dx, n_wei,
+                                            fast)
+
+    def line_map(i, j, starts_ref, counts_ref, off_ref):
+        return (jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt, mb),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, n_lay, block), line_map, memory_space=pltpu.VMEM)
+        ] * 11,
+        out_specs=pl.BlockSpec((1, n_lay, tile),
+                               lambda i, j, s, c, o: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    tan = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, n_lay, tile), jnp.float32),
+        interpret=interpret,
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_lay * nt * mb * block * tile
+            * _flops_per_eval(n_wei, "sdvoigt"),
+            bytes_accessed=(nt * n_lay * tile * 4
+                            + nt * mb * n_lay * block * 11 * 4),
+            transcendentals=0,
+        ),
+    )(starts, counts, offset, k_line, frac0, strength, gd, g0, g2, s0,
+      wingu, s_t, gd_t, g0_t, g2_t, s0_t)
+    return tan.transpose(1, 0, 2).reshape(n_lay, nt * tile)[:, :n_out]
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 12))
+def xsect_fused_sdvoigt_diff(cfg, k_line, frac0, strength, gd, g0, g2, s0,
+                             wingu, starts, counts, offset, interpret=False):
+    """Differentiable fused SD-Voigt call (single-pass mode 'sdvoigt'):
+    primal via the ordinary kernel, tangent via
+    :func:`_make_fused_sdvoigt_jvp_kernel` as a separate launch (keeps the
+    primal unbatched under ``jacfwd``). Tangents flow through (strength,
+    gamma_d, gamma_0, gamma_2, shift0); SD-Voigt's grid shift ``ds`` is
+    identically zero (the shift lives inside the profile)."""
+    ds = jnp.zeros_like(s0)
+    return _xsect_fused_call(cfg, k_line, frac0, ds, strength, gd, g0, g2,
+                             s0, wingu, starts, counts, offset,
+                             interpret=interpret)
+
+
+@xsect_fused_sdvoigt_diff.defjvp
+def _xsect_fused_sdvoigt_diff_jvp(cfg, interpret, primals, tangents):
+    k_line, frac0, s, gd, g0, g2, s0, wingu, starts, counts, offset = primals
+    _, _, s_t, gd_t, g0_t, g2_t, s0_t, _, _, _, _ = tangents
+    f32z = lambda t, p: (jnp.zeros_like(p)
+                         if getattr(t, "dtype", None) == jax.dtypes.float0
+                         else t)
+    out = xsect_fused_sdvoigt_diff(cfg, k_line, frac0, s, gd, g0, g2, s0,
+                                   wingu, starts, counts, offset, interpret)
+    tan = _xsect_fused_sdvoigt_jvp_call(
+        cfg, k_line, frac0, s, gd, g0, g2, s0, wingu,
+        f32z(s_t, s), f32z(gd_t, gd), f32z(g0_t, g0), f32z(g2_t, g2),
+        f32z(s0_t, s0), starts, counts, offset, interpret=interpret)
+    return out, tan
+
+
 def _flops_per_eval(n_wei: int, mode: str) -> int:
     """Per-(line, nu-point) flop estimate for the XLA scheduler: the
     Weideman series is ~8 flops/term (complex Horner), the asymptotic form
@@ -1205,15 +1385,24 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
         else:
             k_offset = jnp.asarray(k_offset, dtype=jnp.int32).reshape(1)
         if differentiable:
-            if mode != "full":
+            if mode == "sdvoigt":
+                out = xsect_fused_sdvoigt_diff(
+                    cfg, k_line, frac0,
+                    pad(strength, 0.0), pad(gd, 1.0), pad(g0, 1.0),
+                    pad(f32(params.gamma_2), 1.0),
+                    pad(f32(params.shift0), 0.0), pad(wingu, 0.0),
+                    starts, counts, k_offset, interpret)
+            elif mode != "full":
                 raise ValueError(
                     "differentiable=True supports the single-pass 'full' "
-                    "Voigt mode only (build plans with two_pass=False)")
-            out = xsect_fused_voigt_diff(
-                cfg, k_line, frac0,
-                pad(ds, 0.0), pad(strength, 0.0), pad(gd, 1.0),
-                pad(g0, 1.0), pad(wingu, 0.0),
-                starts, counts, k_offset, interpret)
+                    "Voigt and 'sdvoigt' modes only (build plans with "
+                    "two_pass=False)")
+            else:
+                out = xsect_fused_voigt_diff(
+                    cfg, k_line, frac0,
+                    pad(ds, 0.0), pad(strength, 0.0), pad(gd, 1.0),
+                    pad(g0, 1.0), pad(wingu, 0.0),
+                    starts, counts, k_offset, interpret)
         else:
             g2 = f32(params.gamma_2)
             s0 = f32(params.shift0)

@@ -656,11 +656,11 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
     from ..kernels.pallas_xsect import UniformGrid, xsect_pallas
 
     if differentiable:
-        if profile != "voigt" or line_mixing is not None:
+        if profile not in ("voigt", "sdvoigt") or line_mixing is not None:
             raise NotImplementedError(
-                "differentiable Pallas OD supports the plain Voigt profile; "
-                "sdvoigt/mixing Jacobians ride the jnp engine")
-        # the analytic JVP kernel implements the single-pass 'full' blend
+                "differentiable Pallas OD supports the Voigt and SD-Voigt "
+                "profiles; mixing Jacobians ride the jnp engine")
+        # the analytic JVP kernels implement the single-pass blends
         two_pass = False
 
     mix_idx = None

@@ -373,3 +373,89 @@ def test_sort_multi_key(db):
         assert (np.diff(nu[mol == m]) >= 0).all()
     # nu0 stays host float64 through the sort
     assert np.asarray(hc._get_table("s2").nu0).dtype == np.float64
+
+
+# ---------------------------------------------------------------------------
+# Driver extension hooks (VERDICT r2 #8): EnvDependences + partitionFunction
+# ---------------------------------------------------------------------------
+
+def test_voigt_driver_env_dependences_matches_hapi(db):
+    """Custom EnvDependences (per-line callback overriding gamma_air and
+    sw) against the reference hapi running the SAME callback
+    (misc/hapi.py:11056-11138)."""
+    hapi = _hapi_with(db)
+
+    def env_dep(Env, Line):
+        out = {"gamma_air": 0.08 * (Env["p"] / Env["pref"])
+               * (Env["Tref"] / Env["T"]) ** 0.6}
+        if Line["nu"] > 1010.0:
+            out["sw"] = Line["sw"] * 1.5   # raw-sw override, no T scaling
+        return out
+
+    kw = dict(SourceTables="syn", Environment={"T": 280.0, "p": 0.8},
+              OmegaGrid=GRID, EnvDependences=env_dep)
+    nu_r, k_r = hapi.absorptionCoefficient_Voigt(**kw)
+    _, k = hc.absorptionCoefficient_Voigt(**kw)
+    assert k.max() > 0
+    np.testing.assert_allclose(k, k_r, rtol=1e-8, atol=1e-30)
+
+
+def test_voigt_driver_custom_partition_function_matches_hapi(db):
+    """Custom partitionFunction (hapi calls it at T and Tref;
+    misc/hapi.py:11069-11070), incl. the post-override threshold."""
+    hapi = _hapi_with(db)
+
+    def pf(M, I, T):
+        return float(hapi.PYTIPS(M, I, T)) * (T / 296.0)
+
+    kw = dict(SourceTables="syn", Environment={"T": 260.0, "p": 1.0},
+              OmegaGrid=GRID, partitionFunction=pf)
+    nu_r, k_r = hapi.absorptionCoefficient_Voigt(**kw)
+    _, k = hc.absorptionCoefficient_Voigt(**kw)
+    np.testing.assert_allclose(k, k_r, rtol=1e-8, atol=1e-30)
+    # the pf actually changed the answer (vs default TIPS)
+    _, k0 = hc.absorptionCoefficient_Voigt(
+        SourceTables="syn", Environment={"T": 260.0, "p": 1.0},
+        OmegaGrid=GRID)
+    assert np.abs(k - k0).max() > 1e-3 * k0.max()
+
+
+def test_sdvoigt_driver_hooks_with_self_diluent_matches_hapi(db):
+    """Both hooks on the SD-Voigt driver with an air/self diluent mix:
+    covers the SD_<sp> override path, whose Gamma0DB factor sits OUTSIDE
+    the override (misc/hapi.py:10889-10890), and the n_self fallback."""
+    hapi = _hapi_with(db)
+
+    def env_dep(Env, Line):
+        return {"SD_self": 0.12 * Env["p"], "delta_air": 0.001}
+
+    def pf(M, I, T):
+        return float(hapi.PYTIPS(M, I, T)) * (1.0 + T / 1000.0)
+
+    kw = dict(SourceTables="syn", Environment={"T": 290.0, "p": 0.9},
+              OmegaGrid=GRID, Diluent={"air": 0.7, "self": 0.3},
+              EnvDependences=env_dep, partitionFunction=pf)
+    nu_r, k_r = hapi.absorptionCoefficient_SDVoigt(**kw)
+    _, k = hc.absorptionCoefficient_SDVoigt(**kw)
+    np.testing.assert_allclose(k, k_r, rtol=1e-7, atol=1e-30)
+
+
+def test_doppler_driver_ignores_env_dependences_like_hapi(db):
+    """hapi's Doppler driver accepts EnvDependences but never calls it
+    (misc/hapi.py:11384-11581) — the compat driver must not raise and
+    must not change its answer."""
+    def env_dep(Env, Line):
+        raise AssertionError("must never be called")
+
+    kw = dict(SourceTables="syn", Environment={"T": 280.0, "p": 0.8},
+              OmegaGrid=GRID)
+    _, k0 = hc.absorptionCoefficient_Doppler(**kw)
+    _, k = hc.absorptionCoefficient_Doppler(EnvDependences=env_dep, **kw)
+    np.testing.assert_allclose(k, k0, rtol=0, atol=0)
+
+
+def test_ht_driver_hooks_raise_documented(db):
+    with pytest.raises(NotImplementedError):
+        hc.absorptionCoefficient_HT(
+            SourceTables="syn", OmegaGrid=GRID,
+            EnvDependences=lambda e, l: {})

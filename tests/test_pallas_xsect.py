@@ -417,3 +417,94 @@ def test_packed_plan_auto_block_and_padding(store, iso_tables):
     want = np.asarray(xsect_from_params(jnp.asarray(GRID_AXIS), clamped))
     peak = np.abs(want).max()
     assert np.abs(got - want).max() < 3e-6 * peak
+
+
+def test_differentiable_sdvoigt_pallas_jvp_matches_jnp(iso_tables):
+    """VERDICT r2 #7: the analytic SD-Voigt custom-JVP kernel vs jax.jvp
+    through the float64 jnp engine (tangents through compute_line_params:
+    T perturbs strength/gamma_d/gamma_0/gamma_2; vmr perturbs the
+    gamma_0 diluent mix and the column density)."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products import compute_od_layers
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    atm = std_atmosphere()
+    # sd_zero_frac mixes sd==0 (Voigt-routed, the voigt JVP kernel) and
+    # sd!=0 lines (the sdvoigt JVP kernel) in one differentiable build
+    lines = synthetic_lines(120, nu_min=795.0, nu_max=835.0, seed=53,
+                            sd_zero_frac=0.3)
+    axis = arange_drift_free(800.0, 830.0, 0.01)
+    fn = make_od_pallas_fn(lines, iso_tables, axis, atm, profile="sdvoigt",
+                           differentiable=True)
+
+    # primal equals the non-differentiable single-pass build
+    fn0 = make_od_pallas_fn(lines, iso_tables, axis, atm, profile="sdvoigt",
+                            two_pass=False)
+    args = (atm.T, atm.p, atm.pl, atm.vmr)
+    np.testing.assert_allclose(np.asarray(fn(*args)), np.asarray(fn0(*args)),
+                               rtol=0, atol=1e-12)
+
+    t_dir = jnp.asarray(np.linspace(0.5, 1.5, atm.n_layers))
+    _, got_t = jax.jvp(lambda T: fn(T, atm.p, atm.pl, atm.vmr),
+                       (atm.T,), (t_dir,))
+
+    def jnp_od(T):
+        return compute_od_layers(lines, iso_tables, jnp.asarray(axis),
+                                 atm.replace(T=T), profile="sdvoigt")
+
+    _, want_t = jax.jvp(jnp_od, (atm.T,), (t_dir.astype(atm.T.dtype),))
+    want_t, got_t = np.asarray(want_t), np.asarray(got_t)
+    peak = np.abs(want_t).max()
+    rel_t = np.abs(got_t - want_t).max(axis=1) / peak
+    # upper-stratosphere layers: narrow Doppler cores + the CPF3 sub-band
+    # (whose tangent uses the Weideman/asym blend's slope) relax to 2e-4
+    assert rel_t[:55].max() < 2e-5, rel_t[:55].max()
+    assert rel_t.max() < 2e-4, rel_t.max()
+
+    v_dir = jnp.zeros_like(atm.vmr).at[:, 0].set(jnp.asarray(atm.vmr[:, 0]))
+    _, got_v = jax.jvp(lambda v: fn(atm.T, atm.p, atm.pl, v),
+                       (atm.vmr,), (v_dir,))
+
+    def jnp_od_v(v):
+        return compute_od_layers(lines, iso_tables, jnp.asarray(axis),
+                                 atm.replace(vmr=v), profile="sdvoigt")
+
+    _, want_v = jax.jvp(jnp_od_v, (atm.vmr,), (v_dir.astype(atm.vmr.dtype),))
+    want_v, got_v = np.asarray(want_v), np.asarray(got_v)
+    peak_v = np.abs(want_v).max()
+    rel_v = np.abs(got_v - want_v).max(axis=1) / peak_v
+    assert rel_v[:55].max() < 2e-5, rel_v[:55].max()
+    assert rel_v.max() < 2e-4, rel_v.max()
+
+
+def test_differentiable_sdvoigt_jacfwd_matches_fd(iso_tables):
+    """jacfwd through the SD-Voigt Pallas build vs central finite
+    differences (the reference's Jacobian convention,
+    Generate_LWIR_TUD.py:55-71) of the float64 jnp engine — FD of the f32
+    kernel primal is dominated by f32 rounding noise (~1e-2 relative at
+    usable steps), so the difference quotient runs on the f64 engine."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products import compute_od_layers
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(50, nu_min=798.0, nu_max=812.0, seed=54,
+                            sd_zero_frac=0.2)
+    axis = arange_drift_free(800.0, 810.0, 0.02)
+    fn = make_od_pallas_fn(lines, iso_tables, axis, atm, profile="sdvoigt",
+                           differentiable=True)
+
+    lay = 3
+    f_of_T = lambda tl: fn(atm.T.at[lay].set(tl), atm.p, atm.pl, atm.vmr)
+    J = np.asarray(jax.jacfwd(f_of_T)(atm.T[lay]))[lay]
+
+    def f64_od(tl):
+        a = atm.replace(T=atm.T.at[lay].set(tl))
+        return np.asarray(compute_od_layers(lines, iso_tables,
+                                            jnp.asarray(axis), a,
+                                            profile="sdvoigt"))[lay]
+
+    h = 0.05
+    fd = (f64_od(atm.T[lay] + h) - f64_od(atm.T[lay] - h)) / (2 * h)
+    scale = np.abs(fd).max()
+    assert np.abs(J - fd).max() < 5e-4 * scale, np.abs(J - fd).max() / scale
