@@ -280,6 +280,42 @@ def bench_voigt(jnp, iso, atm, lines, axis):
     return evals / HAPI_BASELINE_EVALS_PER_S  # hapi seconds per spectrum
 
 
+def bench_voigt_derived(jnp, iso, atm):
+    """Metric 1b (VERDICT r2 #2): the 66-layer OD workload on the
+    physics-DERIVED H2O+CO2+O3 LWIR list (real clustering statistics:
+    CO2 Q-branches, O3 manifold — radtxfr_tpu/lines/derived.py) instead
+    of the uniform synthetic draw; bucket load balance must survive
+    orders-of-magnitude line-density variation."""
+    import jax
+
+    from radtxfr_tpu.kernels.pallas_xsect import UniformGrid
+    from radtxfr_tpu.lines.derived import derived_lwir_linelist
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    on_tpu = jax.default_backend() == "tpu"
+    lines = derived_lwir_linelist(480.0, 1520.0, dtype=jnp.float32)
+    from radtxfr_tpu.core.grid import arange_drift_free
+    axis = arange_drift_free(500.0, 1500.0, 0.0025)
+    grid = UniformGrid.from_axis(axis)
+    fn = make_od_pallas_fn(lines, iso, grid, atm)
+    args = (atm.T, atm.p, atm.pl, atm.vmr)
+    _sync(fn(*args))
+    compiled = jax.jit(fn).lower(*args).compile()
+    n_rep = 10 if on_tpu else 1
+    dt = _timed(lambda: fn(*args), n_rep)
+    evals = _window_evals(lines, iso, atm, axis)
+    value = evals / dt
+    _emit("voigt_derived_lines_window_evals_per_s_per_chip", value,
+          "evals/s", value / HAPI_BASELINE_EVALS_PER_S,
+          extra=dict(_roofline(evals, dt, "full", compiled=compiled),
+                     n_lines=int(lines.n_lines),
+                     lines_provenance=(
+                         "physics-derived H2O+CO2+O3 LWIR list "
+                         "(lines/derived.py: effective-constant CO2 "
+                         "bands, asym-rotor H2O, near-prolate O3); no "
+                         "network egress for a verbatim HITRAN extract")))
+
+
 def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum):
     """Metrics 2 + 3: the production ensemble run."""
     import jax
@@ -436,7 +472,7 @@ def main():
     from radtxfr_tpu.lines.synthetic import synthetic_lines
 
     only = set((os.environ.get("BENCH_ONLY")
-                or "voigt,tud,sdvoigt,ht").split(","))
+                or "voigt,derived,tud,sdvoigt,ht").split(","))
     iso = IsoTables.load(dtype=jnp.float32)
     atm = std_atmosphere(dtype=jnp.float32)
     lines = synthetic_lines(20_000, nu_min=480.0, nu_max=1520.0, seed=0,
@@ -446,6 +482,8 @@ def main():
     hapi_s = None
     if "voigt" in only:
         hapi_s = bench_voigt(jnp, iso, atm, lines, axis)
+    if "derived" in only:
+        bench_voigt_derived(jnp, iso, atm)
     if "tud" in only:
         if hapi_s is None:
             hapi_s = _window_evals(lines, iso, atm, axis) / HAPI_BASELINE_EVALS_PER_S

@@ -32,6 +32,9 @@ def _add_common(p):
     p.add_argument("--par", help="HITRAN .par line database")
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic lines instead of --par")
+    p.add_argument("--derived", action="store_true",
+                   help="use the physics-derived H2O+CO2+O3 LWIR list "
+                        "(real clustering statistics; lines/derived.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--numin", type=float, default=690.0)
     p.add_argument("--numax", type=float, default=1410.0)
@@ -49,6 +52,12 @@ def _load_lines(args, margin=25.0):
     if args.par:
         store = parse_par(args.par, dtype=jnp.float32)
         return store.select_band(args.numin, args.numax, margin=margin)
+    if getattr(args, "derived", False):
+        from ..lines.derived import derived_lwir_linelist
+
+        return derived_lwir_linelist(args.numin - margin,
+                                     args.numax + margin,
+                                     dtype=jnp.float32)
     n = args.synthetic or 20000
     return synthetic_lines(n, nu_min=args.numin - margin,
                            nu_max=args.numax + margin, seed=args.seed,
@@ -179,12 +188,22 @@ def cmd_tud(args):
     scale_h2o = rng.uniform(0.5, 1.5, args.n_atmos).astype(np.float32)
 
     engine = _engine(args)
+    line_mixing = None
+    if args.line_mixing:
+        from ..kernels.linemixing_data import y_air_for_store
+
+        y = y_air_for_store(store)
+        n_mix = int((y != 0.0).sum())
+        line_mixing = {"y_air": y} if n_mix else None
+        print(f"line mixing: derived Rosenkranz y_air on {n_mix} CO2 "
+              f"branch lines (Sum S*Y = 0 enforced by construction)")
     od_fn = None
     if engine == "pallas":
         from ..products.od import make_od_pallas_fn
 
         od_fn = make_od_pallas_fn(store, iso, X, base,
-                                  continuum=args.continuum)
+                                  continuum=args.continuum,
+                                  line_mixing=line_mixing)
 
     def one_atmos(i):
         vmr = base.vmr.at[:, 0].mul(scale_h2o[i])
@@ -195,7 +214,7 @@ def cmd_tud(args):
             else:
                 od = compute_od_layers(
                     store, iso, grid, base.replace(T=T, vmr=vmr), engine="jnp",
-                    continuum=args.continuum)
+                    continuum=args.continuum, line_mixing=line_mixing)
         B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
         with timer.phase("tud", work_items=X.size):
             tud = tud_from_od(grid, od, B, base.z0, alts,
@@ -516,6 +535,12 @@ def build_parser():
                     default=[0.061, 0.305, 1.524, 3.048, 6.096, 9.144,
                              12.192, 15.24, 500.0])
     p3.add_argument("--checkpoint", default=None)
+    p3.add_argument("--line-mixing", dest="line_mixing",
+                    action="store_true",
+                    help="first-order Rosenkranz CO2 Q-branch line "
+                         "coupling (derived relaxation-matrix y_air; the "
+                         "reference's LBLRTM ILBLF4=1,"
+                         " radiative_transfer.py:621)")
     p3.add_argument("--jacobian", action="store_true",
                     help="also write d(tau,Lu,Ld)/d(T,H2O,O3) for the "
                          "standard atmosphere (autodiff; replaces the "

@@ -1,0 +1,245 @@
+"""Physics-derived LWIR line lists + relaxation-matrix line mixing.
+
+Validates VERDICT r2 asks #2/#3: real clustering statistics (CO2
+Q-branches, O3 manifold) in the packaged list, oracle parity of the
+engines ON that list, and the derived first-order line-mixing
+coefficients against an independent all-order formulation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radtxfr_tpu.core.grid import arange_drift_free
+from radtxfr_tpu.kernels.linemixing_data import (
+    _branch_w_matrix, _first_order_y, branch_profile_full_w,
+    co2_q_branch_y, y_air_for_store)
+from radtxfr_tpu.lines.derived import (co2_lwir_lines, derived_lwir_linelist,
+                                       h2o_lwir_lines, o3_lwir_lines)
+
+
+@pytest.fixture(scope="module")
+def derived_store():
+    return derived_lwir_linelist(500.0, 1500.0)
+
+
+# ---------------------------------------------------------------------------
+# Structure of the derived lists
+# ---------------------------------------------------------------------------
+
+def test_co2_q_branch_positions():
+    """Q-branch heads land at the known LWIR positions (the J->J lines
+    converge onto nu_band as J->0; effective constants put them within
+    ~0.1 cm^-1 of HITRAN)."""
+    rows = co2_lwir_lines()
+    nu, dj = rows["nu0"], rows["dJ"]
+    for head in (618.029, 647.062, 667.380, 667.752, 720.805, 741.724,
+                 791.448, 648.478, 597.338):
+        q = nu[(dj == 0) & (np.abs(nu - head) < 1.5)]
+        assert q.size >= 10, (head, q.size)
+        # a low-J Q line sits within 0.2 cm^-1 of the known head
+        # (overlapping branches, e.g. 667.38/667.75, share the window,
+        # so endpoint tests cannot isolate one branch)
+        assert (np.abs(nu[dj == 0] - head) < 0.2).any(), head
+
+
+def test_co2_even_j_selection_rule():
+    """626 Sigma_g ground state: only even J exist, so the nu2 P/R combs
+    are spaced ~4B (1.56 cm^-1), not 2B."""
+    rows = co2_lwir_lines(include_636=False)
+    m = (rows["band"] == "1:00001->01101") & (rows["dJ"] == 1)
+    r_nu = np.sort(rows["nu0"][m])
+    sp = np.diff(r_nu)
+    assert 1.3 < np.median(sp) < 1.65, np.median(sp)
+    assert rows["J"][m].min() % 2 == 0
+    assert np.all(rows["J"][m] % 2 == 0)
+
+
+def test_derived_list_clustering(derived_store):
+    """The load-balance stress the synthetic draw lacked: 0.5 cm^-1 bins
+    span > 20x density from Q-branch cores to the sparse window."""
+    nu = np.asarray(derived_store.nu0)
+    hist, _ = np.histogram(nu, bins=np.arange(500.0, 1500.0, 0.5))
+    assert hist.max() / np.median(hist[hist > 0]) > 20
+    assert derived_store.n_lines > 10_000
+    sw = np.asarray(derived_store.sw)
+    assert sw.max() / sw.min() > 1e6          # realistic dynamic range
+
+
+def test_derived_species_and_intensity_scales(derived_store):
+    """Band-total intensities sit at the literature scales (cm/molec):
+    CO2 nu2 system ~1e-17, O3 9.6 um ~1.4e-17, H2O segment ~1e-17."""
+    sw = np.asarray(derived_store.sw)
+    mol = np.asarray(derived_store.mol_id)
+    assert 5e-18 < sw[mol == 2].sum() < 3e-17
+    assert 5e-18 < sw[mol == 3].sum() < 4e-17
+    assert 3e-18 < sw[mol == 1].sum() < 5e-17
+
+
+def test_h2o_asymmetric_rotor_irregularity():
+    """H2O's signature irregular strong-line field: nearest-neighbor
+    spacings must NOT be comb-like (coefficient of variation >> CO2's)."""
+    rows = h2o_lwir_lines()
+    strong = rows["nu0"][rows["sw"] > np.percentile(rows["sw"], 80)]
+    sp = np.diff(np.sort(strong))
+    assert np.std(sp) / np.mean(sp) > 0.8
+
+
+def test_o3_manifold_density():
+    rows = o3_lwir_lines()
+    assert rows["nu0"].size > 5000
+    hist, _ = np.histogram(rows["nu0"], bins=np.arange(950, 1200, 1.0))
+    assert (hist > 20).sum() > 100      # dense comb across the band
+
+
+# ---------------------------------------------------------------------------
+# Engine parity ON the derived list (oracle acceptance, VERDICT #2)
+# ---------------------------------------------------------------------------
+
+def test_derived_q_branch_oracle_parity(iso_tables, derived_store):
+    """Pallas Voigt OD on the 667 cm^-1 Q-branch window vs the reference
+    hapi (float64 serial loop) on identical inputs — the clustering case
+    the bucketed kernel must survive."""
+    from oracle import load_hapi
+    from radtxfr_tpu.lines.synthetic import to_hapi_cache
+    from radtxfr_tpu.products import compute_od_layers
+    from radtxfr_tpu.atmos import std_atmosphere
+
+    sub = derived_store.select_band(660.0, 675.0, margin=25.0)
+    assert sub.n_lines > 300
+    axis = arange_drift_free(660.0, 675.0, 0.005)
+    atm = std_atmosphere()
+
+    got = np.asarray(compute_od_layers(sub, iso_tables, axis, atm,
+                                       engine="pallas"))
+    hapi = load_hapi()
+    to_hapi_cache(sub, "drv", hapi)
+    lay = 0
+    T0, p0 = float(atm.T[lay]), float(atm.p[lay]) / 101325.0
+    from radtxfr_tpu.products.od import (_line_species_cols, species_column)
+    cols = np.asarray(_line_species_cols(sub, atm.mol_ids))
+    u = np.asarray(species_column(atm.p[lay], atm.T[lay], atm.pl[lay],
+                                  atm.vmr[lay]))
+    x_self = np.asarray(atm.vmr[lay])[cols]
+    # hapi with per-molecule diluent: run one molecule at a time
+    want = np.zeros(axis.size)
+    for mol in np.unique(np.asarray(sub.mol_id)):
+        mmask = np.asarray(sub.mol_id) == mol
+        msub = sub.subset(np.nonzero(mmask)[0])
+        to_hapi_cache(msub, "drv_m", hapi)
+        xs = np.asarray(x_self[mmask])
+        assert np.allclose(xs, xs[0])
+        _, k = hapi.absorptionCoefficient_Voigt(
+            SourceTables="drv_m", OmegaGrid=np.asarray(axis),
+            Environment={"T": T0, "p": p0},
+            Diluent={"air": 1.0 - xs[0], "self": float(xs[0])})
+        want += k * float(u[cols[mmask][0]])   # species column density
+    peak = np.abs(want).max()
+    assert np.abs(got[lay] - want).max() < 2e-5 * peak, \
+        np.abs(got[lay] - want).max() / peak
+
+
+# ---------------------------------------------------------------------------
+# Line mixing (VERDICT #3)
+# ---------------------------------------------------------------------------
+
+def test_sum_rule_exact():
+    """Sum_k S_k Y_k = 0 per coupled family — exact by detailed balance
+    (asserted in the builder too; this pins the public API)."""
+    nu_q, y_q, meta = co2_q_branch_y()
+    assert len(meta) >= 8                 # all the LWIR Q branches
+    assert y_q.size > 500
+    rows = co2_lwir_lines()
+    for band, dj, n in meta:
+        m = (rows["band"] == band) & (rows["dJ"] == dj)
+        s = rows["sw"][m]
+        y = np.interp(rows["nu0"][m], nu_q, y_q)
+        resid = abs(np.sum(s * y)) / np.sum(s * np.abs(y))
+        assert resid < 1e-6, (band, resid)
+
+
+def test_first_order_converges_to_full_w():
+    """Non-circular validation: the first-order profile must converge to
+    the independent all-order resolvent profile as p -> 0, beating the
+    no-mixing profile by >= 2x in the overlap regime."""
+    rows = co2_lwir_lines(j_max=30)
+    m = (rows["band"] == "1:00001->01101") & (rows["dJ"] == 0)
+    nu, sw = rows["nu0"][m], rows["sw"][m]
+    g, el = rows["gamma_air"][m], rows["elower"][m]
+    T = 296.0
+    W, rho, d = _branch_w_matrix(nu, el, sw, g, T)
+    Y = _first_order_y(nu, W, d)
+    grid = np.linspace(nu.min() - 0.2, nu.max() + 0.2, 40_000)
+
+    def first_order(p, Y):
+        out = np.zeros_like(grid)
+        for k in range(nu.size):
+            dn = grid - nu[k]
+            gl = g[k] * p
+            out += sw[k] / np.pi * (gl + Y[k] * p * dn) / (dn * dn + gl * gl)
+        return out
+
+    errs = {}
+    for p in (0.002, 0.005):
+        full = branch_profile_full_w(grid, nu, sw, g, el, T, p)
+        e_fo = np.abs(first_order(p, Y) - full).max() / full.max()
+        e_nm = np.abs(first_order(p, np.zeros_like(Y)) - full).max() / full.max()
+        errs[p] = (e_fo, e_nm)
+        assert e_fo < 0.5 * e_nm, (p, e_fo, e_nm)
+    # convergence: halving p shrinks the first-order error
+    assert errs[0.002][0] < 0.5 * errs[0.005][0]
+
+
+def test_full_w_q_branch_narrowing():
+    """The characteristic physics: at 1 atm, line coupling narrows the
+    Q branch — more absorption at the branch core, less in the wings —
+    while conserving the integrated intensity."""
+    rows = co2_lwir_lines(j_max=60)
+    m = (rows["band"] == "1:00001->01101") & (rows["dJ"] == 0)
+    nu, sw = rows["nu0"][m], rows["sw"][m]
+    g, el = rows["gamma_air"][m], rows["elower"][m]
+    grid = np.linspace(nu.min() - 8.0, nu.max() + 8.0, 4000)
+    full = branch_profile_full_w(grid, nu, sw, g, el, 296.0, 1.0)
+    nomix = np.zeros_like(grid)
+    for k in range(nu.size):
+        dn = grid - nu[k]
+        gl = g[k] * 1.0
+        nomix += sw[k] / np.pi * gl / (dn * dn + gl * gl)
+    area_f = np.trapezoid(full, grid)
+    area_n = np.trapezoid(nomix, grid)
+    np.testing.assert_allclose(area_f, area_n, rtol=0.02)
+    wing = np.abs(grid - nu.mean()) > 5.0
+    core = np.abs(grid - grid[np.argmax(nomix)]) < 0.5
+    assert full[wing].sum() < 0.9 * nomix[wing].sum()      # wings drained
+    assert full[core].max() > nomix[core].max()            # core grows
+
+
+def test_y_air_for_store_alignment(derived_store):
+    y = y_air_for_store(derived_store)
+    mol = np.asarray(derived_store.mol_id)
+    assert (y[mol != 2] == 0.0).all()
+    assert (y != 0.0).sum() > 500
+
+
+def test_od_layers_derived_line_mixing(iso_tables, derived_store):
+    """compute_od_layers(line_mixing={'y_air': derived}) runs end to end
+    on the 720.8 Q branch and changes the OD asymmetrically (the CLI
+    `tud --line-mixing` path)."""
+    from radtxfr_tpu.products import compute_od_layers
+    from radtxfr_tpu.atmos import std_atmosphere
+
+    sub = derived_store.select_band(718.0, 724.0, margin=10.0)
+    y = y_air_for_store(sub)
+    assert (y != 0).sum() > 20
+    axis = arange_drift_free(718.0, 724.0, 0.005)
+    atm = std_atmosphere()
+    od_mix = np.asarray(compute_od_layers(sub, iso_tables, jnp.asarray(axis),
+                                          atm, line_mixing={"y_air": y}))
+    od_0 = np.asarray(compute_od_layers(sub, iso_tables, jnp.asarray(axis),
+                                        atm))
+    assert od_mix.shape == od_0.shape
+    d = od_mix[0] - od_0[0]
+    assert np.abs(d).max() > 0
+    # asymmetric: signed structure on both sides of the branch
+    assert (d > 0).any() and (d < 0).any()

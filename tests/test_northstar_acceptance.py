@@ -96,3 +96,35 @@ def test_f32_tud_allclose_vs_f64_composition(setup, iso_tables):
     peak = float(jnp.abs(tud64.Ld).max())
     np.testing.assert_allclose(np.asarray(tud32.Ld), np.asarray(tud64.Ld),
                                atol=3e-5 * peak, rtol=0)
+
+
+def test_f32_pallas_od_allclose_vs_hapi_f64_derived_lines(iso_tables):
+    """The same acceptance criterion on the physics-DERIVED line list
+    (VERDICT r2 #2): a 667 cm^-1 CO2 Q-branch window (the worst
+    clustering case: hundreds of near-degenerate lines per bucket) plus
+    the H2O-irregular 1150-1160 window, f32 Pallas vs hapi f64."""
+    from radtxfr_tpu.lines.derived import derived_lwir_linelist
+
+    store = derived_lwir_linelist(500.0, 1500.0)
+    for lo, hi in ((664.0, 670.0), (1150.0, 1160.0)):
+        lines = store.select_band(lo, hi, margin=25.0)
+        assert lines.n_lines > 100, (lo, hi)
+        axis = arange_drift_free(lo, hi, 0.0025)
+        atm = std_atmosphere()
+        layer_ids = [0, 20, 45]
+        sub = jax.tree.map(
+            lambda a: a[np.asarray(layer_ids)]
+            if hasattr(a, "shape") and a.ndim else a, atm)
+        want = _oracle_od(lines, axis, atm, layer_ids, iso_tables)
+        iso32 = IsoTables.load(dtype=jnp.float32)
+        atm32 = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=jnp.float32)
+            if hasattr(a, "dtype") and a.dtype.kind == "f" else a, sub)
+        fn = make_od_pallas_fn(lines, iso32, axis, atm32)
+        got = np.asarray(fn(atm32.T, atm32.p, atm32.pl, atm32.vmr))
+        for r, l in enumerate(layer_ids):
+            peak = np.abs(want[r]).max()
+            err = np.abs(got[r] - want[r]).max()
+            assert err < 1e-4 * peak, (lo, l, err / peak)
+            tau_err = np.abs(np.exp(-got[r]) - np.exp(-want[r])).max()
+            assert tau_err < 2e-4, (lo, l, tau_err)
