@@ -153,16 +153,30 @@ def load_mt_ckd_tables(path: str, radiation_temperature: float = 296.0
     with h5py.File(path, "r") as f:
         names = set(f.keys())
 
-        def pick(*cands):
+        def pick(*cands, substr=None):
+            """Exact-name candidates first, then a fuzzy substring scan —
+            the exact schema of AER's file cannot be verified offline, so
+            any dataset whose lowercased name contains all the substrings
+            is accepted (e.g. 'self_absco_ref' | 'Self_Continuum_296')."""
             for c in cands:
                 if c in names:
                     return np.asarray(f[c][...], dtype=np.float64).ravel()
-            raise KeyError(f"none of {cands} in {sorted(names)}")
+            if substr:
+                hits = [n for n in names
+                        if all(t in n.lower() for t in substr)]
+                if len(hits) == 1:
+                    return np.asarray(f[hits[0]][...],
+                                      dtype=np.float64).ravel()
+            raise KeyError(f"none of {cands} (or unique match for "
+                           f"{substr}) in {sorted(names)}")
 
-        nu = pick("wavenumbers", "wavenumber", "wvn")
-        cs296 = pick("self_absco_ref", "self_continuum", "cs296")
-        cs260 = pick("self_absco_260", "cs260")
-        cf = pick("for_absco_ref", "foreign_continuum", "cf296")
+        nu = pick("wavenumbers", "wavenumber", "wvn", "wnum",
+                  substr=("wav",))
+        cs296 = pick("self_absco_ref", "self_continuum", "cs296",
+                     substr=("self", "ref"))
+        cs260 = pick("self_absco_260", "cs260", substr=("self", "260"))
+        cf = pick("for_absco_ref", "foreign_continuum", "cf296",
+                  substr=("for",))
         t_self = 296.0
         if "ref_temp" in names:
             t_self = float(np.asarray(f["ref_temp"][...]).ravel()[0])
@@ -273,13 +287,64 @@ def _rayleigh(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
     return cf[6] * sigma * n_air * pl_km * CM_PER_KM
 
 
+def _mol_x(vmr, mol_ids, mol):
+    try:
+        return vmr[list(mol_ids).index(mol)]
+    except ValueError:
+        return None
+
+
+def _co2_farwing(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
+    """CO2 nu2-wing continuum (TAPE5 slot 3): chi-corrected |dnu|>25
+    far-wing table constructed from the derived CO2 band system
+    (:func:`radtxfr_tpu.atmos.far_wing.co2_continuum_table`); matters
+    inside the production band at 690-750 cm^-1."""
+    x = _mol_x(vmr, mol_ids, 2)
+    if x is None:
+        return jnp.zeros_like(nu)
+    from .far_wing import co2_continuum_table
+
+    nu_tab, t_tab, c_tab = co2_continuum_table()
+    nu_tab = jnp.asarray(nu_tab, dtype=nu.dtype)
+    t_tab = jnp.asarray(t_tab, dtype=nu.dtype)
+    c_tab = jnp.asarray(c_tab, dtype=nu.dtype)
+    i = jnp.clip(jnp.searchsorted(t_tab, T) - 1, 0, t_tab.size - 2)
+    w = jnp.clip((T - t_tab[i]) / (t_tab[i + 1] - t_tab[i]), 0.0, 1.0)
+    row = (1.0 - w) * c_tab[i] + w * c_tab[i + 1]
+    c = jnp.interp(nu, nu_tab, row)               # cm^2 molec^-1 atm^-1
+    p_atm = p_pa / PA_PER_ATM
+    n_co2 = x * (p_pa / PA_PER_ATM) * BARYE_PER_ATM / (K_BOLTZMANN_CGS * T)
+    return cf[2] * c * n_co2 * p_atm * pl_km * CM_PER_KM
+
+
+def _cia(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
+    """N2 rototranslational + O2 fundamental collision-induced absorption
+    (TAPE5 slots 6 and 5): analytic band models
+    (:mod:`radtxfr_tpu.atmos.far_wing`), amagat-squared density scaling.
+    Negligible inside 690-1410 cm^-1; active across 400-7100."""
+    from .far_wing import cia_n2_rototranslational, cia_o2_fundamental
+
+    p_atm = p_pa / PA_PER_ATM
+    rho_air = p_atm * (273.15 / T)                # amagat
+    x_n2 = _mol_x(vmr, mol_ids, 22)
+    x_o2 = _mol_x(vmr, mol_ids, 7)
+    x_n2 = 0.7808 if x_n2 is None else x_n2
+    x_o2 = 0.2095 if x_o2 is None else x_o2
+    path_cm = pl_km * CM_PER_KM
+    c_n2 = cia_n2_rototranslational(nu, T, xp=jnp)
+    c_o2 = cia_o2_fundamental(nu, T, xp=jnp)
+    return ((cf[5] * c_n2 * x_n2 + cf[4] * c_o2 * x_o2)
+            * rho_air * rho_air * path_cm)
+
+
 def _mt_ckd(nu, T, p_pa, vmr, mol_ids, pl_km, cf):
-    """The 'mt_ckd' production model: table-driven H2O self+foreign +
-    Rayleigh, each honoring its TAPE5 record-1.2a scale-factor slot.
-    (CO2/O3/O2/N2 continuum slots are accepted but currently contribute
-    zero — negligible in the 690-1410 cm^-1 LWIR band above ~750 cm^-1;
-    the CO2 nu2 wing below ~750 cm^-1 is the known remaining gap.)"""
+    """The 'mt_ckd' production model: every TAPE5 record-1.2a slot active
+    except O3 (slot 4, a UV/visible electronic continuum with no LWIR
+    term — documented zero): H2O self+foreign tables, the constructed
+    CO2 far-wing continuum, O2/N2 collision-induced bands, Rayleigh."""
     return (_mt_ckd_h2o(nu, T, p_pa, vmr, mol_ids, pl_km, cf)
+            + _co2_farwing(nu, T, p_pa, vmr, mol_ids, pl_km, cf)
+            + _cia(nu, T, p_pa, vmr, mol_ids, pl_km, cf)
             + _rayleigh(nu, T, p_pa, vmr, mol_ids, pl_km, cf))
 
 

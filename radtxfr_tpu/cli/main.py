@@ -528,7 +528,13 @@ def build_parser():
     p3.add_argument("--batch", type=int, default=24)
     p3.add_argument("--continuum", default="none",
                     help="continuum model ('none' = hapi parity; 'mt_ckd' = "
-                         "the reference's LBLRTM ICNTNM=6 production setup)")
+                         "MT_CKD-formulation production setup: "
+                         "literature-reconstructed H2O self/foreign tables "
+                         "(~10-25%% of AER's coefficients; "
+                         "load_mt_ckd_tables loads the real file exactly), "
+                         "constructed chi-factor CO2 far-wing continuum, "
+                         "O2/N2 CIA and Rayleigh — the slot structure of "
+                         "the reference's LBLRTM ICNTNM=6)")
     p3.add_argument("--n-angles", type=int, default=30)
     p3.add_argument("--dv-out", type=float, default=0.25)
     p3.add_argument("--altitudes", type=float, nargs="+",
