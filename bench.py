@@ -380,6 +380,52 @@ def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum):
           (n_atmos * hapi_s_per_spectrum) / wall)
 
 
+def bench_ht_layered(jnp, iso, atm):
+    """Metric 5b (VERDICT r2 #5 'TUD bench line'): the full Hartmann-Tran
+    profile through the LAYERED-OD Pallas path (make_od_ht_pallas_fn) —
+    66 StdAtmos layers, 20k lines over 500-1500 at 0.0025, ~30% of lines
+    with live HT columns, per-line ht/sdvoigt/voigt routing and the
+    air/self diluent mix."""
+    import jax
+
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products.od import make_od_ht_pallas_fn, ht_wing_bounds
+    from radtxfr_tpu.kernels.ht_driver import resolve_ht_columns
+
+    on_tpu = jax.default_backend() == "tpu"
+    lines = synthetic_lines(20_000, nu_min=480.0, nu_max=1520.0, seed=2,
+                            dtype=jnp.float32, sd_zero_frac=0.4)
+    axis = arange_drift_free(500.0, 1500.0, 0.0025)
+    n = int(np.asarray(lines.nu0).size)
+    rng = np.random.default_rng(5)
+    ht_rows = rng.random(n) < 0.3
+    extras = {"nu_HT_air": rng.uniform(0.01, 0.05, n) * ht_rows,
+              "kappa_HT_air": rng.uniform(0.0, 1.0, n) * ht_rows,
+              "eta_HT_air": rng.uniform(0.1, 0.3, n) * ht_rows}
+    fn = make_od_ht_pallas_fn(lines, iso, axis, atm, extras=extras)
+    args = (atm.T, atm.p, atm.pl, atm.vmr)
+    _sync(fn(*args))
+    compiled = jax.jit(fn).lower(*args).compile()
+    n_rep = 5 if on_tpu else 1
+    dt = _timed(lambda: fn(*args), n_rep)
+
+    lines_h = lines.host_view()
+    resolved = resolve_ht_columns(lines_h, extras, {"air": 1.0, "self": 1.0})
+    W = ht_wing_bounds(resolved, lines_h, iso,
+                       np.asarray(atm.T, dtype=np.float64),
+                       np.asarray(atm.p, dtype=np.float64) / 101325.0)
+    nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
+    nu0_b = np.broadcast_to(nu0, W.shape)
+    lo = np.searchsorted(axis, (nu0_b - W).ravel(), side="right")
+    hi = np.searchsorted(axis, (nu0_b + W).ravel(), side="right")
+    evals = int((hi - lo).sum())
+    value = evals / dt
+    _emit("ht_layered_od_window_evals_per_s_per_chip", value, "evals/s",
+          value / HAPI_HT_BASELINE_EVALS_PER_S,
+          extra=_roofline(evals, dt, "ht", compiled=compiled))
+
+
 def bench_sdvoigt_xs(jnp, iso):
     """Metric 4: the XS-generator SD-Voigt lattice."""
     import jax
@@ -472,7 +518,7 @@ def main():
     from radtxfr_tpu.lines.synthetic import synthetic_lines
 
     only = set((os.environ.get("BENCH_ONLY")
-                or "voigt,derived,tud,sdvoigt,ht").split(","))
+                or "voigt,derived,tud,sdvoigt,ht,ht_layered").split(","))
     iso = IsoTables.load(dtype=jnp.float32)
     atm = std_atmosphere(dtype=jnp.float32)
     lines = synthetic_lines(20_000, nu_min=480.0, nu_max=1520.0, seed=0,
@@ -492,6 +538,8 @@ def main():
         bench_sdvoigt_xs(jnp, iso)
     if "ht" in only:
         bench_ht_xs(jnp, iso, lines, axis)
+    if "ht_layered" in only:
+        bench_ht_layered(jnp, iso, atm)
 
 
 if __name__ == "__main__":
