@@ -19,7 +19,11 @@ Metrics (all on one chip, north-star configurations from BASELINE.json):
 4. ``sdvoigt_window_evals_per_s_per_chip`` — the reference XS-generator
    workload (``misc/RT_gen_AbsXS_files.py:15-31,87-92``): SD-Voigt
    cross-sections over 400-7100 cm^-1 at 0.0025 cm^-1 (2.68M points) with
-   350 cm^-1 absolute wings on a (T, p) lattice, Pallas sdvoigt mode.
+   350 cm^-1 absolute wings on a (T, p) lattice. Uses the coarse-far
+   scheme (far_method='auto' -> R=64 decimated far field + exact interp
+   corrections; products/od.py::_build_coarse_far_calls), which cuts the
+   wing-dominated work ~R x at < 1e-5-of-peak deviation from the classic
+   two-pass build.
 5. ``ht_window_evals_per_s_per_chip`` — Hartmann-Tran profile
    (``absorptionCoefficient_HT``, ``misc/hapi.py:10302-10650``) on a 10-state
    (T, p) lattice, 20k lines over 500-1500 cm^-1 at 0.0025 cm^-1; ~30% of

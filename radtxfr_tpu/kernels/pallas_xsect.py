@@ -197,6 +197,7 @@ def plan_buckets_packed(
     max_wing,
     tile: int = 1024,
     block="auto",
+    place_center=None,
 ) -> BucketPlan:
     """Per-tile packed bucketing: each tile's line list is materialized
     exactly (lines duplicated across the tiles their wings touch) and packed
@@ -226,19 +227,26 @@ def plan_buckets_packed(
     w = np.asarray(max_wing, dtype=np.float64)
     per_line = w.ndim > 0
     w = np.broadcast_to(w, nu0.shape)
+    # Placement interval centers default to the line centers; the
+    # coarse-far correction passes place edge bands at nu0 +- wing while
+    # the kernel still evaluates relative to the TRUE center (k_line /
+    # frac0 always derive from nu0).
+    pc = (nu0 if place_center is None
+          else np.broadcast_to(np.asarray(place_center, dtype=np.float64),
+                               nu0.shape))
 
     n_tiles = -(-grid.n // tile)
     span_pts = tile * grid.dx
     # Conservative tile span per line: widen by one grid step so float
     # rounding can only add a tile, never drop one the mask selects.
-    lo_t = np.floor((nu0 - w - grid.dx - grid.x0) / span_pts).astype(np.int64)
-    hi_t = np.floor((nu0 + w + grid.dx - grid.x0) / span_pts).astype(np.int64)
+    lo_t = np.floor((pc - w - grid.dx - grid.x0) / span_pts).astype(np.int64)
+    hi_t = np.floor((pc + w + grid.dx - grid.x0) / span_pts).astype(np.int64)
     # Lines whose window cannot touch the grid get no tiles at all —
     # clipping them into an edge tile would pile every out-of-band line
     # into tile 0 / tile n-1 and blow up that tile's block count.
     x_end = grid.x0 + grid.dx * (grid.n - 1)
-    in_range = ((nu0 + w >= grid.x0 - grid.dx)
-                & (nu0 - w <= x_end + grid.dx))
+    in_range = ((pc + w >= grid.x0 - grid.dx)
+                & (pc - w <= x_end + grid.dx))
     lo_t = np.clip(lo_t, 0, n_tiles - 1)
     hi_t = np.clip(hi_t, 0, n_tiles - 1)
 
@@ -716,6 +724,90 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                 g0 = g0_ref[0, l, :].reshape(block, 1)
                 wingu = wu_ref[0, l, :].reshape(block, 1)
                 mask = (u > -wingu) & (u <= wingu)
+                if mode.startswith("corr:"):
+                    # Coarse-far correction pass: f(u) minus the linear
+                    # interpolation of f between the two bracketing
+                    # coarse-grid nodes (fine indices multiple of R).
+                    # Composed with the coarse far pass this makes the
+                    # result EXACT (same guarded asym form) wherever this
+                    # pass is placed (near zones + window-edge bands) and
+                    # pure smooth-wing interpolation elsewhere. Node
+                    # values are shared by the R points of each segment:
+                    # evaluated once on a (block, tile/R + 1) array and
+                    # broadcast, so the pass costs ~1x (not 3x) a plain
+                    # per-point pass over its zone. Requires tile % R == 0
+                    # and R-aligned tile starts (guaranteed: tiles start
+                    # at multiples of `tile`).
+                    _, r_s, variant = mode.split(":")
+                    Ri = int(r_s)
+                    S = tile // Ri
+                    k0 = i * tile + off_ref[0]
+                    s_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, S + 1), 1)
+                    k_nodes = k0 + s_iota * Ri
+                    u_n = (k_nodes - k_line).astype(jnp.float32) - frac0
+                    # lerp-expansion matrix built from iotas (Pallas
+                    # forbids captured array constants): point i
+                    # interpolates nodes (i//R, i//R + 1) with weights
+                    # (1-t, t); the (block, S+1) node values expand to
+                    # (block, tile) in one tiny MXU matmul (Mosaic cannot
+                    # shape-cast a lane-dim broadcast-reshape)
+                    s_m = jax.lax.broadcasted_iota(
+                        jnp.int32, (S + 1, tile), 0)
+                    i_m = jax.lax.broadcasted_iota(
+                        jnp.int32, (S + 1, tile), 1)
+                    seg = i_m // Ri
+                    tt = (i_m - seg * Ri).astype(jnp.float32) / Ri
+                    W_lerp = (jnp.where(s_m == seg, 1.0 - tt, 0.0)
+                              + jnp.where(s_m == seg + 1, tt, 0.0))
+
+                    # point-term function: near-zone passes ('...full')
+                    # evaluate the exact hum1_wei/pcqsdhc blend, which
+                    # subsumes the classic (full - asym) core pass — the
+                    # node terms always use the guarded asym form the
+                    # coarse pass evaluated, so coarse-interp + this
+                    # correction == the classic two-pass result exactly.
+                    full_pt = variant.endswith("full")
+                    if variant.startswith("sdvoigt"):
+                        g2 = g2_ref[0, l, :].reshape(block, 1)
+                        s0 = s0_ref[0, l, :].reshape(block, 1)
+
+                        def fv(uu, v):
+                            return strength * _sdvoigt_block(
+                                (uu - ds) * dx, gd, g0, g2, s0,
+                                wei_a, wei_L, fast, variant=v)
+
+                        f_pt = lambda uu: fv(uu, "full" if full_pt
+                                             else "asym")
+                        f_nd = lambda uu: fv(uu, "asym")
+                    else:
+                        cte = _SQRT_LN2 / gd
+                        A = strength * (_INV_SQRT_PI * cte)
+
+                        def f_nd(uu):
+                            return A * _asym_re_w((uu - ds) * (dx * cte),
+                                                  g0 * cte, fast,
+                                                  guard=0.25)
+
+                        def f_pt(uu):
+                            if not full_pt:
+                                return f_nd(uu)
+                            x = (uu - ds) * (dx * cte)
+                            y = g0 * cte
+                            in_core = (jnp.abs(x) + y) < REGION_BOUND
+                            wei = _weideman_re_w(x, y, wei_a, wei_L, fast)
+                            return A * jnp.where(
+                                in_core, wei,
+                                _asym_re_w(x, y, fast, guard=0.25))
+
+                    msk = lambda uu: (uu > -wingu) & (uu <= wingu)
+                    fm = lambda uu: jnp.where(msk(uu), f_pt(uu), 0.0)
+                    v_n = jnp.where(msk(u_n), f_nd(u_n), 0.0)  # (block, S+1)
+                    interp = jnp.dot(v_n, W_lerp,
+                                     preferred_element_type=jnp.float32)
+                    contrib = fm(u) - interp
+                    out_ref[0, l, :] += jnp.sum(contrib, axis=0)
+                    return 0
                 if mode.startswith("sdvoigt"):
                     variant = {"sdvoigt": "full", "sdvoigt_asym": "asym",
                                "sdvoigt_core": "core"}[mode]
@@ -1181,6 +1273,9 @@ def _flops_per_eval(n_wei: int, mode: str) -> int:
     branchless 15-term CPF3 sub-case (~120 each)."""
     if mode == "asym":
         return 12 + 40
+    if mode.startswith("corr:"):
+        per = (2 * 12 + 80 if mode.endswith("sdvoigt") else 12 + 40)
+        return 3 * per + 10      # f at the point + two coarse nodes
     if mode == "sdvoigt_asym":
         return 2 * 12 + 40 + 40
     if mode.startswith("sdvoigt"):
@@ -1353,13 +1448,22 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
     # (nu0_shifted - nu0) in float32 loses the shift to cancellation at
     # nu ~ 1000 cm^-1. SDVoigt centers the profile on nu0 and applies the
     # shift inside the HT profile, so its ds is exactly zero.
-    if mode.startswith("sdvoigt"):
+    sd_mode = (mode.startswith("sdvoigt")
+               or (mode.startswith("corr:")
+                   and mode.split(":")[2].startswith("sdvoigt")))
+    if sd_mode:
         ds = f32(jnp.zeros_like(params.shift0))
     else:
         ds = f32(params.shift0 / dx)
-    wing_cap = (plan.max_wing if plan.wing_line is None
-                else jnp.asarray(plan.wing_line, dtype=jnp.float32))
-    wingu = f32(jnp.minimum(params.wing, wing_cap) / dx)
+    if mode.startswith("corr:"):
+        # correction passes: placement is intentionally narrower than the
+        # hapi window (near zones / edge bands); the mask must stay the
+        # TRUE window, so the plan's wing clamp does not apply
+        wingu = f32(params.wing / dx)
+    else:
+        wing_cap = (plan.max_wing if plan.wing_line is None
+                    else jnp.asarray(plan.wing_line, dtype=jnp.float32))
+        wingu = f32(jnp.minimum(params.wing, wing_cap) / dx)
 
     nb, block = plan.n_blocks, plan.block
     # starts/counts/k_line/frac0/k_offset/n_tiles overrides support

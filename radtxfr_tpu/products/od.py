@@ -760,11 +760,74 @@ def _make_continuum_term(g, mol_ids, continuum, continuum_factors,
     return term
 
 
+def _build_coarse_far_calls(lines_h, g, wing_abs, profile, coarse_r,
+                            near_width, tile_coarse, tile_corr):
+    """Coarse-far decomposition for statically-exact absolute wings.
+
+    Returns (g_coarse, coarse_calls, corr_calls): the far field is
+    evaluated on an R-decimated grid (same guarded asym forms as the
+    classic wing passes) and linearly upsampled; correction passes make
+    the result EXACT near line centers (curvature region, +-near_width)
+    and across the hapi window-edge discontinuity (+-R*dx bands at
+    nu0 +- wing_abs), by subtracting the same linear interpolation of
+    the per-line far field inside the kernel
+    (:func:`~radtxfr_tpu.kernels.pallas_xsect._make_fused_kernel` mode
+    ``corr:R:*``). Between those zones the only deviation from the
+    classic two-pass result is smooth-wing interpolation error
+    ~0.75 (R dx / d)^2 of the local wing value — orders of magnitude
+    below the f32 kernel noise for d >= near_width. Work drops by ~R on
+    the wing-dominated share.
+    """
+    from ..kernels.pallas_xsect import UniformGrid, plan_buckets_packed
+
+    R = int(coarse_r)
+    if tile_corr % R:
+        raise ValueError(f"correction tile ({tile_corr}) must be a "
+                         f"multiple of coarse_r ({R})")
+    g_c = UniformGrid(x0=g.x0, dx=g.dx * R, n=(g.n - 1) // R + 2)
+    nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
+    if profile == "sdvoigt":
+        sd_mask = np.asarray(lines_h.sd_air, dtype=np.float64) != 0.0
+        subsets = [(np.nonzero(sd_mask)[0], "sdvoigt_asym", "sdvoigt"),
+                   (np.nonzero(~sd_mask)[0], "asym", "voigt")]
+    else:
+        subsets = [(np.arange(nu0.size), "asym", "voigt")]
+
+    coarse_calls, corr_calls = [], []
+    h = R * g.dx
+    for idx, far_mode, corr_kind in subsets:
+        if not idx.size:
+            continue
+        nu_s = nu0[idx]
+        idx_j = jnp.asarray(idx)
+        plan_c = plan_buckets_packed(nu_s, g_c, float(wing_abs),
+                                     tile=tile_coarse, block="auto")
+        coarse_calls.append((idx_j, plan_c, far_mode))
+        # near pass corrects the interp error of the (guarded-asym)
+        # coarse field around line centers; the classic per-line-tight
+        # core passes then add (full - asym) on top, exactly as in the
+        # classic decomposition. (A 'corr:R:*full' variant that folds
+        # the core into the near pass exists in the kernel, but sizing
+        # its zone by the SD-Voigt core bound costs more than the tight
+        # classic core passes — measured.)
+        plan_n = plan_buckets_packed(nu_s, g, float(near_width),
+                                     tile=tile_corr, block="auto")
+        corr_calls.append((idx_j, plan_n, f"corr:{R}:{corr_kind}"))
+        for side in (-1.0, 1.0):
+            plan_e = plan_buckets_packed(
+                nu_s, g, h + 2.0 * g.dx, tile=tile_corr, block="auto",
+                place_center=nu_s + side * float(wing_abs))
+            corr_calls.append((idx_j, plan_e, f"corr:{R}:{corr_kind}"))
+    return g_c, coarse_calls, corr_calls
+
+
 def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
                          profile: str = "voigt", wing_abs=0.0, wing_hw=50.0,
                          max_groups: int = 8, tile: int = 512,
                          n_weideman: int = 16, two_pass: bool = True,
-                         group_ratio: float = 4.0, fast_rcp: bool = True):
+                         group_ratio: float = 4.0, fast_rcp: bool = True,
+                         far_method: str = "auto", coarse_r: int = 64,
+                         near_width: float = 4.0):
     """Build a jitted (T_states, p_atm_states) -> (nStates, nX) cross-section
     function [cm^2/molec] on the Pallas engine.
 
@@ -780,6 +843,14 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
     ``T_class/p_atm_class`` are concrete envelope state arrays used for the
     static wing planning; the returned function accepts traced arrays of the
     same length whose wings stay within the envelope.
+
+    ``far_method``: ``'coarse'`` evaluates the far wings on an
+    ``coarse_r``-decimated grid with exact correction passes near line
+    centers and window edges (see :func:`_build_coarse_far_calls`) —
+    ~R x less wing work. Requires statically-exact wings (``wing_abs``
+    dominating every line's halfwidth wing at every class state);
+    ``'auto'`` enables it when that condition holds and ``wing_abs``
+    spans many tiles, ``'classic'`` never.
     """
     from ..atmos.profile import AtmosphericState
     from ..kernels.pallas_xsect import UniformGrid, xsect_pallas
@@ -794,11 +865,45 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
         vmr=jnp.zeros((T_c.size, len(mol_ids))), mol_ids=mol_ids,
     )
     lines_h, iso_h, states_h = _host_planning_views(lines, iso, pseudo)
+
+    use_coarse = False
+    if far_method in ("auto", "coarse") and profile in ("voigt", "sdvoigt")             and two_pass and float(wing_abs) > 0.0:
+        # static exactness: runtime wing = max(wing_abs, hw*max(g0, gd))
+        # must equal wing_abs for every (state, line) in the class
+        hw_wing = np.max([wing_bound_matrix(lines_h, iso_h, st,
+                                            wing_abs=0.0, wing_hw=wing_hw,
+                                            vmr_margin=None)
+                          for st in states_h])
+        wide = float(wing_abs) >= 16.0 * coarse_r * g.dx
+        use_coarse = bool(hw_wing <= float(wing_abs)) and wide
+    if far_method == "coarse" and not use_coarse:
+        raise ValueError(
+            "far_method='coarse' requires profile voigt/sdvoigt with "
+            "two_pass and a wing_abs that dominates every line's "
+            "halfwidth wing over the class states (statically exact "
+            "windows) and spans >= 16 coarse steps; got "
+            f"wing_abs={wing_abs!r}, profile={profile!r}")
+
     calls = _build_od_calls(
         lines_h, iso_h, states_h, g, wing_abs=wing_abs, wing_hw=wing_hw,
         max_groups=max_groups, tile=tile, two_pass=two_pass,
         far_tile=None, far_block=None, group_ratio=group_ratio,
         profile=profile)
+    g_c = coarse_calls = corr_calls = None
+    if use_coarse:
+        # wing passes are replaced by the coarse far field + correction
+        # passes; the classic (full - asym) core passes stay (per-line
+        # tight placement). The near zone only needs to bound the
+        # smooth-wing interpolation error: ~0.75 (R dx / d)^2 of the
+        # local wing value => d >= ~10 sqrt(R dx) keeps it < 1e-5 of the
+        # line peak.
+        calls = [c for c in calls if c[3] in ("core", "sdvoigt_core")]
+        nw = max(float(near_width), 10.0 * np.sqrt(coarse_r * g.dx))
+        g_c, coarse_calls, corr_calls = _build_coarse_far_calls(
+            lines_h, g, wing_abs, profile, coarse_r, nw,
+            tile_coarse=min(tile, 512), tile_corr=512)
+
+    R = int(coarse_r)
 
     @jax.jit
     def xs_fn(T, p_atm):
@@ -808,8 +913,27 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
                 wing_abs=wing_abs, wing_hw=wing_hw, profile=profile)
 
         params = jax.vmap(one)(T, p_atm)
-        out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
+        n_states = T.shape[0]
+        all_states = jnp.arange(n_states)
         sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
+        if use_coarse:
+            out_c = jnp.zeros((n_states, g_c.n), dtype=jnp.float32)
+            for cls_idx, plan, mode in coarse_calls:
+                out_c = out_c + xsect_pallas(
+                    plan, sub(params, all_states, cls_idx),
+                    n_weideman=n_weideman, mode=mode, fused_layers=True,
+                    fast_rcp=fast_rcp)
+            i = jnp.arange(g.n)
+            j = i // R
+            t = ((i - j * R) / R).astype(jnp.float32)
+            out = out_c[:, j] * (1.0 - t) + out_c[:, j + 1] * t
+            for cls_idx, plan, mode in corr_calls:
+                out = out + xsect_pallas(
+                    plan, sub(params, all_states, cls_idx),
+                    n_weideman=n_weideman, mode=mode, fused_layers=True,
+                    fast_rcp=fast_rcp)
+        else:
+            out = jnp.zeros((n_states, g.n), dtype=jnp.float32)
         for lay_idx, cls_idx, plan, mode in calls:
             out = out.at[lay_idx].add(
                 xsect_pallas(plan, sub(params, lay_idx, cls_idx),

@@ -508,3 +508,50 @@ def test_differentiable_sdvoigt_jacfwd_matches_fd(iso_tables):
     fd = (f64_od(atm.T[lay] + h) - f64_od(atm.T[lay] - h)) / (2 * h)
     scale = np.abs(fd).max()
     assert np.abs(J - fd).max() < 5e-4 * scale, np.abs(J - fd).max() / scale
+
+
+def test_coarse_far_matches_classic_xs_lattice(iso_tables):
+    """Coarse-far scheme (R-decimated guarded-asym far field + linear
+    upsample + in-kernel interp corrections near centers and window
+    edges): pointwise parity with the classic two-pass build for both
+    lattice profiles. The scheme activates only for statically-exact
+    absolute wings (wing_abs dominating every halfwidth wing)."""
+    from radtxfr_tpu.products.od import make_xsect_pallas_fn
+
+    lines = synthetic_lines(400, nu_min=500.0, nu_max=700.0, seed=9,
+                            sd_zero_frac=0.3)
+    axis = arange_drift_free(480.0, 720.0, 0.01)
+    T_s = np.array([260.0, 296.0])
+    p_s = np.array([0.7, 1.0])
+    Tj = jnp.asarray(T_s, dtype=jnp.float32)
+    pj = jnp.asarray(p_s, dtype=jnp.float32)
+    for prof, tol in (("voigt", 2e-6), ("sdvoigt", 2e-5)):
+        f0 = make_xsect_pallas_fn(lines, iso_tables, axis, T_s, p_s,
+                                  profile=prof, wing_abs=30.0,
+                                  far_method="classic")
+        f1 = make_xsect_pallas_fn(lines, iso_tables, axis, T_s, p_s,
+                                  profile=prof, wing_abs=30.0,
+                                  far_method="coarse", coarse_r=16)
+        a = np.asarray(f0(Tj, pj))
+        b = np.asarray(f1(Tj, pj))
+        peak = np.abs(a).max()
+        assert np.abs(a - b).max() < tol * peak, \
+            (prof, np.abs(a - b).max() / peak)
+
+
+def test_coarse_far_guards(iso_tables):
+    """far_method='coarse' must refuse halfwidth-dominated wings (the
+    static-exactness precondition) and non-multiple correction tiles."""
+    from radtxfr_tpu.products.od import make_xsect_pallas_fn
+
+    lines = synthetic_lines(50, nu_min=995.0, nu_max=1005.0, seed=3)
+    axis = arange_drift_free(990.0, 1010.0, 0.01)
+    with pytest.raises(ValueError):
+        make_xsect_pallas_fn(lines, iso_tables, axis, [296.0], [1.0],
+                             wing_abs=0.0, far_method="coarse")
+    # auto quietly falls back to classic there
+    fn = make_xsect_pallas_fn(lines, iso_tables, axis, [296.0], [1.0],
+                              wing_abs=0.0, far_method="auto")
+    out = np.asarray(fn(jnp.asarray([296.0], dtype=jnp.float32),
+                        jnp.asarray([1.0], dtype=jnp.float32)))
+    assert np.isfinite(out).all()
