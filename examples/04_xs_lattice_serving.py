@@ -9,7 +9,8 @@ same AFIT_XS binary format; then demonstrates the serving side —
 against the precomputed lattice.
 
 Small demo grid; scale to the reference's 400-7100 @ 0.0025 for
-production (measured: 3.0e10 window evals/s on one v5e chip).
+production (measured: 7.3e10 window evals/s on one v5e chip with the
+coarse-far scheme, far_method="auto").
 """
 
 import os

@@ -15,10 +15,10 @@ Deliberate divergences (all documented per function):
 * Tables are packed :class:`~radtxfr_tpu.lines.store.LineStore` arrays, not
   per-row dicts; row-object internals (``getRowObject`` etc.) have no
   equivalent.
-* ``EnvDependences`` / custom ``partitionFunction`` are honored by the
-  Voigt-family drivers (per-line callbacks evaluated host-side, exactly
-  hapi's loop semantics incl. the post-override intensity threshold); the
-  HT driver still raises on them, and the Doppler driver ignores
+* ``EnvDependences`` / custom ``partitionFunction`` are honored by ALL
+  drivers (per-line callbacks evaluated host-side, exactly hapi's loop
+  semantics incl. the post-override intensity threshold and the HT
+  driver's override-key quirks); the Doppler driver ignores
   ``EnvDependences`` as hapi's own does (``misc/hapi.py:11384-11581``).
 * ``fetch`` requires network access and is gated exactly like
   :mod:`radtxfr_tpu.lines.fetch`.
@@ -750,6 +750,137 @@ def _hooked_xsect(profile, sub, iso_tab, name, keep, T, p, diluent,
     return _xsect(jnp.asarray(grid), params, profile=profile)
 
 
+def _hooked_xsect_ht(sub, iso_tab, name, keep, T, p, diluent, grid,
+                     wing_abs, wing_hw, pf, env_dep, ratio, Environment,
+                     threshold):
+    """HT driver hot loop with the user extension hooks, host-side
+    (``misc/hapi.py:10455-10650``): per-line HT parameters are assembled
+    with hapi's exact override keys — ``gamma_HT_0_<sp>_296`` falling
+    back to ``gamma_<sp>``, the shift override under the ``deltap_*``
+    keys (hapi's quirk), ``gamma_HT_2/delta_HT_2/nu_HT`` overrides, eta
+    built from the OVERRIDDEN Gamma0T/Shift0T — then evaluated by the
+    vectorized pcqsdhc engine
+    (:func:`~radtxfr_tpu.kernels.ht_driver.ht_xsect_from_params`)."""
+    import jax
+    from .core.constants import T_REF as Tref
+    from .kernels.ht_driver import ht_xsect_from_params
+
+    h = sub.host_view()
+    n = h.nu0.size
+    iso_h = jax.device_get(iso_tab)
+    mol = np.asarray(h.mol_id)
+    loc = np.asarray(iso_h.iso)[np.asarray(h.iso_row)]
+    mass = np.asarray(iso_h.molar_mass)[np.asarray(h.iso_row)]
+
+    cols = {"nu": np.asarray(h.nu0, dtype=np.float64),
+            "sw": np.asarray(h.sw, dtype=np.float64),
+            "elower": np.asarray(h.elower, dtype=np.float64),
+            "gamma_air": np.asarray(h.gamma_air, dtype=np.float64),
+            "gamma_self": np.asarray(h.gamma_self, dtype=np.float64),
+            "n_air": np.asarray(h.n_air, dtype=np.float64),
+            "delta_air": np.asarray(h.delta_air, dtype=np.float64),
+            "SD_air": np.asarray(h.sd_air, dtype=np.float64),
+            "molec_id": mol, "local_iso_id": loc}
+    extras = _EXTRAS.get(name) or {}
+    idx = np.nonzero(keep)[0]
+    for k, v in extras.items():
+        if np.ndim(v) == 1 and len(v) == keep.size:
+            cols.setdefault(k, np.asarray(v)[idx])
+    col = lambda nm, d=0.0: cols.get(nm, np.full(n, d))
+    nz = lambda a, b: np.where(a != 0.0, a, b)
+
+    pf = pf or PYTIPS
+    q_t, q_ref = {}, {}
+    for m_i in {(int(m), int(i)) for m, i in zip(mol, loc)}:
+        q_t[m_i] = float(pf(m_i[0], m_i[1], T))
+        q_ref[m_i] = float(pf(m_i[0], m_i[1], Tref))
+    sig_t = np.array([q_t[(int(m), int(i))] for m, i in zip(mol, loc)])
+    sig_ref = np.array([q_ref[(int(m), int(i))] for m, i in zip(mol, loc)])
+
+    Env = {"T": T, "p": p}
+    Env.update({k: v for k, v in (Environment or {}).items()})
+    Env["Tref"], Env["pref"] = Tref, 1.0
+
+    def custom(i):
+        if env_dep is None:
+            return {}
+        return env_dep(Env, {k: v[i] for k, v in cols.items()}) or {}
+
+    cds = [custom(i) for i in range(n)]
+    get = lambda cd, key, default: float(cd[key]) if key in cd else default
+
+    s_def = np.asarray(EnvironmentDependency_Intensity(
+        cols["sw"], T, Tref, sig_t, sig_ref, cols["elower"], cols["nu"]))
+    strength = np.array([get(cd, "sw", s_def[i]) for i, cd in enumerate(cds)])
+
+    c_mass_mol = 1.66053873e-27
+    m_kg = mass * c_mass_mol * 1000.0
+    c_bolts, cc = 1.380648813e-16, 2.99792458e10
+    gamma_d = np.sqrt(2 * c_bolts * T * np.log(2) / m_kg / cc**2) * cols["nu"]
+
+    gamma0 = np.zeros(n)
+    shift0 = np.zeros(n)
+    gamma2 = np.zeros(n)
+    shift2 = np.zeros(n)
+    nuvc = np.zeros(n)
+    eta_num = np.zeros(n, dtype=np.complex128)
+    for sp, abun in diluent.items():
+        sp = sp.lower()
+        g_plain = col(f"gamma_{sp}")
+        g0db = nz(col(f"gamma_HT_0_{sp}_296"), g_plain)
+        n_plain = col(f"n_{sp}", np.nan)
+        if sp == "self":
+            n_plain = np.where(np.isnan(n_plain) | (n_plain == 0.0),
+                               cols["n_air"], n_plain)
+        else:
+            n_plain = np.where(np.isnan(n_plain), cols["n_air"], n_plain)
+        ndb = nz(col(f"n_HT_{sp}_296"), n_plain)
+        d0 = nz(col(f"delta_HT_0_{sp}_296"), col(f"delta_{sp}"))
+        dp = nz(col(f"deltap_HT_{sp}_296"), col(f"deltap_{sp}"))
+        g2db = nz(col(f"gamma_HT_2_{sp}_296"), col(f"SD_{sp}") * g0db)
+        d2db = col(f"delta_HT_2_{sp}_296")
+        nuvc_db = col(f"nu_HT_{sp}")
+        kap_db = col(f"kappa_HT_{sp}")
+        eta_db = col(f"eta_HT_{sp}")
+
+        g0t_def = g0db * p * (Tref / T) ** ndb
+        s0t_def = (d0 + dp * (T - Tref)) * p
+        g2_def = g2db * p
+        d2_def = d2db * p
+        nv_def = nuvc_db * (Tref / T) ** kap_db * p
+        for i, cd in enumerate(cds):
+            g0t = get(cd, f"gamma_HT_0_{sp}_296",
+                      get(cd, f"gamma_{sp}", g0t_def[i]))
+            # hapi's shift override lives under the deltap_* keys
+            # (misc/hapi.py:10579-10582)
+            s0t = get(cd, f"deltap_HT_{sp}_296",
+                      get(cd, f"deltap_{sp}", s0t_def[i]))
+            gamma0[i] += abun * g0t
+            shift0[i] += abun * s0t
+            gamma2[i] += abun * get(cd, f"gamma_HT_2_{sp}_296", g2_def[i])
+            shift2[i] += abun * get(cd, f"delta_HT_2_{sp}_296", d2_def[i])
+            nuvc[i] += abun * get(cd, f"nu_HT_{sp}", nv_def[i])
+            eta_num[i] += eta_db[i] * abun * (g0t + 1j * s0t)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        eta = eta_num / (gamma0 + 1j * shift0)
+    eta = np.where(np.isfinite(eta), eta, 0.0)
+
+    wing = np.maximum(wing_abs,
+                      np.maximum(wing_hw * gamma0, wing_hw * gamma_d))
+    m = strength >= threshold
+    if not m.any():
+        return jnp.zeros(grid.shape[0], dtype=jnp.float64)
+    prm = dict(
+        strength=jnp.asarray(strength[m] * np.asarray(ratio)[m]),
+        gamma_d=jnp.asarray(gamma_d[m]), gamma0=jnp.asarray(gamma0[m]),
+        shift0=jnp.asarray(shift0[m]), gamma2=jnp.asarray(gamma2[m]),
+        shift2=jnp.asarray(shift2[m]), nuvc=jnp.asarray(nuvc[m]),
+        eta=jnp.asarray(eta[m]), wing=jnp.asarray(wing[m]))
+    eval_jit = jax.jit(ht_xsect_from_params, static_argnames=("chunk",))
+    return eval_jit(jnp.asarray(grid), jnp.asarray(cols["nu"][m]), prm,
+                    chunk=128)
+
+
 def _abs_coefficient(profile, Components, SourceTables, partitionFunction,
                      Environment, OmegaRange, OmegaStep, OmegaWing,
                      IntensityThreshold, OmegaWingHW, GammaL, HITRAN_units,
@@ -763,11 +894,6 @@ def _abs_coefficient(profile, Components, SourceTables, partitionFunction,
     # (misc/hapi.py:11384-11581) — faithful: ignore it there.
     hooked = ((EnvDependences is not None and profile != "doppler")
               or partitionFunction not in (None, PYTIPS))
-    if hooked and profile == "ht":
-        raise NotImplementedError(
-            "EnvDependences / custom partitionFunction are not supported "
-            "by the HT driver (documented divergence); the Voigt-family "
-            "drivers honor both")
 
     tables, stores, comps, env, grid, wing_abs, wing_hw = _driver_common(
         Components, SourceTables, Environment, OmegaRange, OmegaStep,
@@ -788,11 +914,17 @@ def _abs_coefficient(profile, Components, SourceTables, partitionFunction,
             if not keep.any():
                 continue
             sub = _mask_store(store, keep)
-            k_total = k_total + _hooked_xsect(
-                profile, sub, iso_tab, name, keep, T, p, diluent, grid,
-                wing_abs, wing_hw, partitionFunction, EnvDependences,
-                ratio[keep], Environment, float(IntensityThreshold),
-                bool(LineShift))
+            if profile == "ht":
+                k_total = k_total + _hooked_xsect_ht(
+                    sub, iso_tab, name, keep, T, p, diluent, grid,
+                    wing_abs, wing_hw, partitionFunction, EnvDependences,
+                    ratio[keep], Environment, float(IntensityThreshold))
+            else:
+                k_total = k_total + _hooked_xsect(
+                    profile, sub, iso_tab, name, keep, T, p, diluent, grid,
+                    wing_abs, wing_hw, partitionFunction, EnvDependences,
+                    ratio[keep], Environment, float(IntensityThreshold),
+                    bool(LineShift))
             continue
         keep &= _threshold_mask(store, T, float(IntensityThreshold))
         if not keep.any():

@@ -454,8 +454,27 @@ def test_doppler_driver_ignores_env_dependences_like_hapi(db):
     np.testing.assert_allclose(k, k0, rtol=0, atol=0)
 
 
-def test_ht_driver_hooks_raise_documented(db):
-    with pytest.raises(NotImplementedError):
-        hc.absorptionCoefficient_HT(
-            SourceTables="syn", OmegaGrid=GRID,
-            EnvDependences=lambda e, l: {})
+
+
+def test_ht_driver_hooks_match_hapi(db):
+    """EnvDependences + custom partitionFunction on the HT driver
+    (misc/hapi.py:10455-10650): hapi's override-key quirks — the shift
+    override under deltap_*, eta built from the OVERRIDDEN
+    Gamma0T/Shift0T — against the reference running the same callbacks."""
+    hapi = _hapi_with(db)
+
+    def env_dep(Env, Line):
+        out = {"gamma_HT_2_air_296": 0.004 * Env["p"]}
+        if Line["nu"] > 1010.0:
+            out["deltap_air"] = -0.002 * Env["p"]       # Shift0T override
+        return out
+
+    def pf(M, I, T):
+        return float(hapi.PYTIPS(M, I, T)) * (T / 296.0) ** 0.5
+
+    kw = dict(SourceTables="syn", Environment={"T": 280.0, "p": 0.8},
+              OmegaGrid=GRID, EnvDependences=env_dep, partitionFunction=pf)
+    nu_r, k_r = hapi.absorptionCoefficient_HT(**kw)
+    _, k = hc.absorptionCoefficient_HT(**kw)
+    assert k.max() > 0
+    np.testing.assert_allclose(k, k_r, rtol=2e-7, atol=1e-30)
