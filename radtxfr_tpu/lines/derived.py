@@ -54,7 +54,7 @@ from ..core.constants import C2_CM_K, T_REF
 from .store import LineStore  # noqa: F401  (type reference)
 
 __all__ = ["co2_lwir_lines", "o3_lwir_lines", "h2o_lwir_lines",
-           "derived_lwir_linelist"]
+           "n2o_lwir_lines", "ch4_nu4_lines", "derived_lwir_linelist"]
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +227,89 @@ def co2_lwir_lines(nu_min=500.0, nu_max=1200.0, j_max=100,
     return out
 
 
+#: N2O (linear, NON-symmetric: all J exist — no even/odd alternation,
+#: comb spacing 2B ~ 0.84 cm^-1): name -> (Gv, Bv, Dv, l, parity=None).
+_N2O_STATES = {
+    "00001": (0.0,      0.4190110, 1.76e-7, 0, None),
+    "01101": (588.768,  0.4199200, 1.78e-7, 1, None),
+    "02001": (1168.132, 0.4196300, 1.80e-7, 0, None),
+    "10001": (1284.903, 0.4172550, 1.75e-7, 0, None),
+}
+#: LWIR N2O bands (S at 296 K incl. 446-isotopologue abundance): the
+#: nu1 band at 1284.9 sits inside the production band.
+_N2O_BANDS = [
+    ("00001", "10001", 9.8e-18),    # nu1, P/R comb inside 1240-1320
+    ("00001", "02001", 2.4e-19),    # 2nu2 overtone at 1168.1
+    ("00001", "01101", 2.45e-18),   # nu2 (Q at 588.8, band-edge)
+]
+
+
+def n2o_lwir_lines(nu_min=500.0, nu_max=1500.0, j_max=80):
+    """N2O LWIR rows via the linear-molecule machinery (all-J combs)."""
+    rng = np.random.default_rng(2)
+    rows = _co2_system(_N2O_STATES, _N2O_BANDS, j_max, nu_min, nu_max,
+                       4, 3, rng)
+    shared = ("nu0", "sw", "elower", "gamma_air", "gamma_self", "n_air",
+              "delta_air", "sd_air")
+    out = {k: np.concatenate([r[k] for r in rows]) for k in shared}
+    n = out["nu0"].size
+    out["mol_id"] = np.full(n, 4, dtype=np.int32)
+    out["local_iso_id"] = np.ones(n, dtype=np.int32)
+    return out
+
+
+def ch4_nu4_lines(nu_min=1150.0, nu_max=1420.0, j_max=16, seed=13):
+    """CH4 nu4 (1310.76 cm^-1) clump-statistics model.
+
+    A spherical top's P/Q/R manifolds split tetrahedrally into clumps of
+    fine-structure lines — the signature texture of the 7.7 um region.
+    No effective Hamiltonian is attempted (documented approximation):
+    clump centers follow nu0 + B'J'(J'+1) - B J(J+1) with B = 5.241,
+    each clump carrying ~(2J+1) sub-lines spread by a J-growing width
+    (~0.025 J^2 cm^-1) with deterministic pseudo-random offsets/weights;
+    clump totals follow Hoenl-London x Boltzmann, band total ~5.2e-18.
+    """
+    rng = np.random.default_rng(seed)
+    nu0_band, B, Bp = 1310.761, 5.2410, 5.2480
+    s_band = 5.2e-18
+    nus, els, wts = [], [], []
+    for J in range(0, j_max):
+        e_lo = B * J * (J + 1.0)
+        for dJ in (-1, 0, 1):
+            Jp = J + dJ
+            if Jp < 0:
+                continue
+            hl = {1: J + 1.0, 0: (2 * J + 1.0) if J else 0.0, -1: float(J)}[dJ]
+            if hl <= 0:
+                continue
+            center = nu0_band + Bp * Jp * (Jp + 1.0) - B * J * (J + 1.0)
+            n_sub = 2 * J + 1
+            spread = 0.025 * J * J + 0.05
+            offs = rng.normal(0.0, spread, n_sub)
+            w_sub = rng.dirichlet(np.full(n_sub, 1.5))
+            boltz = (2 * J + 1.0) * np.exp(-C2_CM_K * e_lo / T_REF)
+            nus.append(center + offs)
+            els.append(np.full(n_sub, e_lo))
+            wts.append(hl * boltz * w_sub / (2 * J + 1.0))
+    nu = np.concatenate(nus)
+    el = np.concatenate(els)
+    w = np.concatenate(wts) * (1.0 - np.exp(-C2_CM_K * nu / T_REF))
+    keep = (nu >= nu_min) & (nu <= nu_max)
+    nu, el, w = nu[keep], el[keep], w[keep]
+    sw = s_band * w / w.sum()
+    n = nu.size
+    return {
+        "nu0": nu, "sw": sw, "elower": el,
+        "gamma_air": np.full(n, 0.060) + rng.normal(0, 0.006, n).clip(-0.02, 0.02),
+        "gamma_self": np.full(n, 0.078),
+        "n_air": np.full(n, 0.73),
+        "delta_air": np.full(n, -0.002),
+        "sd_air": np.zeros(n),
+        "mol_id": np.full(n, 6, dtype=np.int32),
+        "local_iso_id": np.ones(n, dtype=np.int32),
+    }
+
+
 # ---------------------------------------------------------------------------
 # O3: near-prolate symmetric-top approximation of the 9.6 um system
 # ---------------------------------------------------------------------------
@@ -235,15 +318,18 @@ def co2_lwir_lines(nu_min=500.0, nu_max=1200.0, j_max=100,
 #: kappa ~ -0.97 -> prolate approximation with Bbar=(B+C)/2).
 _O3_GROUND = (3.5537, 0.44526, 0.39479)
 #: (band center, upper-state (A', Bbar' scale), total S at 296 K) — nu3 is
-#: the strong 9.6 um band (~1.4e-17), nu1 the weak companion.
+#: the strong 9.6 um band (~1.4e-17), nu1 the weak companion, nu2 the
+#: 14 um band whose R branch crosses the 690-750 cm^-1 production region.
 _O3_BANDS = [
     (1042.084, 0.9965, 1.40e-17),   # nu3
     (1103.137, 0.9976, 4.50e-19),   # nu1
+    (700.931, 1.0110, 4.00e-18),    # nu2 (A' grows ~1% for the bend)
 ]
 
 
-def o3_lwir_lines(nu_min=950.0, nu_max=1200.0, j_max=90, k_max=40):
-    """O3 nu3/nu1 band rows (near-prolate symmetric-top approximation)."""
+def o3_lwir_lines(nu_min=550.0, nu_max=1200.0, j_max=90, k_max=40):
+    """O3 nu2/nu3/nu1 band rows (near-prolate symmetric-top
+    approximation)."""
     A, B, C = _O3_GROUND
     bbar = 0.5 * (B + C)
     asym = 0.25 * (B - C)           # K=1 asymmetry-splitting scale
@@ -440,7 +526,9 @@ def derived_lwir_linelist(nu_min=500.0, nu_max=1500.0, dtype=None,
 
     parts = [h2o_lwir_lines(nu_min, nu_max),
              co2_lwir_lines(max(nu_min, 500.0), min(nu_max, 1200.0)),
-             o3_lwir_lines(max(nu_min, 950.0), min(nu_max, 1200.0))]
+             o3_lwir_lines(max(nu_min, 550.0), min(nu_max, 1200.0)),
+             n2o_lwir_lines(nu_min, nu_max),
+             ch4_nu4_lines(max(nu_min, 1150.0), min(nu_max, 1420.0))]
     shared = set(parts[0]) & set(parts[1]) & set(parts[2])
     cols = {k: np.concatenate([p[k] for p in parts]) for k in shared}
     keep = cols["sw"] >= min_sw

@@ -243,3 +243,27 @@ def test_od_layers_derived_line_mixing(iso_tables, derived_store):
     assert np.abs(d).max() > 0
     # asymmetric: signed structure on both sides of the branch
     assert (d > 0).any() and (d < 0).any()
+
+
+def test_n2o_ch4_o3nu2_in_band(derived_store):
+    """The remaining LWIR absorbers: O3 nu2's R branch crosses the
+    690-750 cm^-1 production region, N2O nu1 combs through 1240-1320
+    (all-J spacing ~2B = 0.84, no even/odd alternation), CH4 nu4 clumps
+    around 1310."""
+    from radtxfr_tpu.lines.derived import n2o_lwir_lines
+
+    nu = np.asarray(derived_store.nu0)
+    mol = np.asarray(derived_store.mol_id)
+    assert ((mol == 3) & (nu > 690) & (nu < 750)).sum() > 500
+    assert ((mol == 4) & (nu > 1240) & (nu < 1320)).sum() > 50
+    assert ((mol == 6) & (nu > 1290) & (nu < 1330)).sum() > 100
+    # N2O comb: all J -> median spacing ~2B (CO2's Sigma bands are ~4B)
+    rows = n2o_lwir_lines()
+    m = (rows["nu0"] > 1285.5) & (rows["nu0"] < 1310.0)   # nu1 R branch
+    sp = np.diff(np.sort(rows["nu0"][m]))
+    assert 0.6 < np.median(sp) < 1.0, np.median(sp)
+    # CH4 clump texture: strongly multimodal density at 0.2 cm^-1 bins
+    nu6 = nu[(mol == 6) & (nu > 1315) & (nu < 1400)]       # R manifolds
+    hist, _ = np.histogram(nu6, bins=np.arange(1315.0, 1400.0, 0.2))
+    assert (hist == 0).sum() > 0.5 * hist.size            # gaps between clumps
+    assert hist.max() >= 4                                # dense clumps
