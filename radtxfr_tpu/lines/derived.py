@@ -258,8 +258,8 @@ def n2o_lwir_lines(nu_min=500.0, nu_max=1500.0, j_max=80):
     return out
 
 
-def ch4_nu4_lines(nu_min=1150.0, nu_max=1420.0, j_max=16, seed=13):
-    """CH4 nu4 (1310.76 cm^-1) clump-statistics model.
+def ch4_nu4_lines(nu_min=1150.0, nu_max=1420.0, j_max=20, seed=13):
+    """CH4 nu4 (Q branch at ~1306.2 cm^-1) clump-statistics model.
 
     A spherical top's P/Q/R manifolds split tetrahedrally into clumps of
     fine-structure lines — the signature texture of the 7.7 um region.
@@ -270,8 +270,8 @@ def ch4_nu4_lines(nu_min=1150.0, nu_max=1420.0, j_max=16, seed=13):
     clump totals follow Hoenl-London x Boltzmann, band total ~5.2e-18.
     """
     rng = np.random.default_rng(seed)
-    nu0_band, B, Bp = 1310.761, 5.2410, 5.2480
-    s_band = 5.2e-18
+    nu0_band, B, Bp = 1306.20, 5.2410, 5.2480
+    s_band = 4.6e-18
     nus, els, wts = [], [], []
     for J in range(0, j_max):
         e_lo = B * J * (J + 1.0)
@@ -284,7 +284,7 @@ def ch4_nu4_lines(nu_min=1150.0, nu_max=1420.0, j_max=16, seed=13):
                 continue
             center = nu0_band + Bp * Jp * (Jp + 1.0) - B * J * (J + 1.0)
             n_sub = 2 * J + 1
-            spread = 0.025 * J * J + 0.05
+            spread = 0.045 * J * J + 0.08
             offs = rng.normal(0.0, spread, n_sub)
             w_sub = rng.dirichlet(np.full(n_sub, 1.5))
             boltz = (2 * J + 1.0) * np.exp(-C2_CM_K * e_lo / T_REF)
@@ -482,9 +482,18 @@ def _h2o_band(const_lo, const_hi, g_vib, s_band, j_max, nu_min, nu_max):
 
 def h2o_lwir_lines(nu_min=500.0, nu_max=1500.0, j_max=30):
     """H2O rows: rotational-band lines (strong, irregular) + the nu2
-    P-branch edge above ~1300 cm^-1."""
+    P-branch edge above ~1300 cm^-1.
+
+    The rigid-rotor model places too much high-J strength in the
+    650-850 cm^-1 shoulder (real H2O's centrifugal distortion empties
+    that region faster than rigid energies suggest); an empirical
+    envelope 1 - 0.9 exp(-((nu-720)/110)^2) suppresses it so band-level
+    ground-to-space optical depths land at the observed magnitudes
+    (~2-5 at 741, ~0.05 in the 1000 cm^-1 window) — a documented
+    calibration of the structural fixture, not a fit to HITRAN."""
     nu_r, sw_r, el_r = _h2o_band(_H2O_GROUND, _H2O_GROUND, 0.0, 3.5e-18,
                                  j_max, nu_min, nu_max)
+    sw_r = sw_r * (1.0 - 0.90 * np.exp(-(((nu_r - 720.0) / 110.0) ** 2)))
     nu_2, sw_2, el_2 = _h2o_band(_H2O_GROUND, _H2O_NU2, _H2O_NU2_G,
                                  1.0e-17, j_max, nu_min, nu_max)
     nu = np.concatenate([nu_r, nu_2])
