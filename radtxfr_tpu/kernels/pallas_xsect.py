@@ -1274,8 +1274,15 @@ def _flops_per_eval(n_wei: int, mode: str) -> int:
     if mode == "asym":
         return 12 + 40
     if mode.startswith("corr:"):
-        per = (2 * 12 + 80 if mode.endswith("sdvoigt") else 12 + 40)
-        return 3 * per + 10      # f at the point + two coarse nodes
+        # point term + the shared per-segment node terms (~1/R amortized,
+        # counted as one extra eval); 'full' point variants pay the blend
+        variant = mode.split(":")[2]
+        if variant.startswith("sdvoigt"):
+            per = (2 * (8 * n_wei + 12 + 120) + 80 if variant.endswith("full")
+                   else 2 * 12 + 80)
+        else:
+            per = (8 * n_wei + 52 if variant.endswith("full") else 12 + 40)
+        return 2 * per + 10
     if mode == "sdvoigt_asym":
         return 2 * 12 + 40 + 40
     if mode.startswith("sdvoigt"):
