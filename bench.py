@@ -86,20 +86,29 @@ _RT = {}
 
 
 def _sync(out):
-    """Force device-execution completion via a host scalar read.
+    """Force device-execution completion via a ONE-ELEMENT host read.
 
-    ``block_until_ready`` can return before remote execution completes on
-    tunneled backends (measured here: an 8192^2 f32 matmul "completes" in
-    0.2 ms by block_until_ready but takes 33 ms — a plausible 33 TFLOP/s —
-    when a scalar is read back; the round-2 kernel numbers were inflated
-    by this). A device->host read of one element cannot return until the
-    producing computation (and everything queued before it on the stream)
-    has executed.
+    Two failure modes bracket this (both hit earlier rounds):
+
+    * ``block_until_ready`` can return before remote execution completes
+      on this tunneled backend (an 8192^2 f32 matmul "completes" in
+      0.2 ms but takes 33 ms — a plausible 33 TFLOP/s — when an element
+      is read back), so timing with it alone measures dispatch.
+    * ``jax.device_get(out)`` pulls the ENTIRE buffer through the
+      ~50 MB/s tunnel — a 105 MB OD tensor adds ~2.1 s of pure transfer
+      per sync, which is NOT kernel time.
+
+    The fix: slice one element ON DEVICE (``out.ravel()[0]`` — its
+    producer must finish first) and transfer only that. Validated
+    against known-cost matmuls (33 TFLOP/s f32 at 8192^2, under the
+    chip's ~50 TFLOP/s f32 MXU rate).
     """
     import jax
     while isinstance(out, (tuple, list)):
         out = out[0]
-    return float(np.asarray(jax.device_get(out)).ravel()[0])
+    if hasattr(out, "ravel"):
+        out = out.ravel()[0]
+    return float(jax.device_get(out))
 
 
 def _round_trip_s():
@@ -118,7 +127,7 @@ def _round_trip_s():
     return _RT["rt"]
 
 
-def _timed(fn_call, n_rep, trials: int = 3):
+def _timed(fn_call, n_rep, trials: int = 5):
     """Time n_rep dispatches + one forced sync per trial; subtract the
     read-back round trip; return best-of-``trials`` seconds per call (the
     tunneled backend shows ~±40% run-to-run noise; the minimum is the
