@@ -210,6 +210,79 @@ def main():
         row("Rosenkranz mixing (jnp f64 vs wofz)", "30 lines, Y~N(0,3e-3)",
             np.abs(got_m - want_m).max() / np.abs(want_m).max())
 
+        # ------------- round-3 physics: derived data paths ----------------
+        from radtxfr_tpu.lines.derived import co2_lwir_lines, derived_lwir_linelist
+        from radtxfr_tpu.kernels.linemixing_data import (
+            _branch_w_matrix, _first_order_y, branch_profile_full_w)
+        from radtxfr_tpu.products import compute_od_layers
+
+        dstore = derived_lwir_linelist(660.0, 700.0)
+        dsub = dstore.select_band(664.0, 670.0, margin=25.0)
+        daxis = arange_drift_free(664.0, 670.0, 0.0025)
+        datm = std_atmosphere()
+        d_got = np.asarray(compute_od_layers(dsub, iso, daxis, datm,
+                                             engine="pallas"))[0]
+        from radtxfr_tpu.products.od import (_line_species_cols,
+                                             species_column)
+        dcols = np.asarray(_line_species_cols(dsub, datm.mol_ids))
+        du = np.asarray(species_column(datm.p[0], datm.T[0], datm.pl[0],
+                                       datm.vmr[0]))
+        d_want = np.zeros(daxis.size)
+        for m in np.unique(np.asarray(dsub.mol_id)):
+            mm = np.asarray(dsub.mol_id) == m
+            msub = dsub.subset(np.nonzero(mm)[0])
+            x = float(np.asarray(datm.vmr[0])[dcols[mm][0]])
+            _, k = hapi_xsect(msub, daxis, float(datm.T[0]),
+                              float(datm.p[0]) / 101325.0,
+                              diluent={"air": 1.0 - x, "self": x})
+            d_want += k * float(du[dcols[mm][0]])
+        row("derived 667 Q-branch OD (Pallas f32 vs hapi f64)",
+            f"{dsub.n_lines} clustered lines, ground layer",
+            np.abs(d_got - d_want).max() / np.abs(d_want).max())
+
+        rows_q = co2_lwir_lines(j_max=30)
+        mq = (rows_q["band"] == "1:00001->01101") & (rows_q["dJ"] == 0)
+        nu_q, sw_q = rows_q["nu0"][mq], rows_q["sw"][mq]
+        g_q, el_q = rows_q["gamma_air"][mq], rows_q["elower"][mq]
+        Wq, _, dq = _branch_w_matrix(nu_q, el_q, sw_q, g_q, 296.0)
+        Yq = _first_order_y(nu_q, Wq, dq)
+        gq = np.linspace(nu_q.min() - 0.2, nu_q.max() + 0.2, 20000)
+        fullq = branch_profile_full_w(gq, nu_q, sw_q, g_q, el_q, 296.0, 0.005)
+        foq = np.zeros_like(gq)
+        for k in range(nu_q.size):
+            dn = gq - nu_q[k]
+            gl = g_q[k] * 0.005
+            foq += sw_q[k] / np.pi * (gl + Yq[k] * 0.005 * dn) / (dn * dn + gl * gl)
+        # physical truncation of the Rosenkranz expansion (validated to
+        # CONVERGE as p->0, not to vanish) — excluded from the engine
+        # PASS gate below
+        row("line-mixing 1st order vs resolvent [physics]",
+            "667 Q branch, p=0.005 atm",
+            np.abs(foq - fullq).max() / fullq.max())
+
+        # coarse-far scheme vs classic two-pass (pointwise)
+        from radtxfr_tpu.products.od import make_xsect_pallas_fn
+        from radtxfr_tpu.lines.synthetic import synthetic_lines as _synl
+
+        clines = _synl(400, nu_min=500.0, nu_max=700.0, seed=9,
+                       sd_zero_frac=0.3)
+        caxis = arange_drift_free(480.0, 720.0, 0.01)
+        cT = np.array([260.0, 296.0])
+        cp = np.array([0.7, 1.0])
+        f_cl = make_xsect_pallas_fn(clines, iso, caxis, cT, cp,
+                                    profile="sdvoigt", wing_abs=30.0,
+                                    far_method="classic")
+        f_co = make_xsect_pallas_fn(clines, iso, caxis, cT, cp,
+                                    profile="sdvoigt", wing_abs=30.0,
+                                    far_method="coarse", coarse_r=16)
+        a_cl = np.asarray(f_cl(jnp.asarray(cT, dtype=jnp.float32),
+                               jnp.asarray(cp, dtype=jnp.float32)))
+        a_co = np.asarray(f_co(jnp.asarray(cT, dtype=jnp.float32),
+                               jnp.asarray(cp, dtype=jnp.float32)))
+        row("coarse-far vs classic two-pass (sdvoigt)",
+            "R=16, 30 cm^-1 wings",
+            np.abs(a_cl - a_co).max() / np.abs(a_cl).max())
+
     if on_tpu:
         # TUD on the real chip vs a pure-numpy f64 reference recursion
         from radtxfr_tpu.products import tud_from_od
@@ -232,9 +305,10 @@ def main():
             float(np.abs(np.asarray(t32.Ld) - ld_ref).max()
                   / np.abs(ld_ref).max()))
         print("-" * 86)
-        worst = max(r[2] for r in rows)
-        print(f"worst component error: {worst:.2e}  "
-              f"({'PASS' if worst < 1e-3 else 'CHECK'} at 1e-3)")
+        worst = max(r[2] for r in rows if "[physics]" not in r[0])
+        print(f"worst engine error: {worst:.2e}  "
+              f"({'PASS' if worst < 1e-3 else 'CHECK'} at 1e-3; [physics] "
+              f"rows are expansion-truncation comparisons, not errors)")
         return
 
     # ---------------- TUD composition f32 vs f64 --------------------------
@@ -255,9 +329,10 @@ def main():
               / np.abs(np.asarray(t64.Ld)).max()))
 
     print("-" * 86)
-    worst = max(r[2] for r in rows)
-    print(f"worst component error: {worst:.2e}  "
-          f"({'PASS' if worst < 1e-3 else 'CHECK'} at 1e-3)")
+    worst = max(r[2] for r in rows if "[physics]" not in r[0])
+    print(f"worst engine error: {worst:.2e}  "
+          f"({'PASS' if worst < 1e-3 else 'CHECK'} at 1e-3; [physics] "
+          f"rows are expansion-truncation comparisons, not errors)")
 
 
 if __name__ == "__main__":
