@@ -623,7 +623,9 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
                       profile: str = "voigt",
                       continuum: str = "none", continuum_factors=None,
                       differentiable: bool = False,
-                      line_mixing: dict | None = None):
+                      line_mixing: dict | None = None,
+                      far_method: str = "auto", coarse_r: int = 64,
+                      near_width: float = 4.0):
     """Build a jitted (T, p_pa, pl, vmr) -> (nL, nX) OD function with static
     Pallas bucket plans baked in.
 
@@ -688,6 +690,37 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
                                 continuum_factors)
     y_air_j = None if y_air is None else jnp.asarray(y_air)
 
+    # Coarse-far for statically-exact absolute wings (LBLRTM-convention
+    # wing_abs runs): same scheme as the XS-lattice builder — the wings
+    # are identical across layers, so the coarse/corr passes need no
+    # layer grouping; the classic per-line-tight core passes stay.
+    use_coarse = False
+    if far_method in ("auto", "coarse") and profile in ("voigt", "sdvoigt") \
+            and two_pass and not differentiable and line_mixing is None \
+            and float(wing_abs) > 0.0:
+        # static exactness under the engine's usual vmr-envelope contract
+        # (wing_bound_matrix margin; runtime vmr beyond it already falls
+        # back to graceful wing truncation in the classic path too)
+        hw_wing = np.max([wing_bound_matrix(lines_h, iso_h, st,
+                                            wing_abs=0.0, wing_hw=wing_hw)
+                          for st in states_h])
+        wide = float(wing_abs) >= 16.0 * coarse_r * g.dx
+        use_coarse = bool(hw_wing <= float(wing_abs)) and wide
+    if far_method == "coarse" and not use_coarse:
+        raise ValueError(
+            "far_method='coarse' requires profile voigt/sdvoigt, two_pass, "
+            "no differentiable/line_mixing, and a wing_abs that dominates "
+            "every line's halfwidth wing (statically exact windows) while "
+            f"spanning >= 16 coarse steps; got wing_abs={wing_abs!r}")
+    g_c = coarse_calls = corr_calls = None
+    if use_coarse:
+        calls = [c for c in calls if c[3] in ("core", "sdvoigt_core")]
+        nw = max(float(near_width), 10.0 * np.sqrt(coarse_r * g.dx))
+        g_c, coarse_calls, corr_calls = _build_coarse_far_calls(
+            lines_h, g, wing_abs, profile, coarse_r, nw,
+            tile_coarse=min(tile, 512), tile_corr=512)
+    R = int(coarse_r)
+
     @jax.jit
     def od_fn(T, p_pa, pl, vmr):
         import dataclasses as _dc
@@ -712,8 +745,27 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
                 x_self=vmr_l[cols], n_T=n_T))(T, p_atm, vmr)
             # Y rides the kernel's spare gamma_2 slot in 'mix' mode
             params_mix = _dc.replace(params, gamma_2=Y.astype(params.gamma_2.dtype))
-        out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
         sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
+        n_lay = T.shape[0]
+        if use_coarse:
+            all_lay = jnp.arange(n_lay)
+            out_c = jnp.zeros((n_lay, g_c.n), dtype=jnp.float32)
+            for cls_idx, plan, mode in coarse_calls:
+                out_c = out_c + xsect_pallas(
+                    plan, sub(params, all_lay, cls_idx),
+                    n_weideman=n_weideman, mode=mode, fused_layers=True,
+                    fast_rcp=fast_rcp)
+            i = jnp.arange(g.n)
+            j = i // R
+            t = ((i - j * R) / R).astype(jnp.float32)
+            out = out_c[:, j] * (1.0 - t) + out_c[:, j + 1] * t
+            for cls_idx, plan, mode in corr_calls:
+                out = out + xsect_pallas(
+                    plan, sub(params, all_lay, cls_idx),
+                    n_weideman=n_weideman, mode=mode, fused_layers=True,
+                    fast_rcp=fast_rcp)
+        else:
+            out = jnp.zeros((n_lay, g.n), dtype=jnp.float32)
         for lay_idx, cls_idx, plan, mode in calls:
             src = params_mix if mode == "mix" else params
             out = out.at[lay_idx].add(

@@ -555,3 +555,31 @@ def test_coarse_far_guards(iso_tables):
     out = np.asarray(fn(jnp.asarray([296.0], dtype=jnp.float32),
                         jnp.asarray([1.0], dtype=jnp.float32)))
     assert np.isfinite(out).all()
+
+
+def test_coarse_far_layered_od_matches_classic(iso_tables):
+    """Layered-OD coarse-far (LBLRTM-convention absolute wings,
+    make_od_pallas_fn far_method='coarse'): pointwise parity with the
+    classic two-pass build across the 66-layer standard atmosphere."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(300, nu_min=500.0, nu_max=700.0, seed=9,
+                            sd_zero_frac=0.3)
+    axis = arange_drift_free(480.0, 720.0, 0.01)
+    args = (atm.T, atm.p, atm.pl, atm.vmr)
+    for prof, tol in (("voigt", 2e-6), ("sdvoigt", 2e-5)):
+        f0 = make_od_pallas_fn(lines, iso_tables, axis, atm, profile=prof,
+                               wing_abs=25.0, far_method="classic")
+        f1 = make_od_pallas_fn(lines, iso_tables, axis, atm, profile=prof,
+                               wing_abs=25.0, far_method="coarse",
+                               coarse_r=16)
+        a = np.asarray(f0(*args))
+        b = np.asarray(f1(*args))
+        peak = np.abs(a).max()
+        assert np.abs(a - b).max() < tol * peak, \
+            (prof, np.abs(a - b).max() / peak)
+    # hw-dominated wings: auto falls back to classic silently
+    fn = make_od_pallas_fn(lines, iso_tables, axis, atm, far_method="auto")
+    assert np.isfinite(np.asarray(fn(*args))).all()
