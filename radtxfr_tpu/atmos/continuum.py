@@ -380,13 +380,22 @@ def continuum_od(nu, atmos, model: str = "none", continuum_factors=None):
     if continuum_factors is None:
         cf = jnp.ones(7)
     else:
-        cf = jnp.asarray(continuum_factors)
-        if cf.shape != (7,):
+        cf_host = np.asarray(continuum_factors, dtype=np.float64)
+        if cf_host.shape != (7,):
             # jnp indexing clamps out of range, which would silently read
             # the wrong scale-factor slot
             raise ValueError(
                 f"continuum_factors must have exactly 7 elements (TAPE5 "
-                f"record 1.2a convention), got shape {cf.shape}")
+                f"record 1.2a convention), got shape {cf_host.shape}")
+        if model == "mt_ckd" and cf_host[3] not in (0.0, 1.0):
+            import warnings
+
+            warnings.warn(
+                "continuum_factors[3] scales the O3 continuum slot, which "
+                "is zero in 'mt_ckd' (LBLRTM's O3 continuum is a "
+                "UV/visible electronic term with no LWIR part) — the "
+                "factor has no effect", stacklevel=2)
+        cf = jnp.asarray(continuum_factors)
     nu = jnp.asarray(nu)
 
     def one(T_l, p_l, pl_l, vmr_l):
