@@ -17,6 +17,24 @@ import json
 import time
 
 
+def device_sync(x):
+    """Force device-execution completion of ``x`` (pytree of arrays).
+
+    ``jax.block_until_ready`` can return before remote execution
+    completes on tunneled backends (e.g. the axon TPU plugin), and a
+    full ``jax.device_get`` would drag whole buffers through a slow
+    tunnel. This reads ONE element of each array leaf instead — the
+    producing computation must finish, and only a few bytes transfer.
+    On ordinary backends it is equivalent to ``block_until_ready``.
+    """
+    import jax
+
+    for leaf in jax.tree.leaves(x):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            jax.device_get(leaf.ravel()[0])
+    return x
+
+
 class PhaseTimer:
     """Accumulates named phase durations and optional work counters."""
 
@@ -32,9 +50,10 @@ class PhaseTimer:
             yield
         finally:
             if block_on is not None:
-                import jax
-
-                jax.block_until_ready(block_on)
+                # device_sync, not block_until_ready: the latter can
+                # return before remote execution completes on tunneled
+                # backends, making phase times dispatch-only
+                device_sync(block_on)
             dt = time.perf_counter() - t0
             self.phases[name] = self.phases.get(name, 0.0) + dt
             if work_items is not None:

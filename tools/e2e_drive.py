@@ -7,6 +7,7 @@ import sys, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
+from radtxfr_tpu.utils import device_sync as _dsync
 
 from radtxfr_tpu.utils import enable_persistent_cache
 enable_persistent_cache()
@@ -29,7 +30,7 @@ engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
 od = compute_od_layers(lines, iso, grid, atm, engine=engine,
                        pallas_opts=dict(max_groups=2))
 od = jnp.asarray(od)
-od.block_until_ready()
+_dsync(od)
 print(f"OD tensor {od.shape} ({engine}) in {time.time()-t0:.1f}s; max={float(od.max()):.3f}")
 
 B = jnp.swapaxes(planckian(grid, atm.T), 0, 1).astype(dt)

@@ -72,7 +72,7 @@ def main():
 
         return jax.vmap(one)(T, p_atm, pl, vmr)
 
-    params = jax.block_until_ready(params_fn(atm.T, atm.p, atm.pl, atm.vmr))
+    params = _dsync(params_fn(atm.T, atm.p, atm.pl, atm.vmr))
     p = jax.tree.map(lambda x: x[lay_idx][:, cls_idx], params)
     n_lay = len(np.asarray(lay_idx))
     nu0 = np.asarray(lines.nu0, dtype=np.float64)[np.asarray(cls_idx)]
@@ -84,11 +84,11 @@ def main():
         plan = plan_buckets(nu0, g, plan0.max_wing, tile=tile, block=block)
         run = lambda: xsect_pallas(plan, p, n_weideman=16, mode=mode,
                                    fused_layers=True)
-        out = jax.block_until_ready(run())
+        out = _dsync(run())
         t0 = time.perf_counter()
         for _ in range(args.n_rep):
             out = run()
-        jax.block_until_ready(out)
+        _dsync(out)
         dt = (time.perf_counter() - t0) / args.n_rep
         steps = int(plan.counts.sum())
         ev = steps * block * tile * n_lay

@@ -47,7 +47,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from radtxfr_tpu.utils import enable_persistent_cache
+    from radtxfr_tpu.utils import device_sync as _dsync,  enable_persistent_cache
     enable_persistent_cache()
 
     from radtxfr_tpu.atmos import std_atmosphere
@@ -121,7 +121,7 @@ def main():
         with timer.phase("tud", work_items=len(indices)):
             tau, Lu, Ld = run(batch)
             tau_lo, lu_lo, ld_lo = reduce_batch(tau, Lu, Ld)
-            jax.block_until_ready((tau_lo, lu_lo, ld_lo))
+            _dsync((tau_lo, lu_lo, ld_lo))
         with timer.phase("reduce"):
             return {"tau": np.asarray(tau_lo), "La": np.asarray(lu_lo),
                     "Ld": np.asarray(ld_lo)}

@@ -7,6 +7,7 @@ import time
 
 import numpy as np
 import jax
+from radtxfr_tpu.utils import device_sync as _dsync
 import jax.numpy as jnp
 
 from radtxfr_tpu.utils import enable_persistent_cache
@@ -76,12 +77,12 @@ def main():
         plan, ps, n_weideman=a.n_weideman, mode=a.mode, fused_layers=True,
         fast_rcp=a.fast_rcp))
     out = fn(sub)
-    out.block_until_ready()
+    _dsync(out)
     n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
         out = fn(sub)
-    out.block_until_ready()
+    _dsync(out)
     dt = (time.perf_counter() - t0) / n_rep
     ev = float(plan.counts.astype(np.int64).sum()) * plan.block * plan.tile * len(lay_idx)
     print(f"{a.mode} tile={a.tile} block={a.block} nlay={len(lay_idx)} "

@@ -10,6 +10,7 @@ import time
 
 import numpy as np
 import jax
+from radtxfr_tpu.utils import device_sync as _dsync
 import jax.numpy as jnp
 
 from radtxfr_tpu.utils import enable_persistent_cache
@@ -83,12 +84,12 @@ def main():
             plan, ps, n_weideman=a.n_weideman, mode=mode, fused_layers=True,
             fast_rcp=a.fast_rcp))
         out = fn(p_sub)
-        out.block_until_ready()
+        _dsync(out)
         n_rep = 10
         t0 = time.perf_counter()
         for _ in range(n_rep):
             out = fn(p_sub)
-        out.block_until_ready()
+        _dsync(out)
         dt = (time.perf_counter() - t0) / n_rep
         n_lay = int(lay_idx.size)
         # padded evals: sum over tiles of counts * block * tile * n_lay
