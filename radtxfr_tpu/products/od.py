@@ -813,7 +813,8 @@ def _make_continuum_term(g, mol_ids, continuum, continuum_factors,
 
 
 def _build_coarse_far_calls(lines_h, g, wing_abs, profile, coarse_r,
-                            near_width, tile_coarse, tile_corr):
+                            near_width, tile_coarse, tile_corr,
+                            subsets=None):
     """Coarse-far decomposition for statically-exact absolute wings.
 
     Returns (g_coarse, coarse_calls, corr_calls): the far field is
@@ -838,12 +839,16 @@ def _build_coarse_far_calls(lines_h, g, wing_abs, profile, coarse_r,
                          f"multiple of coarse_r ({R})")
     g_c = UniformGrid(x0=g.x0, dx=g.dx * R, n=(g.n - 1) // R + 2)
     nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
-    if profile == "sdvoigt":
-        sd_mask = np.asarray(lines_h.sd_air, dtype=np.float64) != 0.0
-        subsets = [(np.nonzero(sd_mask)[0], "sdvoigt_asym", "sdvoigt"),
-                   (np.nonzero(~sd_mask)[0], "asym", "voigt")]
-    else:
-        subsets = [(np.arange(nu0.size), "asym", "voigt")]
+    if subsets is None:
+        # default routing by the store's sd_air column; callers with their
+        # own per-line routing (the HT builder's resolved columns) pass
+        # explicit (idx, far_mode, corr_kind) subsets instead
+        if profile == "sdvoigt":
+            sd_mask = np.asarray(lines_h.sd_air, dtype=np.float64) != 0.0
+            subsets = [(np.nonzero(sd_mask)[0], "sdvoigt_asym", "sdvoigt"),
+                       (np.nonzero(~sd_mask)[0], "asym", "voigt")]
+        else:
+            subsets = [(np.arange(nu0.size), "asym", "voigt")]
 
     coarse_calls, corr_calls = [], []
     h = R * g.dx
@@ -1024,7 +1029,8 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                       extras=None, wing_abs=0.0, wing_hw=50.0,
                       tile: int = 512, n_weideman: int = 16,
                       max_groups: int = 4, group_ratio: float = 4.0,
-                      fast_rcp: bool = True):
+                      fast_rcp: bool = True, far_method: str = "auto",
+                      coarse_r: int = 64, near_width: float = 4.0):
     """Build a jitted (T_states, p_atm_states) -> (nStates, nX)
     Hartmann-Tran cross-section function [cm^2/molec] on the Pallas engine.
 
@@ -1077,11 +1083,78 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                ("sdvoigt", np.nonzero(~full_m & g2_any)[0], cap_sd),
                ("full", np.nonzero(~full_m & ~g2_any)[0], cap_sd)]
 
+    # Coarse-far for the SD-Voigt/Voigt-routed subsets (exact pcqsdhc
+    # degenerations) when the absolute wing is statically exact; the
+    # live-HT subset keeps the classic full-window kernel. Same scheme
+    # as make_xsect_pallas_fn, with explicit per-line routing subsets.
+    use_coarse = False
+    if far_method in ("auto", "coarse") and float(wing_abs) > 0.0:
+        W_hw = ht_wing_bounds(resolved, lines_h, iso, T_class, p_atm_class,
+                              wing_abs=0.0, wing_hw=wing_hw)
+        wide = float(wing_abs) >= 16.0 * coarse_r * g.dx
+        use_coarse = bool(W_hw.max() <= float(wing_abs)) and wide
+    if far_method == "coarse" and not use_coarse:
+        raise ValueError(
+            "far_method='coarse' requires a wing_abs dominating every "
+            "line's halfwidth wing over the class states and spanning "
+            f">= 16 coarse steps; got wing_abs={wing_abs!r}")
+    g_c = coarse_calls = corr_calls = None
+    coarse_modes = ()
+    from ..atmos.profile import AtmosphericState
+
+    T_cc = np.asarray(T_class, dtype=np.float64).ravel()
+    p_cc = np.asarray(p_atm_class, dtype=np.float64).ravel()
+    mol_ids_c = tuple(int(m) for m in np.unique(np.asarray(lines_h.mol_id)))
+    states_c = [AtmosphericState(
+        z0=jnp.zeros(T_cc.size), z1=jnp.ones(T_cc.size),
+        pl=jnp.ones(T_cc.size), p=jnp.asarray(p_cc * PA_PER_ATM),
+        T=jnp.asarray(T_cc), vmr=jnp.zeros((T_cc.size, len(mol_ids_c))),
+        mol_ids=mol_ids_c)]
+    iso_h_c = jax.device_get(iso)
+    if use_coarse:
+        cf_subsets = []
+        for mode, idx, _cap in subsets[1:]:
+            if idx.size:
+                cf_subsets.append(
+                    (idx, "sdvoigt_asym" if mode == "sdvoigt" else "asym",
+                     "sdvoigt" if mode == "sdvoigt" else "voigt"))
+        if cf_subsets:
+            nw = max(float(near_width),
+                     10.0 * np.sqrt(coarse_r * g.dx))
+            g_c, coarse_calls, corr_calls = _build_coarse_far_calls(
+                lines_h, g, wing_abs, "ht", coarse_r, nw,
+                tile_coarse=min(tile, 512), tile_corr=512,
+                subsets=cf_subsets)
+            # the cheap subsets' wing passes are replaced; their
+            # (full - asym) cores remain as narrow classic calls below
+            coarse_modes = ("sdvoigt", "full")
+        else:
+            use_coarse = False
+
     calls = []
     for mode, idx, cap in subsets:
         if idx.size == 0:
             continue
         W_s = W[:, idx]
+        if use_coarse and mode in coarse_modes:
+            # classic core passes for the coarse-covered subsets: the
+            # (Weideman - asym) / SD-Voigt core corrections on per-line
+            # tight windows
+            core_w = np.max([core_wing_per_line(lines_h, iso_h_c, st)
+                             for st in states_c], axis=0)[idx]
+            if mode == "sdvoigt":
+                core_w = np.maximum(core_w, np.max(
+                    [sdvoigt_core_bound(lines_h, iso_h_c, st)
+                     for st in states_c], axis=0)[:, idx].max(axis=0))
+            core_w = np.minimum(core_w, float(wing_abs))
+            c_tile = _pow2_tile(int(np.ceil(2.0 * core_w.max() / g.dx)),
+                                lo=256, hi=512)
+            plan = plan_buckets_packed(nu0[idx], g, core_w, tile=c_tile,
+                                       block=16)
+            calls.append(("sdvoigt_core" if mode == "sdvoigt" else "core",
+                          jnp.asarray(np.arange(W.shape[0])),
+                          jnp.asarray(idx), plan))
+            continue
         for lay_idx, _ in group_by_wing(W_s.max(axis=1), max_groups=max_groups,
                                         ratio=group_ratio):
             lay_idx = np.sort(lay_idx)
@@ -1094,6 +1167,7 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
             calls.append((mode, jnp.asarray(lay_idx), jnp.asarray(idx), plan))
 
     nu0_j = jnp.asarray(nu0, dtype=jnp.float32)
+    R = int(coarse_r)
 
     @jax.jit
     def ht_fn(T, p_atm):
@@ -1103,8 +1177,38 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                              complex_dtype=jnp.complex64)
 
         prm = jax.vmap(one)(T, p_atm)
-        out = jnp.zeros((T.shape[0], g.n), dtype=jnp.float32)
         sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
+        n_states = T.shape[0]
+        all_states = jnp.arange(n_states)
+
+        def cheap_params(idx, lay_idx):
+            return LineParams(
+                nu0=nu0_j[idx], nu0_shifted=nu0_j[idx],
+                strength=sub(prm["strength"], lay_idx, idx),
+                gamma_d=sub(prm["gamma_d"], lay_idx, idx),
+                gamma_0=sub(prm["gamma0"], lay_idx, idx),
+                wing=sub(prm["wing"], lay_idx, idx),
+                gamma_2=sub(prm["gamma2"], lay_idx, idx),
+                shift0=sub(prm["shift0"], lay_idx, idx))
+
+        if use_coarse:
+            out_c = jnp.zeros((n_states, g_c.n), dtype=jnp.float32)
+            for cls_idx, plan, mode in coarse_calls:
+                out_c = out_c + xsect_pallas(
+                    plan, cheap_params(cls_idx, all_states),
+                    n_weideman=n_weideman, mode=mode, fused_layers=True,
+                    fast_rcp=fast_rcp)
+            i = jnp.arange(g.n)
+            j = i // R
+            t = ((i - j * R) / R).astype(jnp.float32)
+            out = out_c[:, j] * (1.0 - t) + out_c[:, j + 1] * t
+            for cls_idx, plan, mode in corr_calls:
+                out = out + xsect_pallas(
+                    plan, cheap_params(cls_idx, all_states),
+                    n_weideman=n_weideman, mode=mode, fused_layers=True,
+                    fast_rcp=fast_rcp)
+        else:
+            out = jnp.zeros((n_states, g.n), dtype=jnp.float32)
         for mode, lay_idx, idx, plan in calls:
             if mode == "ht":
                 consts = ht_line_constants(
@@ -1117,16 +1221,9 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                     sub(consts, lay_idx, idx),
                     n_weideman=n_weideman, fast_rcp=fast_rcp))
             else:
-                lp = LineParams(
-                    nu0=nu0_j[idx], nu0_shifted=nu0_j[idx],
-                    strength=sub(prm["strength"], lay_idx, idx),
-                    gamma_d=sub(prm["gamma_d"], lay_idx, idx),
-                    gamma_0=sub(prm["gamma0"], lay_idx, idx),
-                    wing=sub(prm["wing"], lay_idx, idx),
-                    gamma_2=sub(prm["gamma2"], lay_idx, idx),
-                    shift0=sub(prm["shift0"], lay_idx, idx))
                 out = out.at[lay_idx].add(xsect_pallas(
-                    plan, lp, mode=mode, fused_layers=True,
+                    plan, cheap_params(idx, lay_idx), mode=mode,
+                    fused_layers=True,
                     n_weideman=n_weideman, fast_rcp=fast_rcp))
         return out
 

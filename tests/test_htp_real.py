@@ -227,3 +227,45 @@ def test_layered_ht_jnp_zero_ht_columns_is_sdvoigt(iso_tables):
                                       atm, profile="sdvoigt", engine="jnp"))
     peak = np.abs(sd).max()
     assert np.abs(ht - sd).max() < 1e-7 * peak
+
+
+def test_ht_lattice_coarse_far_matches_classic(iso_tables):
+    """make_ht_pallas_fn(far_method='coarse'): the SD-Voigt/Voigt-routed
+    subsets ride the coarse-far scheme (live-HT lines keep the classic
+    full-window kernel); pointwise parity with the classic build and
+    with the jnp f64 driver under an absolute wing."""
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.kernels.ht_driver import xsect_ht
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products.od import make_ht_pallas_fn
+
+    store = synthetic_lines(90, nu_min=520.0, nu_max=680.0, seed=31,
+                            sd_zero_frac=0.4)
+    rng = np.random.default_rng(7)
+    n = store.n_lines
+    third = n // 3
+    nuvc = np.zeros(n)
+    nuvc[:third] = rng.uniform(0.01, 0.05, third)
+    eta = np.zeros(n)
+    eta[:third] = rng.uniform(0.1, 0.3, third)
+    extras = {"nu_HT_air": nuvc,
+              "kappa_HT_air": rng.uniform(0.0, 1.0, n) * (nuvc > 0),
+              "eta_HT_air": eta}
+    axis = arange_drift_free(500.0, 700.0, 0.01)
+    T = np.array([260.0, 296.0])
+    p = np.array([0.8, 1.0])
+    Tj = jnp.asarray(T, dtype=jnp.float32)
+    pj = jnp.asarray(p, dtype=jnp.float32)
+    f0 = make_ht_pallas_fn(store, iso_tables, axis, T, p, extras=extras,
+                           wing_abs=30.0, far_method="classic")
+    f1 = make_ht_pallas_fn(store, iso_tables, axis, T, p, extras=extras,
+                           wing_abs=30.0, far_method="coarse", coarse_r=16)
+    a = np.asarray(f0(Tj, pj))
+    b = np.asarray(f1(Tj, pj))
+    peak = np.abs(a).max()
+    assert np.abs(a - b).max() < 2e-5 * peak, np.abs(a - b).max() / peak
+    for i in range(T.size):
+        want = np.asarray(xsect_ht(jnp.asarray(axis), store, iso_tables,
+                                   float(T[i]), float(p[i]), extras=extras,
+                                   wing_abs=30.0))
+        assert np.abs(b[i] - want).max() < 5e-5 * np.abs(want).max(), i
