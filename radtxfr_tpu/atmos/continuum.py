@@ -156,8 +156,10 @@ def load_mt_ckd_tables(path: str, radiation_temperature: float = 296.0
         def pick(*cands, substr=None):
             """Exact-name candidates first, then a fuzzy substring scan —
             the exact schema of AER's file cannot be verified offline, so
-            any dataset whose lowercased name contains all the substrings
-            is accepted (e.g. 'self_absco_ref' | 'Self_Continuum_296')."""
+            a UNIQUE dataset whose lowercased name contains all the
+            substrings is accepted (e.g. 'self_absco_ref' |
+            'Self_Continuum_296'), with a warning naming the binding so a
+            wrong fuzzy match is visible."""
             for c in cands:
                 if c in names:
                     return np.asarray(f[c][...], dtype=np.float64).ravel()
@@ -165,18 +167,24 @@ def load_mt_ckd_tables(path: str, radiation_temperature: float = 296.0
                 hits = [n for n in names
                         if all(t in n.lower() for t in substr)]
                 if len(hits) == 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"load_mt_ckd_tables: no exact match among {cands}; "
+                        f"fuzzily bound dataset {hits[0]!r} (substrings "
+                        f"{substr})", stacklevel=3)
                     return np.asarray(f[hits[0]][...],
                                       dtype=np.float64).ravel()
             raise KeyError(f"none of {cands} (or unique match for "
                            f"{substr}) in {sorted(names)}")
 
         nu = pick("wavenumbers", "wavenumber", "wvn", "wnum",
-                  substr=("wav",))
+                  substr=("wavenumber",))
         cs296 = pick("self_absco_ref", "self_continuum", "cs296",
                      substr=("self", "ref"))
         cs260 = pick("self_absco_260", "cs260", substr=("self", "260"))
         cf = pick("for_absco_ref", "foreign_continuum", "cf296",
-                  substr=("for",))
+                  substr=("for", "absco"))
         t_self = 296.0
         if "ref_temp" in names:
             t_self = float(np.asarray(f["ref_temp"][...]).ravel()[0])

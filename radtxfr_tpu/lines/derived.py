@@ -197,7 +197,11 @@ def _co2_system(states, bands, j_max, nu_min, nu_max, mol_id, iso_row,
                          J=J_arr[keep].astype(np.int32),
                          dJ=np.asarray(dks, dtype=np.int32)[keep],
                          band=np.full(keep.sum(),
-                                      f"{iso_row + 1}:{lo_name}->{hi_name}")))
+                                      f"{iso_row + 1}:{lo_name}->{hi_name}"),
+                         # explicit per-row iso tag: a band can be skipped
+                         # entirely (no surviving lines), so positional
+                         # slicing of the rows list would miscount
+                         iso_row=iso_row))
     return rows
 
 
@@ -214,16 +218,16 @@ def co2_lwir_lines(nu_min=500.0, nu_max=1200.0, j_max=100,
     if include_636:
         rows += _co2_system(_CO2_STATES_636, _CO2_BANDS_636, j_max, nu_min,
                             nu_max, 2, 1, rng)
-    n636 = sum(r["nu0"].size
-               for r in rows[-len(_CO2_BANDS_636):]) if include_636 else 0
     out = {k: np.concatenate([r[k] for r in rows])
-           for k in rows[0]}
+           for k in rows[0] if k != "iso_row"}
+    # per-row iso tags (not positional slicing: _co2_system drops bands
+    # that yield no in-range lines, so the rows list length is variable)
+    iso = np.concatenate([
+        np.full(r["nu0"].size, 2 if r["iso_row"] == 1 else 1,
+                dtype=np.int32) for r in rows])
     n = out["nu0"].size
-    iso = np.zeros(n, dtype=np.int32)
-    if include_636 and n636:
-        iso[n - n636:] = 2          # HITRAN local iso id 2 = 636
     out["mol_id"] = np.full(n, 2, dtype=np.int32)
-    out["local_iso_id"] = np.where(iso == 0, 1, iso).astype(np.int32)
+    out["local_iso_id"] = iso       # HITRAN local iso id 2 = 636
     return out
 
 

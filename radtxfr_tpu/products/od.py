@@ -150,6 +150,12 @@ def compute_od_layers(
     if engine == "pallas":
         opts = dict(pallas_opts or {})
         if line_mixing is not None:
+            if profile == "ht":
+                # make_od_ht_pallas_fn has no line_mixing parameter; fail
+                # with the same message as the jnp branch instead of a
+                # TypeError from the builder's signature
+                raise NotImplementedError(
+                    "line mixing composes with Voigt only")
             opts.setdefault("line_mixing", line_mixing)
         if profile == "ht" and ht_extras is not None:
             opts.setdefault("extras", ht_extras)
@@ -704,14 +710,18 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
         hw_wing = np.max([wing_bound_matrix(lines_h, iso_h, st,
                                             wing_abs=0.0, wing_hw=wing_hw)
                           for st in states_h])
-        wide = float(wing_abs) >= 16.0 * coarse_r * g.dx
+        wide = float(wing_abs) >= max(
+            16.0 * coarse_r * g.dx,
+            _coarse_far_min_wing(g, coarse_r, near_width))
         use_coarse = bool(hw_wing <= float(wing_abs)) and wide
     if far_method == "coarse" and not use_coarse:
         raise ValueError(
             "far_method='coarse' requires profile voigt/sdvoigt, two_pass, "
             "no differentiable/line_mixing, and a wing_abs that dominates "
             "every line's halfwidth wing (statically exact windows) while "
-            f"spanning >= 16 coarse steps; got wing_abs={wing_abs!r}")
+            "clearing the near-zone/edge-band plan-disjointness bound "
+            f"({_coarse_far_min_wing(g, coarse_r, near_width):.3g} cm^-1 "
+            f"here); got wing_abs={wing_abs!r}")
     g_c = coarse_calls = corr_calls = None
     if use_coarse:
         calls = [c for c in calls if c[3] in ("core", "sdvoigt_core")]
@@ -810,6 +820,24 @@ def _make_continuum_term(g, mol_ids, continuum, continuum_factors,
         return jax.vmap(one)(T, p_pa, pl, vmr).astype(jnp.float32)
 
     return term
+
+
+def _coarse_far_min_wing(g, coarse_r, near_width, tile_corr=512):
+    """Minimum statically-safe ``wing_abs`` for the coarse-far scheme.
+
+    The near-zone and window-edge correction passes are independent packed
+    plans, and the corr kernel masks only by the TRUE window (the plans'
+    placement is what localizes each pass). If the near interval
+    [nu0 - nw, nu0 + nw] and an edge band [nu0 +- wing_abs -+ (R+2) dx]
+    ever share a ``tile_corr`` tile, that (line, tile) membership applies
+    the correction twice. Disjointness is guaranteed when the gap between
+    the intervals exceeds one correction tile:
+
+        wing_abs - (R+2) dx - nw >= tile_corr dx  (+ slack for rounding)
+    """
+    R = int(coarse_r)
+    nw = max(float(near_width), 10.0 * np.sqrt(R * g.dx))
+    return nw + (R + 2 + int(tile_corr) + 4) * g.dx
 
 
 def _build_coarse_far_calls(lines_h, g, wing_abs, profile, coarse_r,
@@ -931,15 +959,19 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
                                             wing_abs=0.0, wing_hw=wing_hw,
                                             vmr_margin=None)
                           for st in states_h])
-        wide = float(wing_abs) >= 16.0 * coarse_r * g.dx
+        wide = float(wing_abs) >= max(
+            16.0 * coarse_r * g.dx,
+            _coarse_far_min_wing(g, coarse_r, near_width))
         use_coarse = bool(hw_wing <= float(wing_abs)) and wide
     if far_method == "coarse" and not use_coarse:
         raise ValueError(
             "far_method='coarse' requires profile voigt/sdvoigt with "
             "two_pass and a wing_abs that dominates every line's "
             "halfwidth wing over the class states (statically exact "
-            "windows) and spans >= 16 coarse steps; got "
-            f"wing_abs={wing_abs!r}, profile={profile!r}")
+            "windows) while clearing the near-zone/edge-band "
+            "plan-disjointness bound "
+            f"({_coarse_far_min_wing(g, coarse_r, near_width):.3g} cm^-1 "
+            f"here); got wing_abs={wing_abs!r}, profile={profile!r}")
 
     calls = _build_od_calls(
         lines_h, iso_h, states_h, g, wing_abs=wing_abs, wing_hw=wing_hw,
@@ -1091,13 +1123,17 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
     if far_method in ("auto", "coarse") and float(wing_abs) > 0.0:
         W_hw = ht_wing_bounds(resolved, lines_h, iso, T_class, p_atm_class,
                               wing_abs=0.0, wing_hw=wing_hw)
-        wide = float(wing_abs) >= 16.0 * coarse_r * g.dx
+        wide = float(wing_abs) >= max(
+            16.0 * coarse_r * g.dx,
+            _coarse_far_min_wing(g, coarse_r, near_width))
         use_coarse = bool(W_hw.max() <= float(wing_abs)) and wide
     if far_method == "coarse" and not use_coarse:
         raise ValueError(
             "far_method='coarse' requires a wing_abs dominating every "
-            "line's halfwidth wing over the class states and spanning "
-            f">= 16 coarse steps; got wing_abs={wing_abs!r}")
+            "line's halfwidth wing over the class states while clearing "
+            "the near-zone/edge-band plan-disjointness bound "
+            f"({_coarse_far_min_wing(g, coarse_r, near_width):.3g} cm^-1 "
+            f"here); got wing_abs={wing_abs!r}")
     g_c = coarse_calls = corr_calls = None
     coarse_modes = ()
     from ..atmos.profile import AtmosphericState

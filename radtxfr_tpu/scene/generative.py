@@ -120,7 +120,10 @@ def gmm_fit(key, X, n_components: int, n_iter: int = 200, reg: float = 1e-6) -> 
     """EM fit of a full-covariance GMM (plain maximum likelihood)."""
     X = jnp.asarray(X)
     n, d = X.shape
-    k0 = jax.random.choice(key, n, (n_components,), replace=False)
+    # datasets smaller than n_components seed with replacement (duplicate
+    # seeds separate during EM via the responsibility updates)
+    k0 = jax.random.choice(key, n, (n_components,),
+                           replace=(n < n_components))
     means0 = X[k0]
     cov0 = jnp.cov(X.T) + reg * jnp.eye(d)
     chol0 = jnp.linalg.cholesky(jnp.broadcast_to(cov0, (n_components, d, d)))

@@ -136,3 +136,19 @@ def test_pallas_mix_mode_matches_jnp(mix_setup, iso_tables):
     peak = np.abs(want).max()
     assert np.abs(got - want).max() < 5e-6 * peak, \
         np.abs(got - want).max() / peak
+
+
+def test_pallas_ht_line_mixing_raises_clearly(mix_setup, iso_tables):
+    """profile='ht' + line_mixing on the pallas engine: a clear
+    NotImplementedError, not a TypeError from the builder signature
+    (ADVICE r3)."""
+    import pytest
+
+    from radtxfr_tpu.products import compute_od_layers
+
+    store, axis, y_air = mix_setup
+    atm = std_atmosphere()
+    with pytest.raises(NotImplementedError, match="Voigt"):
+        compute_od_layers(store, iso_tables, jnp.asarray(axis), atm,
+                          profile="ht", engine="pallas",
+                          line_mixing={"y_air": y_air})

@@ -557,6 +557,43 @@ def test_coarse_far_guards(iso_tables):
     assert np.isfinite(out).all()
 
 
+def test_coarse_far_small_wing_plan_disjointness(iso_tables):
+    """Regression (round-3 advisor): when wing_abs is small enough that a
+    line's near-zone plan and a window-edge plan could share a tile_corr
+    tile, the corr kernel (masked only by the true window) would apply the
+    correction twice. The guard must keep such wings off the coarse path:
+    'coarse' raises, 'auto' falls back to classic bit-exactly."""
+    from radtxfr_tpu.products.od import (_coarse_far_min_wing,
+                                         make_xsect_pallas_fn)
+    from radtxfr_tpu.kernels.pallas_xsect import UniformGrid
+
+    lines = synthetic_lines(200, nu_min=520.0, nu_max=620.0, seed=9,
+                            sd_zero_frac=0.3)
+    axis = arange_drift_free(500.0, 640.0, 0.0025)
+    g = UniformGrid.from_axis(np.asarray(axis))
+    # wing 4.5 is wide by the old 16*R*dx=2.56 rule but inside the broken
+    # range (< near + edge-band + one corr tile ~ 5.46); without the guard
+    # it produced ~1.4e-4 relative error vs classic (double-counted tiles)
+    assert 16.0 * 64 * g.dx < 4.5 < _coarse_far_min_wing(g, 64, 4.0)
+    T_s = np.array([296.0])
+    p_s = np.array([1.0])
+    with pytest.raises(ValueError):
+        make_xsect_pallas_fn(lines, iso_tables, axis, T_s, p_s,
+                             profile="voigt", wing_abs=4.5, wing_hw=5.0,
+                             far_method="coarse", coarse_r=64)
+    Tj = jnp.asarray(T_s, dtype=jnp.float32)
+    pj = jnp.asarray(p_s, dtype=jnp.float32)
+    f0 = make_xsect_pallas_fn(lines, iso_tables, axis, T_s, p_s,
+                              profile="voigt", wing_abs=4.5, wing_hw=5.0,
+                              far_method="classic")
+    f1 = make_xsect_pallas_fn(lines, iso_tables, axis, T_s, p_s,
+                              profile="voigt", wing_abs=4.5, wing_hw=5.0,
+                              far_method="auto", coarse_r=64)
+    a = np.asarray(f0(Tj, pj))
+    b = np.asarray(f1(Tj, pj))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_coarse_far_layered_od_matches_classic(iso_tables):
     """Layered-OD coarse-far (LBLRTM-convention absolute wings,
     make_od_pallas_fn far_method='coarse'): pointwise parity with the

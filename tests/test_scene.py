@@ -203,6 +203,18 @@ def test_bgmm_small_dataset_does_not_crash():
     np.testing.assert_allclose(w.sum(), 1.0, atol=0.01)
 
 
+def test_gmm_small_dataset_does_not_crash():
+    """Same small-n contract for the plain-EM fit (ADVICE r3: the r2 fix
+    was applied only to bgmm_fit)."""
+    rng = np.random.default_rng(9)
+    X = rng.normal(0.0, 1.0, (4, 2))
+    mdl = gen.gmm_fit(jax.random.key(0), jnp.asarray(X), 8, n_iter=50)
+    w = np.asarray(mdl.weights)
+    assert np.isfinite(w).all()
+    np.testing.assert_allclose(w.sum(), 1.0, atol=0.01)
+    assert np.isfinite(np.asarray(mdl.means)).all()
+
+
 def test_bgmm_effective_components_match_sklearn():
     """Effective component count and major-cluster weights agree with
     sklearn's BayesianGaussianMixture on the same data."""
