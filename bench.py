@@ -148,84 +148,94 @@ _VPU_PEAK = {}
 
 
 def measured_vpu_peak():
-    """Empirical f32 elementwise-FMA roofline on this chip [FLOP/s].
+    """Validated VPU issue-slot peak [lane-ops/s] (docs/ROOFLINE.md §1).
 
-    The line-shape kernels are VPU-bound (elementwise transcendental-free
-    rational series, not MXU matmuls), so the meaningful peak for a
-    utilization figure is the sustained f32 fused-multiply-add rate, which
-    is not a published spec number — measure it with a Pallas kernel that
-    holds a (512, 1024) f32 block in VMEM and runs 64 x 4000 dependent
-    FMAs over it in a single dispatch (single dispatch matters: this
-    tunneled backend has ~30 ms per-dispatch overhead, so multi-dispatch
-    micro-benchmarks measure the tunnel, not the chip). Best of 5 trials.
+    Runs the two defining dependent-chain probes in-process — `a*y+b`
+    (counted 2 ops/step: the probe suite shows no single-slot FMA; mul+add
+    pairs co-issue ~1.13x) and `y*a` (1 op/step) — on a VMEM-resident
+    (512, 1024) f32 block, 64 x 4000 chained steps in a single dispatch
+    (this tunneled backend has ~30 ms per-dispatch overhead; multi-dispatch
+    micro-benchmarks measure the tunnel, not the chip). The peak is the
+    max of the two rates; the full instruction-mix suite that validates it
+    (add, cmp+select, sqrt, divide, ILP variants) is
+    tools/vpu_peak_probe.py. Best of 5 trials each.
     """
     if _VPU_PEAK:
-        return _VPU_PEAK["flops"]
+        return _VPU_PEAK["ops"]
     import jax
     import jax.numpy as jnp
     from jax import lax
     from jax.experimental import pallas as pl
 
-    UNROLL, ITERS, shape = 64, 4000, (512, 1024)
+    # (32, 512) = 16 vregs — the kernels' own (block, tile) scale. This
+    # matters: on (512, 1024) working sets Mosaic streams every
+    # elementwise op through VMEM and the same chains sustain only
+    # ~1.2e12 ops/s; register-resident blocks reach ~3.9e12 (measured
+    # sweep in docs/ROOFLINE.md §1). Using the higher figure keeps the
+    # MFU denominators honest for kernels that ARE block-resident.
+    shape, ITERS = (32, 512), 40_000
 
-    def kernel(y_ref, o_ref):
-        y = y_ref[...]
-        a = jnp.float32(0.9999999)
-        b = jnp.float32(1e-9)
+    def probe(step, ops_per_step, depth):
+        def kernel(y_ref, o_ref):
+            def body(_, y):
+                for _ in range(depth):
+                    y = step(y)
+                return y
 
-        def body(_, y):
-            for _ in range(UNROLL):
-                y = a * y + b
-            return y
+            o_ref[...] = lax.fori_loop(0, ITERS, body, y_ref[...])
 
-        o_ref[...] = lax.fori_loop(0, ITERS, body, y)
+        y = jnp.full(shape, 0.5, dtype=jnp.float32)
+        f = jax.jit(lambda y: pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32))(y))
+        _sync(f(y))
+        best = min(_timed(lambda: f(y), 1) for _ in range(5))
+        return ops_per_step * depth * ITERS * shape[0] * shape[1] / best
 
-    y = jnp.full(shape, 0.5, dtype=jnp.float32)
-    f = jax.jit(lambda y: pl.pallas_call(
-        kernel, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32))(y))
-    _sync(f(y))
-    best = min(_timed(lambda: f(y), 1) for _ in range(5))
-    _VPU_PEAK["flops"] = 2.0 * UNROLL * ITERS * shape[0] * shape[1] / best
-    return _VPU_PEAK["flops"]
+    a, b = np.float32(0.9999999), np.float32(1e-9)
+    fma = probe(lambda y: a * y + b, 2.0, 512)
+    mul = probe(lambda y: y * a, 1.0, 512)
+    _VPU_PEAK["ops"] = max(fma, mul)
+    _VPU_PEAK["which"] = "fma_pair" if fma >= mul else "mul"
+    return _VPU_PEAK["ops"]
 
 
-def _roofline(evals, dt, mode, compiled=None, n_wei=16):
-    """Achieved FLOP/s + fraction of the measured VPU-FMA peak.
+def _roofline(evals, dt, mode, fn=None, n_wei=16):
+    """Falsifiable utilization accounting (VERDICT r3 #1; docs/ROOFLINE.md).
 
-    Two figures (VERDICT r2 #6):
+    Numerator: the builder's ``work_report`` — per-kernel-call executed
+    (line-slot x point) evaluations from the static plans (padding slots
+    included, skipped blocks excluded) x the hand-counted per-mode VPU
+    lane-op cost (`pallas_xsect._ops_per_eval`, op-by-op derivations in
+    docs/ROOFLINE.md §3). Denominator: the probe-validated issue-slot
+    peak. No XLA cost-analysis numbers anywhere.
 
-    * ``device_flops_per_s`` — XLA cost-analysis flops (which include the
-      Pallas kernels' published CostEstimates, i.e. the padded-block work
-      the chip actually executes) divided by measured wall time; its
-      ``pct_measured_vpu_peak`` is the MFU-style utilization figure.
-    * ``useful_flops_per_s`` — hapi-window evaluations x the per-eval flop
-      model (`_flops_per_eval`, 'full' mode); overcounts two-pass far-wing
-      evals (which run the ~52-flop asymptotic form) and excludes padding,
-      so it is a work-rate figure, not a utilization figure.
+    ``executed_evals_per_s`` is the chip's real work rate — for coarse-far
+    rows it differs from the nominal hapi-window ``value`` by design (the
+    scheme evaluates ~R x fewer far-field points); both are emitted.
     """
-    from radtxfr_tpu.kernels.pallas_xsect import _flops_per_eval
+    from radtxfr_tpu.kernels.pallas_xsect import _ops_per_eval
 
-    if mode == "ht":
-        per = 6 * (8 * n_wei) + 600     # pallas_xsect.py HT cost estimate
-    else:
-        per = _flops_per_eval(n_wei, mode)
     peak = measured_vpu_peak()
-    out = {"useful_flops_per_s": evals * per / dt,
-           "flops_per_eval_model": per,
-           "measured_vpu_peak_flops_per_s": peak,
-           "roofline_note": ("cost-model flops are scheduler estimates "
-                             "(upper bound) and the FMA probe is a lower "
-                             "bound on chip peak; pct near/above 100 = "
-                             "VPU-bound at speed-of-light")}
-    if compiled is not None:
-        try:
-            ca = compiled.cost_analysis()
-            ca = ca[0] if isinstance(ca, list) else ca
-            dev = float(ca["flops"]) / dt
-            out["device_flops_per_s"] = dev
-            out["pct_measured_vpu_peak"] = 100.0 * dev / peak
-        except Exception:
-            pass
+    out = {"peak_ops_per_s": peak,
+           "peak_provenance": ("max sustained dependent-chain rate across "
+                               "instruction mixes, tools/vpu_peak_probe.py "
+                               "+ in-process fma/mul probes "
+                               f"({_VPU_PEAK.get('which')}); "
+                               "docs/ROOFLINE.md")}
+    report = getattr(fn, "work_report", None)
+    if report:
+        ex_evals = sum(r["evals"] for r in report)
+        ex_ops = sum(r["evals"] * _ops_per_eval(r["n_weideman"], r["mode"])
+                     for r in report)
+        out.update({
+            "executed_evals": ex_evals,
+            "executed_evals_per_s": ex_evals / dt,
+            "executed_ops_per_s": ex_ops / dt,
+            "mfu_pct": 100.0 * (ex_ops / dt) / peak,
+            "ops_accounting": ("hand-counted lane ops x plan-executed "
+                               "work; conservative (per-line algebra and "
+                               "non-kernel ops uncharged)"),
+        })
     return out
 
 
@@ -280,7 +290,6 @@ def bench_voigt(jnp, iso, atm, lines, axis):
     fn = make_od_pallas_fn(lines, iso, grid, atm)
     args = (atm.T, atm.p, atm.pl, atm.vmr)
     _sync(fn(*args))
-    compiled = jax.jit(fn).lower(*args).compile()
 
     n_rep = 10 if on_tpu else 1
     dt = _timed(lambda: fn(*args), n_rep)
@@ -289,7 +298,7 @@ def bench_voigt(jnp, iso, atm, lines, axis):
     value = evals / dt
     _emit("voigt_window_evals_per_s_per_chip", value, "evals/s",
           value / HAPI_BASELINE_EVALS_PER_S,
-          extra=_roofline(evals, dt, "full", compiled=compiled))
+          extra=_roofline(evals, dt, "full", fn=fn))
     return evals / HAPI_BASELINE_EVALS_PER_S  # hapi seconds per spectrum
 
 
@@ -313,14 +322,13 @@ def bench_voigt_derived(jnp, iso, atm):
     fn = make_od_pallas_fn(lines, iso, grid, atm)
     args = (atm.T, atm.p, atm.pl, atm.vmr)
     _sync(fn(*args))
-    compiled = jax.jit(fn).lower(*args).compile()
     n_rep = 10 if on_tpu else 1
     dt = _timed(lambda: fn(*args), n_rep)
     evals = _window_evals(lines, iso, atm, axis)
     value = evals / dt
     _emit("voigt_derived_lines_window_evals_per_s_per_chip", value,
           "evals/s", value / HAPI_BASELINE_EVALS_PER_S,
-          extra=dict(_roofline(evals, dt, "full", compiled=compiled),
+          extra=dict(_roofline(evals, dt, "full", fn=fn),
                      n_lines=int(lines.n_lines),
                      lines_provenance=(
                          "physics-derived H2O+CO2+O3 LWIR list "
@@ -419,7 +427,6 @@ def bench_ht_layered(jnp, iso, atm):
     fn = make_od_ht_pallas_fn(lines, iso, axis, atm, extras=extras)
     args = (atm.T, atm.p, atm.pl, atm.vmr)
     _sync(fn(*args))
-    compiled = jax.jit(fn).lower(*args).compile()
     n_rep = 5 if on_tpu else 1
     dt = _timed(lambda: fn(*args), n_rep)
 
@@ -436,7 +443,7 @@ def bench_ht_layered(jnp, iso, atm):
     value = evals / dt
     _emit("ht_layered_od_window_evals_per_s_per_chip", value, "evals/s",
           value / HAPI_HT_BASELINE_EVALS_PER_S,
-          extra=_roofline(evals, dt, "ht", compiled=compiled))
+          extra=_roofline(evals, dt, "ht", fn=fn))
 
 
 def bench_sdvoigt_xs(jnp, iso):
@@ -461,7 +468,6 @@ def bench_sdvoigt_xs(jnp, iso):
     Tj = jnp.asarray(T_s, dtype=jnp.float32)
     pj = jnp.asarray(p_s, dtype=jnp.float32)
     _sync(fn(Tj, pj))
-    compiled = jax.jit(fn).lower(Tj, pj).compile()
 
     n_rep = 3 if on_tpu else 1
     dt = _timed(lambda: fn(Tj, pj), n_rep)
@@ -471,7 +477,7 @@ def bench_sdvoigt_xs(jnp, iso):
     value = evals / dt
     _emit("sdvoigt_window_evals_per_s_per_chip", value, "evals/s",
           value / HAPI_SDVOIGT_BASELINE_EVALS_PER_S,
-          extra=_roofline(evals, dt, "sdvoigt", compiled=compiled))
+          extra=_roofline(evals, dt, "sdvoigt", fn=fn))
 
 
 def bench_ht_xs(jnp, iso, atm_lines, axis):
@@ -497,7 +503,6 @@ def bench_ht_xs(jnp, iso, atm_lines, axis):
     Tj = jnp.asarray(T_s, dtype=jnp.float32)
     pj = jnp.asarray(p_s, dtype=jnp.float32)
     _sync(fn(Tj, pj))
-    compiled = jax.jit(fn).lower(Tj, pj).compile()
 
     n_rep = 3 if on_tpu else 1
     dt = _timed(lambda: fn(Tj, pj), n_rep)
@@ -516,7 +521,7 @@ def bench_ht_xs(jnp, iso, atm_lines, axis):
     value = evals / dt
     _emit("ht_window_evals_per_s_per_chip", value, "evals/s",
           value / HAPI_HT_BASELINE_EVALS_PER_S,
-          extra=_roofline(evals, dt, "ht", compiled=compiled))
+          extra=_roofline(evals, dt, "ht", fn=fn))
 
 
 def main():

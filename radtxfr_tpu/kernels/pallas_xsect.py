@@ -1265,6 +1265,79 @@ def _xsect_fused_sdvoigt_diff_jvp(cfg, interpret, primals, tangents):
     return out, tan
 
 
+def plan_executed_evals(plan: BucketPlan, n_lay: int) -> int:
+    """Executed (line-slot x grid-point) evaluations for ONE kernel call.
+
+    The fused kernels' grid is (n_tiles, max_blocks) but blocks beyond
+    ``counts[i]`` are skipped by ``pl.when`` — the work the chip actually
+    runs is sum(counts) blocks, each a full (n_lay, block, tile) dense
+    evaluation *including* the padding slots of each tile's last block
+    (packed plans) / boundary blocks (shared plans). This is the honest
+    numerator for utilization accounting (bench.py::_roofline), unlike the
+    padded ``n_tiles * max_blocks`` grid bound.
+    """
+    return int(n_lay) * int(np.sum(plan.counts)) * plan.block * plan.tile
+
+
+def _ops_per_eval(n_wei: int, mode: str) -> int:
+    """Hand-counted VPU lane-ops per (line-slot, grid-point) evaluation.
+
+    Derivation conventions (full op-by-op tables: docs/ROOFLINE.md):
+
+    * one elementwise lane op (mul/add/sub/neg/cmp/and/select/abs/max/min/
+      sign/int-sub/convert) on the (block, tile) working set = 1;
+      ``a*b+c`` counts 2 (the probe suite shows mul+add pairs sustain
+      ~1.4e12 ops/s vs ~1.26e12 for single ops — no single-slot FMA);
+    * sqrt = 3, divide = 4, fast reciprocal (approx + Newton) = 4,
+      exp = 6 — calibrated against tools/vpu_peak_probe.py composites;
+    * per-line (block, 1) algebra is EXCLUDED (amortized by tile >= 256);
+      compiler CSE of repeated subexpressions is assumed where flagged in
+      the tables. Both choices bias the count LOW, so utilization figures
+      derived from it are conservative.
+
+    Building blocks at n = n_wei (y per-line unless marked _E):
+    PRE = 11 (index diff+cast, frac sub, 3-op window mask, scale mul,
+    select, row accumulate, 2-op x); ASYM = 17 guarded / 16 plain
+    (elementwise-y variant 19); WEI = 30 + 7n (elementwise-y 35 + 7n);
+    CPF3_RE = 168 (re-only, DCE'd imag), CPF3_PAIR = 172;
+    W_KL = 65 + 7n per-line-y / 72 + 7n elementwise-y.
+    """
+    n = int(n_wei)
+    if mode == "asym":
+        return 11 + 17
+    if mode == "lorentz":
+        return 11 + 7
+    if mode == "doppler":
+        return 11 + 9
+    if mode == "mix":
+        return 11 + (65 + 7 * n) + 2
+    if mode == "full":
+        return 11 + 3 + (30 + 7 * n) + 16 + 1
+    if mode == "core":
+        return 11 + 3 + (30 + 7 * n) + 17 + 2
+    if mode == "sdvoigt_asym":
+        return 11 + 2 + 19 + 3 + 2 * 19 + 2
+    if mode in ("sdvoigt", "sdvoigt_core"):
+        base = 57 + 2 * (227 + 7 * n)       # 735 at n=16
+        return base + (2 * 20 if mode == "sdvoigt_core" else 0)
+    if mode == "ht":
+        return 1312 + 42 * n                # 6 W_KL + 2 CPF3 + bookkeeping
+    if mode.startswith("corr:"):
+        # point term + mask/subtract + amortized node terms and lerp-weight
+        # construction (the (block, S+1) @ (S+1, tile) upsample itself runs
+        # on the MXU — not counted against the VPU)
+        variant = mode.split(":")[2]
+        overhead = 8 + 1 + 1 + 1 + 1 + 6
+        if variant == "voigt":
+            return overhead + 17
+        if variant == "voigtfull":
+            return overhead + 3 + (30 + 7 * n) + 16 + 1
+        if variant == "sdvoigt":
+            return overhead + 64 + 1
+        return overhead + (57 - 11) + 2 * (227 + 7 * n)   # sdvoigtfull
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 def _flops_per_eval(n_wei: int, mode: str) -> int:
     """Per-(line, nu-point) flop estimate for the XLA scheduler: the
     Weideman series is ~8 flops/term (complex Horner), the asymptotic form

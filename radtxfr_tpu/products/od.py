@@ -787,6 +787,11 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
             out = out + cont(T, p_pa, pl, vmr)
         return out
 
+    od_fn.work_report = _work_report(
+        n_weideman,
+        [(mode, plan, len(lay_idx)) for lay_idx, _, plan, mode in calls],
+        coarse_calls, corr_calls,
+        n_lay_full=int(np.asarray(states_h[0].T).size))
     return od_fn
 
 
@@ -820,6 +825,35 @@ def _make_continuum_term(g, mol_ids, continuum, continuum_factors,
         return jax.vmap(one)(T, p_pa, pl, vmr).astype(jnp.float32)
 
     return term
+
+
+def _work_report(n_weideman, classic_calls, coarse_calls, corr_calls,
+                 n_lay_full):
+    """Executed-work manifest for a builder's kernel calls.
+
+    One entry per Pallas call: ``{"mode", "evals", "n_weideman"}`` with
+    ``evals`` = the dense (line-slot x point) work the chip executes
+    (:func:`~radtxfr_tpu.kernels.pallas_xsect.plan_executed_evals` —
+    padding slots included, skipped blocks excluded). bench.py's roofline
+    multiplies by the hand-counted per-mode op cost
+    (``pallas_xsect._ops_per_eval``; derivations in docs/ROOFLINE.md).
+    ``classic_calls``: (mode, plan, n_lay) triples; coarse/corr calls run
+    over all ``n_lay_full`` layers/states.
+    """
+    from ..kernels.pallas_xsect import plan_executed_evals
+
+    report = [{"mode": mode, "evals": plan_executed_evals(plan, n_lay),
+               "n_weideman": n_weideman}
+              for mode, plan, n_lay in classic_calls]
+    for _cls, plan, mode in (coarse_calls or []):
+        report.append({"mode": mode,
+                       "evals": plan_executed_evals(plan, n_lay_full),
+                       "n_weideman": n_weideman})
+    for _cls, plan, mode in (corr_calls or []):
+        report.append({"mode": mode,
+                       "evals": plan_executed_evals(plan, n_lay_full),
+                       "n_weideman": n_weideman})
+    return report
 
 
 def _coarse_far_min_wing(g, coarse_r, near_width, tile_corr=512):
@@ -1030,6 +1064,10 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
                              fused_layers=True, fast_rcp=fast_rcp))
         return out
 
+    xs_fn.work_report = _work_report(
+        n_weideman,
+        [(mode, plan, len(lay_idx)) for lay_idx, _, plan, mode in calls],
+        coarse_calls, corr_calls, n_lay_full=int(T_c.size))
     return xs_fn
 
 
@@ -1263,6 +1301,10 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                     n_weideman=n_weideman, fast_rcp=fast_rcp))
         return out
 
+    ht_fn.work_report = _work_report(
+        n_weideman,
+        [(mode, plan, len(lay_idx)) for mode, lay_idx, _, plan in calls],
+        coarse_calls, corr_calls, n_lay_full=int(T_cc.size))
     return ht_fn
 
 
@@ -1392,6 +1434,10 @@ def make_od_ht_pallas_fn(lines, iso, grid, atmos_class, extras=None,
             out = out + cont(T, p_pa, pl, vmr)
         return out
 
+    od_fn.work_report = _work_report(
+        n_weideman,
+        [(mode, plan, len(lay_idx)) for mode, lay_idx, _, plan in calls],
+        None, None, n_lay_full=int(np.asarray(states_h[0].T).size))
     return od_fn
 
 
