@@ -9,13 +9,18 @@ Metrics (all on one chip, north-star configurations from BASELINE.json):
    *Window evaluations* = sum over (layer, line) of the hapi wing-window
    length (the work the reference engine actually performs) / wall time.
 2. ``tud_spectra_per_s`` — full TUD products (9 sensor altitudes, 30
-   downwelling angles, MT_CKD-formulation continuum on — the reference's
-   ICNTNM=6 production physics — and 0.25 cm^-1 on-device reduction)
-   through the sharded Pallas ensemble path; steady-state spectra per
-   second including the host batch loop.
+   downwelling angles, 0.25 cm^-1 on-device reduction) on the
+   physics-DERIVED clustered LWIR line list with CO2 Q-branch line
+   mixing AND the MT_CKD-formulation continuum — the reference's full
+   production physics (ICNTNM=6 + ILBLF4=1,
+   ``radiative_transfer.py:621-622``) — through the sharded Pallas
+   ensemble path; steady-state spectra per second including the host
+   batch loop. ``tud_spectra_per_s_synthetic`` keeps the round-1..3
+   uniform synthetic-list configuration for continuity.
 3. ``ensemble_1000_wall_s`` — wall-clock seconds for the full
    1000-atmosphere LWIR TUD ensemble (the reference's production run,
-   ``Generate_LWIR_TUD.py``); lower is better.
+   ``Generate_LWIR_TUD.py``) on the same derived-list+physics config;
+   lower is better. ``_synthetic`` variant as above.
 4. ``sdvoigt_window_evals_per_s_per_chip`` — the reference XS-generator
    workload (``misc/RT_gen_AbsXS_files.py:15-31,87-92``): SD-Voigt
    cross-sections over 400-7100 cm^-1 at 0.0025 cm^-1 (2.68M points) with
@@ -337,8 +342,18 @@ def bench_voigt_derived(jnp, iso, atm):
                          "network egress for a verbatim HITRAN extract")))
 
 
-def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum):
-    """Metrics 2 + 3: the production ensemble run."""
+def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum,
+                       line_mixing=None, suffix="",
+                       lines_provenance="synthetic uniform draw"):
+    """Metrics 2 + 3: the production ensemble run.
+
+    The headline rows (no suffix) run the physics-DERIVED clustered
+    LWIR list with CO2 Q-branch line mixing + MT_CKD-formulation
+    continuum — the reference's production configuration
+    (``Generate_LWIR_TUD.py:77-85``, ``radiative_transfer.py:621-622``;
+    VERDICT r3 #2). The ``_synthetic`` rows keep the round-1..3
+    uniform-draw configuration for cross-round continuity.
+    """
     import jax
 
     from radtxfr_tpu.dist.ensemble import stack_states
@@ -369,7 +384,8 @@ def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum):
     probe = stack_states([member(i) for i in range(batch)])
     gpad, run = make_tud_ensemble_fn(lines, iso, axis, probe, alts, mesh,
                                      atmos_class=env, n_angles=30,
-                                     continuum="mt_ckd")
+                                     continuum="mt_ckd",
+                                     line_mixing=line_mixing)
 
     n = axis.size
     op = reduce_operator(np.asarray(gpad.values()[:n], dtype=np.float64), 0.25)
@@ -394,11 +410,16 @@ def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum):
     t_end = time.perf_counter()
 
     steady = (n_atmos - batch) / (t_end - t_steady0)
-    _emit("tud_spectra_per_s", steady, "spectra/s",
-          steady * hapi_s_per_spectrum)
+    extra = {"lines_provenance": lines_provenance,
+             "n_lines": int(np.asarray(lines.nu0).size),
+             "physics": ("mt_ckd continuum"
+                         + (", CO2 Q-branch line mixing"
+                            if line_mixing is not None else ""))}
+    _emit("tud_spectra_per_s" + suffix, steady, "spectra/s",
+          steady * hapi_s_per_spectrum, extra=extra)
     wall = t_end - t_all0
-    _emit("ensemble_1000_wall_s", wall, "s",
-          (n_atmos * hapi_s_per_spectrum) / wall)
+    _emit("ensemble_1000_wall_s" + suffix, wall, "s",
+          (n_atmos * hapi_s_per_spectrum) / wall, extra=extra)
 
 
 def bench_ht_layered(jnp, iso, atm):
@@ -536,7 +557,8 @@ def main():
     from radtxfr_tpu.lines.synthetic import synthetic_lines
 
     only = set((os.environ.get("BENCH_ONLY")
-                or "voigt,derived,tud,sdvoigt,ht,ht_layered").split(","))
+                or "voigt,derived,tud,tud_synth,sdvoigt,ht,ht_layered")
+               .split(","))
     iso = IsoTables.load(dtype=jnp.float32)
     atm = std_atmosphere(dtype=jnp.float32)
     lines = synthetic_lines(20_000, nu_min=480.0, nu_max=1520.0, seed=0,
@@ -549,9 +571,25 @@ def main():
     if "derived" in only:
         bench_voigt_derived(jnp, iso, atm)
     if "tud" in only:
+        # headline: the derived clustered list + full production physics
+        from radtxfr_tpu.kernels.linemixing_data import y_air_for_store
+        from radtxfr_tpu.lines.derived import derived_lwir_linelist
+
+        dlines = derived_lwir_linelist(480.0, 1520.0, dtype=jnp.float32)
+        lm = {"y_air": y_air_for_store(dlines)}
+        hapi_s_d = (_window_evals(dlines, iso, atm, axis)
+                    / HAPI_BASELINE_EVALS_PER_S)
+        bench_tud_ensemble(
+            jnp, iso, atm, dlines, axis, hapi_s_d, line_mixing=lm,
+            lines_provenance=("physics-derived clustered LWIR list "
+                              "(lines/derived.py) + EPG CO2 Q-branch "
+                              "mixing (kernels/linemixing_data.py)"))
+    if "tud_synth" in only:
+        # round-1..3 continuity rows (synthetic uniform list)
         if hapi_s is None:
             hapi_s = _window_evals(lines, iso, atm, axis) / HAPI_BASELINE_EVALS_PER_S
-        bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s)
+        bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s,
+                           suffix="_synthetic")
     if "sdvoigt" in only:
         bench_sdvoigt_xs(jnp, iso)
     if "ht" in only:

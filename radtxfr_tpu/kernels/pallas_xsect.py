@@ -713,7 +713,7 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
             # off_ref: global grid index of this device's first point (for
             # spectrum-sharded SPMD execution; 0 single-device)
             k_grid = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-                      + i * tile + off_ref[0])
+                      + i * tile + off_ref[i])
             rel = (k_grid - k_line).astype(jnp.float32)
             u = rel - frac0
 
@@ -741,7 +741,7 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                     _, r_s, variant = mode.split(":")
                     Ri = int(r_s)
                     S = tile // Ri
-                    k0 = i * tile + off_ref[0]
+                    k0 = i * tile + off_ref[i]
                     s_iota = jax.lax.broadcasted_iota(
                         jnp.int32, (1, S + 1), 1)
                     k_nodes = k0 + s_iota * Ri
@@ -879,7 +879,7 @@ def _make_fused_ht_kernel(tile: int, block: int, n_lay: int, dx: float,
             k_line = k_ref[0, 0, :].reshape(block, 1)
             frac0 = f0_ref[0, 0, :].reshape(block, 1)
             k_grid = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-                      + i * tile + off_ref[0])
+                      + i * tile + off_ref[i])
             rel = (k_grid - k_line).astype(jnp.float32)
             u = rel - frac0
 
@@ -970,7 +970,7 @@ def xsect_ht_pallas(plan: BucketPlan, strength, wing, consts: dict,
         cfg, jnp.asarray(plan.k_line), jnp.asarray(plan.frac0),
         pad(strength, 0.0), pad(wingu, 0.0), consts_padded,
         jnp.asarray(plan.starts), jnp.asarray(plan.counts),
-        jnp.zeros((1,), dtype=jnp.int32), interpret=interpret)
+        jnp.zeros((plan.n_tiles,), dtype=jnp.int32), interpret=interpret)
 
 
 def _make_fused_jvp_kernel(tile: int, block: int, n_lay: int, dx: float,
@@ -1011,7 +1011,7 @@ def _make_fused_jvp_kernel(tile: int, block: int, n_lay: int, dx: float,
             k_line = k_ref[0, 0, :].reshape(block, 1)
             frac0 = f0_ref[0, 0, :].reshape(block, 1)
             k_grid = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-                      + i * tile + off_ref[0])
+                      + i * tile + off_ref[i])
             rel = (k_grid - k_line).astype(jnp.float32)
             u = rel - frac0
 
@@ -1132,7 +1132,7 @@ def _make_fused_sdvoigt_jvp_kernel(tile: int, block: int, n_lay: int,
             k_line = k_ref[0, 0, :].reshape(block, 1)
             frac0 = f0_ref[0, 0, :].reshape(block, 1)
             k_grid = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-                      + i * tile + off_ref[0])
+                      + i * tile + off_ref[i])
             rel = (k_grid - k_line).astype(jnp.float32)
             u = rel - frac0
 
@@ -1564,10 +1564,16 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
             pad = lambda a, fill: _pad_fused(a, nb, block, fill)
         else:
             pad = lambda a, fill: _gather_fused(a, gth, fill)
+        # per-TILE global offsets (weighted/permuted spectrum sharding
+        # assigns tiles to shards non-contiguously); a scalar broadcasts
+        # to the contiguous-shard case
         if k_offset is None:
-            k_offset = jnp.zeros((1,), dtype=jnp.int32)
+            k_offset = jnp.zeros((nt,), dtype=jnp.int32)
         else:
-            k_offset = jnp.asarray(k_offset, dtype=jnp.int32).reshape(1)
+            k_offset = jnp.asarray(k_offset, dtype=jnp.int32)
+            k_offset = (jnp.full((nt,), k_offset.reshape(()), dtype=jnp.int32)
+                        if k_offset.ndim == 0 or k_offset.size == 1
+                        else k_offset.reshape(nt))
         if differentiable:
             if mode == "sdvoigt":
                 out = xsect_fused_sdvoigt_diff(

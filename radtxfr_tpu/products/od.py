@@ -815,10 +815,15 @@ def _make_continuum_term(g, mol_ids, continuum, continuum_factors,
     n = g.n if n_local is None else n_local
     mol_ids = tuple(mol_ids)
 
-    def term(T, p_pa, pl, vmr, k_offset=0):
-        # continuum coefficients are smooth — a float32 axis is plenty
-        k = (jnp.asarray(k_offset, dtype=jnp.float32)
-             + jnp.arange(n, dtype=jnp.float32))
+    def term(T, p_pa, pl, vmr, k_offset=0, k_index=None):
+        # continuum coefficients are smooth — a float32 axis is plenty.
+        # k_index: explicit per-point global grid indices (weighted/
+        # permuted sharding); k_offset: contiguous-slice shorthand.
+        if k_index is not None:
+            k = jnp.asarray(k_index, dtype=jnp.float32)
+        else:
+            k = (jnp.asarray(k_offset, dtype=jnp.float32)
+                 + jnp.arange(n, dtype=jnp.float32))
         nu = jnp.float32(g.x0) + jnp.float32(g.dx) * k
         one = lambda T_l, p_l, pl_l, vmr_l: cfn(nu, T_l, p_l, vmr_l,
                                                 mol_ids, pl_l, cf)
@@ -1487,7 +1492,9 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
                             far_block: int | None = None,
                             group_ratio: float = 1.6, fast_rcp: bool = True,
                             profile: str = "voigt",
-                            continuum: str = "none", continuum_factors=None):
+                            continuum: str = "none", continuum_factors=None,
+                            line_mixing: dict | None = None,
+                            partition: str = "equal"):
     """SPMD building block: per-shard OD over a spectrum-sharded grid.
 
     All shards run the *same* program (one set of static bucket plans built
@@ -1506,6 +1513,25 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
     * ``padded_grid`` — the padded :class:`UniformGrid`; ``n_local =
       padded_grid.n // n_shards`` (trailing pad points carry wing spill,
       slice them off after gathering).
+
+    ``partition`` (VERDICT r3 #3):
+
+    * ``'equal'`` — contiguous equal-width spectral slices (the classic
+      layout); per-shard work skews with the line-density profile
+      (measured 88.8% balance efficiency on the production-shaped
+      8-shard dryrun in round 3).
+    * ``'weighted'`` — tiles are grouped into chunks (the largest call
+      tile span) and chunks are assigned to shards by greedy
+      longest-processing-time on the packed plans' op-weighted executed
+      work (``plan.counts x block x tile x n_lay x ops_per_eval``), with
+      equal chunk cardinality so every shard runs the same program
+      shape. Each shard's points are then a non-contiguous permutation
+      of the global grid: ``spec_data`` becomes ``{"calls": [(starts,
+      counts, tile_offsets), ...], "point_idx": (n_shards, n_local)
+      int32}``, the kernels take per-tile global offsets, the continuum
+      evaluates at exact global indices, and ``local_fn.point_index``
+      maps shard-local outputs back to global grid order
+      (``out_global[:, point_index[s]] = out_shard_s``).
     """
     from ..kernels.pallas_xsect import UniformGrid, xsect_pallas
 
@@ -1519,27 +1545,67 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
     g = UniformGrid(x0=g0.x0, dx=g0.dx, n=n_pad)
     n_local = n_pad // n_shards
 
+    # Rosenkranz line mixing (same composition as make_od_pallas_fn):
+    # mixing lines run the 'mix' kernel mode with the per-layer Y riding
+    # the spare gamma_2 slot; zero-y lines keep the ordinary Voigt passes.
+    mix_idx = None
+    y_air = y_self = None
+    n_T = 0.0
+    if line_mixing is not None:
+        y_air = np.asarray(line_mixing["y_air"], dtype=np.float64)
+        y_self_arr = line_mixing.get("y_self")
+        y_self = (None if y_self_arr is None
+                  else jnp.asarray(np.asarray(y_self_arr)))
+        n_T = float(line_mixing.get("n_T", 0.0))
+        mix_idx = np.nonzero(y_air != 0.0)[0]
+    y_air_j = None if y_air is None else jnp.asarray(y_air)
+
     lines_h, iso_h, states_h = _host_planning_views(lines, iso, atmos_class)
     cols = jnp.asarray(_line_species_cols(lines_h, states_h[0].mol_ids))
     calls = _build_od_calls(
         lines_h, iso_h, states_h, g, wing_abs=wing_abs, wing_hw=wing_hw,
         max_groups=max_groups, tile=tile,
         two_pass=two_pass, far_tile=far_tile, far_block=far_block,
-        group_ratio=group_ratio, profile=profile)
+        group_ratio=group_ratio, profile=profile, mix_idx=mix_idx)
     cont = _make_continuum_term(g, states_h[0].mol_ids, continuum,
                                 continuum_factors, n_local=n_local)
 
-    spec_data = []
     for _, _, plan, _ in calls:
         if n_local % plan.tile:
             raise AssertionError(
                 f"plan tile {plan.tile} does not divide the per-shard point "
                 f"count {n_local}; alignment bug")
-        nt_loc = n_local // plan.tile
-        spec_data.append((
-            jnp.asarray(plan.starts.reshape(n_shards, nt_loc)),
-            jnp.asarray(plan.counts.reshape(n_shards, nt_loc)),
-        ))
+
+    point_index = None
+    if partition == "equal":
+        spec_data = []
+        for _, _, plan, _ in calls:
+            nt_loc = n_local // plan.tile
+            spec_data.append((
+                jnp.asarray(plan.starts.reshape(n_shards, nt_loc)),
+                jnp.asarray(plan.counts.reshape(n_shards, nt_loc)),
+            ))
+    elif partition == "weighted":
+        assign = _weighted_chunk_assignment(calls, n_pad, n_shards,
+                                            n_weideman)
+        A = n_pad // (assign.shape[0] * assign.shape[1])
+        call_spec = []
+        for _, _, plan, _ in calls:
+            t = plan.tile
+            tpc = A // t
+            nt_loc = n_local // t
+            gt = (assign[:, :, None] * tpc
+                  + np.arange(tpc)).reshape(n_shards, nt_loc)
+            offs = (gt * t - np.arange(nt_loc) * t).astype(np.int32)
+            call_spec.append((jnp.asarray(plan.starts[gt]),
+                              jnp.asarray(plan.counts[gt]),
+                              jnp.asarray(offs)))
+        point_index = (assign[:, :, None] * A
+                       + np.arange(A)).reshape(n_shards, n_local)
+        spec_data = {"calls": call_spec,
+                     "point_idx": jnp.asarray(point_index.astype(np.int32))}
+    else:
+        raise ValueError(f"unknown partition {partition!r}")
 
     def local_fn(T, p_pa, pl, vmr, local_spec, k_offset):
         p_atm = p_pa / PA_PER_ATM
@@ -1553,19 +1619,80 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
             )
 
         params = jax.vmap(one)(T, p_atm, pl, vmr)
+        params_mix = None
+        if y_air_j is not None:
+            import dataclasses as _dc
+
+            from ..kernels.linemixing import mixing_coefficient
+
+            Y = jax.vmap(lambda T_l, p_l, vmr_l: mixing_coefficient(
+                y_air_j, p_l, T_l, y_self=y_self,
+                x_self=vmr_l[cols], n_T=n_T))(T, p_atm, vmr)
+            params_mix = _dc.replace(params,
+                                     gamma_2=Y.astype(params.gamma_2.dtype))
+        if isinstance(local_spec, dict):
+            call_spec = [(s, c, o.reshape(-1)) for s, c, o
+                         in local_spec["calls"]]
+            k_index = local_spec["point_idx"].reshape(-1)
+        else:
+            call_spec = [(s, c, k_offset) for s, c in local_spec]
+            k_index = None
         out = jnp.zeros((T.shape[0], n_local), dtype=jnp.float32)
         sub = lambda a, li, ci: jax.tree.map(lambda x: x[li][:, ci], a)
-        for (lay_idx, cls_idx, plan, mode), (starts, counts) in zip(calls, local_spec):
+        for (lay_idx, cls_idx, plan, mode), (starts, counts, offs) in zip(
+                calls, call_spec):
+            src = params_mix if mode == "mix" else params
             od_c = xsect_pallas(
-                plan, sub(params, lay_idx, cls_idx), n_weideman=n_weideman,
+                plan, sub(src, lay_idx, cls_idx), n_weideman=n_weideman,
                 mode=mode, fused_layers=True, fast_rcp=fast_rcp,
                 starts=starts.reshape(-1), counts=counts.reshape(-1),
-                k_offset=k_offset,
+                k_offset=offs,
                 n_tiles=n_local // plan.tile, n_out=n_local,
             )
             out = out.at[lay_idx].add(od_c)
         if cont is not None:
-            out = out + cont(T, p_pa, pl, vmr, k_offset=k_offset)
+            if k_index is not None:
+                out = out + cont(T, p_pa, pl, vmr, k_index=k_index)
+            else:
+                out = out + cont(T, p_pa, pl, vmr, k_offset=k_offset)
         return out
 
+    local_fn.partition = partition
+    local_fn.point_index = point_index
     return local_fn, spec_data, g
+
+
+def _weighted_chunk_assignment(calls, n_pad, n_shards, n_weideman):
+    """(n_shards, chunks_per_shard) chunk ids balancing op-weighted work.
+
+    Chunk span = the largest call tile (every call tile divides it; all
+    powers of two). Per-chunk work sums each call's
+    ``counts x block x tile x n_lay x ops_per_eval(mode)`` over the
+    chunk's tiles; assignment is greedy longest-processing-time under an
+    equal-cardinality constraint (every shard gets exactly
+    ``n_chunks / n_shards`` chunks so the SPMD program shape is uniform).
+    """
+    from ..kernels.pallas_xsect import _ops_per_eval
+
+    A = max(plan.tile for _, _, plan, _ in calls)
+    nc = n_pad // A
+    if nc % n_shards:
+        raise AssertionError("chunk count not divisible by shard count")
+    work = np.zeros(nc, dtype=np.float64)
+    for lay_idx, _, plan, mode in calls:
+        t = plan.tile
+        per_tile = (plan.counts.astype(np.float64) * plan.block * t
+                    * len(lay_idx) * _ops_per_eval(n_weideman, mode))
+        work += per_tile.reshape(nc, A // t).sum(axis=1)
+    cap = nc // n_shards
+    loads = np.zeros(n_shards)
+    fill = np.zeros(n_shards, dtype=np.int64)
+    assign = np.empty((n_shards, cap), dtype=np.int64)
+    for c in np.argsort(-work, kind="stable"):
+        open_s = np.nonzero(fill < cap)[0]
+        s = open_s[np.argmin(loads[open_s])]
+        assign[s, fill[s]] = c
+        fill[s] += 1
+        loads[s] += work[c]
+    assign.sort(axis=1)
+    return assign

@@ -173,6 +173,119 @@ def test_spectrum_sharded_sdvoigt_matches_unsharded(iso_tables):
     assert np.abs(got[:, :n] - want[:, :n]).max() < 5e-6 * peak
 
 
+def test_spectrum_sharded_line_mixing_matches_unsharded(iso_tables):
+    """make_od_pallas_local_fn(line_mixing=...): Rosenkranz 'mix' calls
+    under spectrum sharding match the unsharded builder (the production
+    ensemble path needs mixing + continuum together; VERDICT r3 #2)."""
+    from jax.sharding import PartitionSpec as P
+
+    from radtxfr_tpu.dist.mesh import SPECTRUM
+    from radtxfr_tpu.products.od import make_od_pallas_fn, make_od_pallas_local_fn
+
+    lines = synthetic_lines(200, nu_min=790.0, nu_max=860.0, seed=36)
+    rng = np.random.default_rng(7)
+    y_air = rng.normal(0.0, 0.05, 200)
+    y_air[::3] = 0.0                    # mixed population
+    lm = {"y_air": y_air, "n_T": 0.75}
+    grid = arange_drift_free(800.0, 850.0, 0.02)
+    atm = std_atmosphere()
+    n_spec = 4
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), (SPECTRUM,))
+
+    loc_fn, spec_data, gpad = make_od_pallas_local_fn(
+        lines, iso_tables, grid, atm, n_spec, line_mixing=lm,
+        continuum="mt_ckd")
+    n_local = gpad.n // n_spec
+
+    def body(T, p, pl, vmr, local):
+        off = jax.lax.axis_index(SPECTRUM) * n_local
+        return loc_fn(T, p, pl, vmr, local, off)
+
+    sharded = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(),
+                  jax.tree.map(lambda _: P(SPECTRUM), spec_data)),
+        out_specs=P(None, SPECTRUM), check_vma=False))
+    got = np.asarray(sharded(atm.T, atm.p, atm.pl, atm.vmr, spec_data))
+
+    fn = make_od_pallas_fn(lines, iso_tables, gpad, atm, line_mixing=lm,
+                           continuum="mt_ckd")
+    want = np.asarray(fn(atm.T, atm.p, atm.pl, atm.vmr))
+    n = grid.size
+    peak = np.abs(want[:, :n]).max()
+    assert np.abs(got[:, :n] - want[:, :n]).max() < 5e-6 * peak
+
+
+def test_weighted_partition_matches_unsharded(iso_tables):
+    """partition='weighted' (VERDICT r3 #3): op-weighted chunk assignment
+    permutes tiles across shards; unpermuted output must match the
+    unsharded builder exactly, and the static work split must be tighter
+    than equal-width slicing on a clustered line distribution."""
+    from jax.sharding import PartitionSpec as P
+
+    from radtxfr_tpu.dist.mesh import SPECTRUM
+    from radtxfr_tpu.products.od import (make_od_pallas_fn,
+                                         make_od_pallas_local_fn)
+
+    # strongly clustered list: all lines in the lower quarter of the band
+    # (band wide enough for several chunks per shard — the assignment has
+    # no freedom at one chunk per shard)
+    a = synthetic_lines(300, nu_min=795.0, nu_max=830.0, seed=36)
+    grid = arange_drift_free(800.0, 920.0, 0.01)
+    atm = std_atmosphere()
+    n_spec = 4
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), (SPECTRUM,))
+
+    loc_fn, spec_data, gpad = make_od_pallas_local_fn(
+        a, iso_tables, grid, atm, n_spec, partition="weighted",
+        continuum="mt_ckd")
+    n_local = gpad.n // n_spec
+    assert loc_fn.point_index.shape == (n_spec, n_local)
+    # every global point appears exactly once
+    assert np.array_equal(np.sort(loc_fn.point_index.ravel()),
+                          np.arange(gpad.n))
+
+    def body(T, p, pl, vmr, local):
+        return loc_fn(T, p, pl, vmr, local, 0)
+
+    sharded = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(),
+                  jax.tree.map(lambda _: P(SPECTRUM), spec_data)),
+        out_specs=P(None, SPECTRUM), check_vma=False))
+    got = np.asarray(sharded(atm.T, atm.p, atm.pl, atm.vmr, spec_data))
+
+    # unpermute shard-local outputs back to global grid order
+    got_g = np.empty_like(got)
+    for s in range(n_spec):
+        got_g[:, loc_fn.point_index[s]] = got[:, s * n_local:(s + 1) * n_local]
+
+    fn = make_od_pallas_fn(a, iso_tables, gpad, atm, continuum="mt_ckd")
+    want = np.asarray(fn(atm.T, atm.p, atm.pl, atm.vmr))
+    n = grid.size
+    peak = np.abs(want[:, :n]).max()
+    assert np.abs(got_g[:, :n] - want[:, :n]).max() < 5e-6 * peak
+
+    # static balance: weighted split must beat equal-width on this
+    # clustered distribution (equal-width puts ~all work on shard 0)
+    eq_fn, eq_spec, _ = make_od_pallas_local_fn(
+        a, iso_tables, grid, atm, n_spec, partition="equal")
+
+    def static_work(spec):
+        entries = spec["calls"] if isinstance(spec, dict) else spec
+        tot = np.zeros(n_spec)
+        for e in entries:
+            tot += np.asarray(e[1], dtype=np.float64).sum(axis=1)
+        return tot.mean() / tot.max()
+
+    # at this toy scale only 12 chunks exist (3/shard) and one chunk
+    # holds most of the cluster, bounding the reachable balance; the
+    # production-scale granularity check is the 8-shard dryrun
+    # (__graft_entry__._dryrun_production_shaped, MULTICHIP_r04)
+    eff_w, eff_e = static_work(spec_data), static_work(eq_spec)
+    assert eff_w > 1.5 * eff_e, (eff_w, eff_e)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_line_sharded_od_matches_replicated(iso_tables):
     """Line-sharded SPMD OD (in-band + halo lines per shard) vs the
