@@ -98,3 +98,101 @@ def test_envi_round_trip(tmp_path, interleave):
     np.testing.assert_array_equal(back, cube)
     np.testing.assert_allclose(h["wavelength"], wl, rtol=1e-6)
     assert h["interleave"] == interleave
+
+
+def test_tape3_round_trip():
+    """TAPE3 (LNFL LINFIL layout) synthetic writer -> reader round trip,
+    incl. interleaved line-coupling entries and block splitting
+    (VERDICT r3 #5; reference consumption site
+    radiative_transfer.py:491)."""
+    import tempfile
+
+    import numpy as np
+
+    from radtxfr_tpu.io.lblrtm import read_tape3, write_tape3
+
+    rng = np.random.default_rng(5)
+    n = 700
+    nu0 = np.sort(rng.uniform(600.0, 800.0, n))
+    sw = 10.0 ** rng.uniform(-26, -20, n)
+    ga = rng.uniform(0.02, 0.12, n)
+    el = rng.uniform(0.0, 3000.0, n)
+    mol = rng.integers(1, 8, n)
+    iso = rng.integers(1, 3, n)
+    gs = ga * rng.uniform(1.0, 5.0, n)
+    na = rng.uniform(0.4, 0.8, n)
+    da = rng.normal(0.0, 0.005, n)
+    # coupling on a scattered subset (CO2-style Y/G quadruples)
+    coup = {int(i): rng.normal(0.0, 0.05, 8).astype(np.float32)
+            for i in rng.choice(n, 40, replace=False)}
+
+    with tempfile.TemporaryDirectory() as d:
+        f = d + "/TAPE3"
+        write_tape3(f, nu0, sw, ga, el, mol, iso, gs, na, da,
+                    coupling=coup, block_lines=100)
+        t3 = read_tape3(f)
+
+    assert t3["nu0"].size == n
+    np.testing.assert_allclose(t3["nu0"], nu0, rtol=0, atol=0)  # f64 exact
+    np.testing.assert_allclose(t3["sw"], sw.astype(np.float32), rtol=1e-7)
+    np.testing.assert_allclose(t3["gamma_air"], ga.astype(np.float32),
+                               rtol=1e-6)
+    np.testing.assert_allclose(t3["elower"], el.astype(np.float32),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(t3["mol_id"], mol)
+    np.testing.assert_array_equal(t3["local_iso_id"], iso)
+    np.testing.assert_allclose(t3["n_air"], na.astype(np.float32),
+                               rtol=1e-6)
+    np.testing.assert_allclose(t3["delta_air"], da.astype(np.float32),
+                               rtol=1e-5, atol=1e-8)
+    # coupling entries recovered at the right lines with the right pairs
+    c = t3["coupling"]
+    assert c["index"].size == len(coup)
+    got = {int(i): yg for i, yg in zip(c["index"], c["yg"])}
+    for i, yg in coup.items():
+        np.testing.assert_array_equal(got[i], yg)
+    # flagged lines carry IFLG=1
+    assert (t3["iflg"][c["index"]] == 1).all()
+
+
+def test_tape3_to_linestore_and_od():
+    """TAPE3 -> LineStore -> the engine computes finite OD; the 296 K
+    coupling column lands as a line_mixing dict."""
+    import tempfile
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.io.lblrtm import tape3_to_linestore, write_tape3
+    from radtxfr_tpu.lines.store import IsoTables
+    from radtxfr_tpu.products import compute_od_layers
+
+    rng = np.random.default_rng(6)
+    n = 80
+    nu0 = np.sort(rng.uniform(690.0, 720.0, n))
+    coup = {5: np.asarray([0.0, 0.0, 0.01, -0.001, 0.02, -0.002, 0.03,
+                           -0.003], dtype=np.float32)}
+    with tempfile.TemporaryDirectory() as d:
+        f = d + "/TAPE3"
+        write_tape3(f, nu0, 10.0 ** rng.uniform(-24, -20, n),
+                    rng.uniform(0.05, 0.1, n), rng.uniform(0.0, 1000.0, n),
+                    np.full(n, 2), np.ones(n, dtype=int),
+                    rng.uniform(0.06, 0.15, n), rng.uniform(0.5, 0.8, n),
+                    np.zeros(n), coupling=coup)
+        store, lm = tape3_to_linestore(f)
+
+    assert int(np.asarray(store.nu0).size) == n
+    assert lm is not None and np.count_nonzero(lm["y_air"]) == 1
+    # y at 296 K (pair index 2) attached to the right line center
+    k = int(np.nonzero(lm["y_air"])[0][0])
+    assert abs(float(np.asarray(store.nu0)[k]) - nu0[5]) < 1e-9
+    assert lm["y_air"][k] == np.float32(0.02)
+
+    iso = IsoTables.load()
+    atm = std_atmosphere()
+    axis = arange_drift_free(695.0, 715.0, 0.01)
+    od = np.asarray(compute_od_layers(store, iso, jnp.asarray(axis), atm,
+                                      line_mixing=lm))
+    assert np.isfinite(od).all() and od.max() > 0
