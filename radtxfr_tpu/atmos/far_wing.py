@@ -48,6 +48,10 @@ amagat^-2 near 80 cm^-1) and the O2 fundamental (centered 1556 cm^-1,
 690-1410 cm^-1 (their tails enter below 700 and above 1350) — included
 so every TAPE5 slot is physically active across the engine's full
 400-7100 cm^-1 range, with honest approximate-magnitude provenance.
+(The H2O self/foreign tables likewise span the full 400-7100 cm^-1 as
+of round 4 — anchors through the 4 um, 2.1 um and 1.6 um windows with
+stated uncertainties; :mod:`radtxfr_tpu.atmos.continuum` warns if a
+user-installed table covers less.)
 """
 
 from __future__ import annotations

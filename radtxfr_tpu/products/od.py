@@ -805,8 +805,10 @@ def _make_continuum_term(g, mol_ids, continuum, continuum_factors,
     """
     if continuum == "none":
         return None
-    from ..atmos.continuum import CONTINUUM_MODELS
+    from ..atmos.continuum import CONTINUUM_MODELS, check_h2o_table_coverage
 
+    if continuum == "mt_ckd":
+        check_h2o_table_coverage(g.x0, g.x0 + g.dx * (g.n - 1))
     cfn = CONTINUUM_MODELS[continuum]
     cf = (jnp.ones(7) if continuum_factors is None
           else jnp.asarray(continuum_factors, dtype=jnp.float32))
