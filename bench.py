@@ -545,6 +545,69 @@ def bench_ht_xs(jnp, iso, atm_lines, axis):
           extra=_roofline(evals, dt, "ht", fn=fn))
 
 
+def bench_jacobian(jnp, iso, atm, lines, axis):
+    """Metric 6 (VERDICT r3 #6): analytic-JVP Jacobians on the Pallas
+    path. One JVP pass = one directional derivative of the full
+    (66, nX) OD tensor; the reference computes each Jacobian row by a
+    full finite-difference forward run (199 perturbed profiles,
+    ``Generate_LWIR_TUD.py:55-71``), so ``vs_baseline`` compares one JVP
+    against hapi's cost for the two forward runs a central difference
+    needs. Voigt runs the north-star workload; HT runs a disclosed
+    smaller config (2k lines, 790-830 cm^-1 — the jvp-traced pcqsdhc
+    tangent kernel at production block shapes)."""
+    import jax
+
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products.od import make_od_pallas_fn, make_od_ht_pallas_fn
+
+    on_tpu = jax.default_backend() == "tpu"
+    lay = 3
+
+    fn_v = make_od_pallas_fn(lines, iso, axis, atm, differentiable=True)
+    jac_v = jax.jit(jax.jacfwd(
+        lambda tl: fn_v(atm.T.at[lay].set(tl), atm.p, atm.pl, atm.vmr)))
+    _sync(jac_v(atm.T[lay]))
+    dt = _timed(lambda: jac_v(atm.T[lay]), 3 if on_tpu else 1)
+    evals = _window_evals(lines, iso, atm, axis)
+    fd_s = 2.0 * evals / HAPI_BASELINE_EVALS_PER_S
+    _emit("voigt_jacobian_jvp_per_s", 1.0 / dt, "JVP/s", fd_s / dt,
+          extra={"config": "20k lines, 500-1500 @ 0.0025, d/dT[3]",
+                 "baseline_note": "hapi central-difference row (2 forward "
+                                  "runs) for the same config"})
+
+    n = 2000
+    hl = synthetic_lines(n, nu_min=780.0, nu_max=840.0, seed=77,
+                         dtype=jnp.float32, sd_zero_frac=0.4)
+    rng = np.random.default_rng(5)
+    ht_rows = rng.random(n) < 0.4
+    extras = {"nu_HT_air": rng.uniform(0.01, 0.05, n) * ht_rows,
+              "kappa_HT_air": rng.uniform(0.0, 1.0, n) * ht_rows,
+              "eta_HT_air": rng.uniform(0.1, 0.3, n) * ht_rows}
+    ax_h = arange_drift_free(790.0, 830.0, 0.0025)
+    fn_h = make_od_ht_pallas_fn(hl, iso, ax_h, atm, extras=extras,
+                                differentiable=True)
+    jac_h = jax.jit(jax.jacfwd(
+        lambda tl: fn_h(atm.T.at[lay].set(tl), atm.p, atm.pl, atm.vmr)))
+    _sync(jac_h(atm.T[lay]))
+    dt_h = _timed(lambda: jac_h(atm.T[lay]), 3 if on_tpu else 1)
+    from radtxfr_tpu.kernels.ht_driver import resolve_ht_columns
+    from radtxfr_tpu.products.od import ht_wing_bounds
+
+    lines_h = hl.host_view()
+    resolved = resolve_ht_columns(lines_h, extras, {"air": 1.0, "self": 1.0})
+    W = ht_wing_bounds(resolved, lines_h, iso,
+                       np.asarray(atm.T, dtype=np.float64),
+                       np.asarray(atm.p, dtype=np.float64) / 101325.0)
+    nu0 = np.broadcast_to(np.asarray(lines_h.nu0, dtype=np.float64), W.shape)
+    lo = np.searchsorted(ax_h, (nu0 - W).ravel(), side="right")
+    hi = np.searchsorted(ax_h, (nu0 + W).ravel(), side="right")
+    fd_s_h = 2.0 * int((hi - lo).sum()) / HAPI_HT_BASELINE_EVALS_PER_S
+    _emit("ht_jacobian_jvp_per_s", 1.0 / dt_h, "JVP/s", fd_s_h / dt_h,
+          extra={"config": "2k lines (~40% live HT), 790-830 @ 0.0025, "
+                           "d/dT[3]; jvp-traced pcqsdhc tangent kernel"})
+
+
 def main():
     import jax.numpy as jnp
 
@@ -557,7 +620,8 @@ def main():
     from radtxfr_tpu.lines.synthetic import synthetic_lines
 
     only = set((os.environ.get("BENCH_ONLY")
-                or "voigt,derived,tud,tud_synth,sdvoigt,ht,ht_layered")
+                or "voigt,derived,tud,tud_synth,sdvoigt,ht,ht_layered,"
+                   "jacobian")
                .split(","))
     iso = IsoTables.load(dtype=jnp.float32)
     atm = std_atmosphere(dtype=jnp.float32)
@@ -596,6 +660,8 @@ def main():
         bench_ht_xs(jnp, iso, lines, axis)
     if "ht_layered" in only:
         bench_ht_layered(jnp, iso, atm)
+    if "jacobian" in only:
+        bench_jacobian(jnp, iso, atm, lines, axis)
 
 
 if __name__ == "__main__":

@@ -53,10 +53,18 @@ def _cdiv(ar, ai, br, bi, guard=None):
 
 
 def _csqrt(ar, ai):
-    """Principal complex sqrt as real pairs (Re >= 0 branch)."""
-    r = jnp.sqrt(ar * ar + ai * ai)
-    u = jnp.sqrt(jnp.maximum(0.5 * (r + ar), 0.0))
-    v_mag = jnp.sqrt(jnp.maximum(0.5 * (r - ar), 0.0))
+    """Principal complex sqrt as real pairs (Re >= 0 branch).
+
+    The zero floors are the dtype's smallest NORMAL, not 0.0: sqrt has an
+    infinite derivative at 0, so a 0.0 floor makes jvp produce 0/0 = NaN
+    tangents wherever an argument lands exactly on it (X nearly real ->
+    r - ar == 0 in f32 — hit by the differentiable HT kernel even for
+    zero input tangents). With a tiny-normal floor the max() zeroes the
+    tangent instead; the value moves by sqrt(tiny) ~ 1e-19 — nothing."""
+    g = jnp.finfo(jnp.result_type(ar)).tiny
+    r = jnp.sqrt(jnp.maximum(ar * ar + ai * ai, g))
+    u = jnp.sqrt(jnp.maximum(0.5 * (r + ar), g))
+    v_mag = jnp.sqrt(jnp.maximum(0.5 * (r - ar), g))
     # sign convention: sqrt maps to Re >= 0; Im carries the sign of ai.
     # ai == 0, ar < 0 -> +i sqrt(|ar|) (numpy branch) — sign(0) = 0 would
     # zero it, so use >= 0 selection instead of sign().

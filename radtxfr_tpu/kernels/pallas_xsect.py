@@ -404,11 +404,19 @@ def _cpf3_pair(x, y):
     """(Re, Im) of the 15-term asymptotic CPF (``cpf3``,
     ``misc/hapi.py:9645-9670``) in real arithmetic — the single
     implementation shared by the SD-Voigt block (real part) and the HT
-    kernel (:mod:`.htp_real`, full pair). The zero-magnitude guard is the
-    dtype's smallest normal: a 1e-300 literal underflows to 0.0 in
-    float32, which would make the guard a no-op on the kernel path."""
+    kernel (:mod:`.htp_real`, full pair).
+
+    Domain guard |z|^2 >= 9: the series is compute-and-masked — the
+    hapi selection rule only ever USES it at |z| >= 7 (szmx > 8 with
+    |sz1 - sz2| <= 1 forces szmn >= 7) — but at small unselected |z| its
+    15 terms reach ~(tt!!)(1/|z|^2)^15: 2.3e38 at |z| = 0.125, a hair
+    under the f32 max on one platform and Inf on another (TPU rounding),
+    and Inf intermediates turn zero tangents into NaN under jvp (the
+    differentiable HT path; 0 x Inf). Clamping the magnitude keeps every
+    unselected evaluation finite on every platform without touching any
+    selected value."""
     m = x * x + y * y
-    m = jnp.maximum(m, jnp.finfo(jnp.result_type(m)).tiny)
+    m = jnp.maximum(m, 9.0)
     ar = x / m
     ai = -y / m
     # zm2 = zm1^2
@@ -941,8 +949,13 @@ def _xsect_fused_ht_call(cfg, k_line, frac0, strength, wingu, consts,
 
 def xsect_ht_pallas(plan: BucketPlan, strength, wing, consts: dict,
                     n_weideman: int = 24, fast_rcp: bool = False,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None,
+                    differentiable: bool = False):
     """Hartmann-Tran layered spectra with the Pallas kernel.
+
+    ``differentiable=True`` routes through :func:`xsect_fused_ht_diff`
+    (analytic JVP via a second fused tangent kernel; tangents flow
+    through strength and the 11 HT constants, wing tangents dropped).
 
     ``strength``/``wing`` and every entry of ``consts``
     (:func:`~radtxfr_tpu.kernels.htp_real.ht_line_constants` output) are
@@ -966,11 +979,167 @@ def xsect_ht_pallas(plan: BucketPlan, strength, wing, consts: dict,
            fast_rcp and not interpret)
     consts_padded = tuple(pad(consts[k], 1.0 if k == "cte" else 0.0)
                           for k in _HT_CONST_KEYS)
-    return _xsect_fused_ht_call(
-        cfg, jnp.asarray(plan.k_line), jnp.asarray(plan.frac0),
-        pad(strength, 0.0), pad(wingu, 0.0), consts_padded,
-        jnp.asarray(plan.starts), jnp.asarray(plan.counts),
-        jnp.zeros((plan.n_tiles,), dtype=jnp.int32), interpret=interpret)
+    args = (cfg, jnp.asarray(plan.k_line), jnp.asarray(plan.frac0),
+            pad(strength, 0.0), pad(wingu, 0.0), consts_padded,
+            jnp.asarray(plan.starts), jnp.asarray(plan.counts),
+            jnp.zeros((plan.n_tiles,), dtype=jnp.int32))
+    if differentiable:
+        return xsect_fused_ht_diff(*args, interpret)
+    return _xsect_fused_ht_call(*args, interpret=interpret)
+
+
+def _make_fused_ht_jvp_kernel(tile: int, block: int, n_lay: int, dx: float,
+                              n_weideman: int, fast: bool = False):
+    """Tangent kernel for the Hartmann-Tran block: the directional
+    derivative of ``strength * pcqsdhc_real(dnu, consts)`` w.r.t.
+    (strength, consts) is obtained by tracing ``jax.jvp`` through the
+    real-arithmetic profile INSIDE the kernel body — analytically exact
+    for the implemented region blend (the derivative OF the
+    approximation, the same policy as the Voigt/SD-Voigt JVP kernels),
+    with no hand-derived gradient of the four-region structure to
+    maintain. Wing-cutoff tangents are dropped (piecewise-constant
+    window, as everywhere in the Jacobian story)."""
+    from .htp_real import pcqsdhc_real
+
+    dx = np.float32(dx)
+    wei_L_f, wei_a_f = weideman_coeffs(n_weideman)
+    wei_a = tuple(np.float32(c) for c in wei_a_f)
+    wei_L = np.float32(wei_L_f)
+    n_c = len(_HT_CONST_KEYS)
+
+    def kernel(starts_ref, counts_ref, off_ref, k_ref, f0_ref, s_ref,
+               wu_ref, *refs):
+        const_refs = refs[:n_c]
+        s_t_ref = refs[n_c]
+        const_t_refs = refs[n_c + 1:2 * n_c + 1]
+        tan_ref = refs[-1]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            tan_ref[...] = jnp.zeros_like(tan_ref)
+
+        @pl.when(j < counts_ref[i])
+        def _accumulate():
+            k_line = k_ref[0, 0, :].reshape(block, 1)
+            frac0 = f0_ref[0, 0, :].reshape(block, 1)
+            k_grid = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+                      + i * tile + off_ref[i])
+            rel = (k_grid - k_line).astype(jnp.float32)
+            u = rel - frac0
+
+            def body(l, _):
+                get = lambda ref: ref[0, l, :].reshape(block, 1)
+                strength = get(s_ref)
+                wingu = get(wu_ref)
+                cv = tuple(get(r) for r in const_refs)
+                ct = tuple(get(r) for r in const_t_refs)
+                s_t = get(s_t_ref)
+
+                def f(sc, consts_vals):
+                    consts = dict(zip(_HT_CONST_KEYS, consts_vals))
+                    return sc * pcqsdhc_real(u * dx, consts, wei_a, wei_L,
+                                             fast)
+
+                _, tan = jax.jvp(f, (strength, cv), (s_t, ct))
+                mask = (u > -wingu) & (u <= wingu)
+                # finiteness guard: pcqsdhc is compute-and-mask — its
+                # UNSELECTED branches can reach f32 Inf at extreme
+                # parameters (the 15-term CPF3 series peaks within ~1.5x
+                # of the f32 max; Mosaic's rounding on TPU tips some such
+                # points to Inf that CPU holds finite), and jvp turns
+                # Inf intermediates into NaN tangents even for zero input
+                # tangents (0 x Inf). Selected-region branches are
+                # guarded and bounded, with bounded derivatives, so a
+                # non-finite tangent here is always masked-branch
+                # garbage — zero it. Correctness is pinned by the
+                # CPU-exact comparison against f64 jacfwd
+                # (tests/test_pallas_xsect.py::
+                # test_ht_differentiable_jacobian_matches_fd).
+                tan = jnp.where(jnp.isfinite(tan), tan, 0.0)
+                tan_ref[0, l, :] += jnp.sum(
+                    jnp.where(mask, tan, 0.0), axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, n_lay, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def _xsect_fused_ht_jvp_call(cfg, k_line, frac0, strength, wingu, consts,
+                             s_t, consts_t, starts, counts, offset,
+                             interpret=False):
+    tile, block, nb, nt, mb, n_out, dx, n_wei, _mode, fast = cfg
+    n_lay = strength.shape[1]
+    # fast=False: pl.reciprocal has no JVP rule, and the probe suite
+    # measured approx-rcp + Newton at the same slot cost as a divide on
+    # v5e anyway — the tangent kernel always uses exact division
+    kernel = _make_fused_ht_jvp_kernel(tile, block, n_lay, dx, n_wei,
+                                       fast=False)
+
+    def line_map(i, j, starts_ref, counts_ref, off_ref):
+        return (jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
+
+    n_data = 2 + 2 * len(consts)        # strength, consts, s_t, consts_t
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt, mb),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, n_lay, block), line_map, memory_space=pltpu.VMEM)
+        ] * (1 + n_data),
+        out_specs=pl.BlockSpec((1, n_lay, tile),
+                               lambda i, j, s, c, o: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    tan = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, n_lay, tile), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_lay * nt * mb * block * tile * _ops_per_eval(n_wei, "ht"),
+            bytes_accessed=(nt * n_lay * tile * 4
+                            + nt * mb * n_lay * block * 25 * 4),
+            transcendentals=0,
+        ),
+    )(starts, counts, offset, k_line, frac0, strength, wingu, *consts,
+      s_t, *consts_t)
+    return tan.transpose(1, 0, 2).reshape(n_lay, nt * tile)[:, :n_out]
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 9))
+def xsect_fused_ht_diff(cfg, k_line, frac0, strength, wingu, consts,
+                        starts, counts, offset, interpret=False):
+    """Differentiable fused HT call: primal = the ordinary HT kernel; the
+    JVP launches :func:`_make_fused_ht_jvp_kernel` as a second kernel
+    (two launches per JVP, keeping the primal unbatched under jacfwd).
+    Tangents flow through ``strength`` and all 11 per-line HT constants
+    (:data:`_HT_CONST_KEYS` order); wing tangents are dropped."""
+    return _xsect_fused_ht_call(cfg, k_line, frac0, strength, wingu,
+                                consts, starts, counts, offset,
+                                interpret=interpret)
+
+
+@xsect_fused_ht_diff.defjvp
+def _xsect_fused_ht_diff_jvp(cfg, interpret, primals, tangents):
+    k_line, frac0, s, wingu, consts, starts, counts, offset = primals
+    _, _, s_t, _, consts_t, _, _, _ = tangents
+    f32z = lambda t, p: (jnp.zeros_like(p)
+                         if isinstance(t, jax.custom_derivatives
+                                       .SymbolicZero)
+                         else t.astype(jnp.float32))
+    out = xsect_fused_ht_diff(cfg, k_line, frac0, s, wingu, consts,
+                              starts, counts, offset, interpret)
+    tan = _xsect_fused_ht_jvp_call(
+        cfg, k_line, frac0, s, wingu, consts,
+        f32z(s_t, s), tuple(f32z(t, p) for t, p in zip(consts_t, consts)),
+        starts, counts, offset, interpret=interpret)
+    return out, tan
 
 
 def _make_fused_jvp_kernel(tile: int, block: int, n_lay: int, dx: float,

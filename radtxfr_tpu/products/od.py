@@ -1319,7 +1319,8 @@ def make_od_ht_pallas_fn(lines, iso, grid, atmos_class, extras=None,
                          wing_abs=0.0, wing_hw=50.0, tile: int = 512,
                          n_weideman: int = 16, max_groups: int = 8,
                          group_ratio: float = 4.0, fast_rcp: bool = True,
-                         continuum: str = "none", continuum_factors=None):
+                         continuum: str = "none", continuum_factors=None,
+                         differentiable: bool = False):
     """Build a jitted (T, p_pa, pl, vmr) -> (nL, nX) **Hartmann-Tran** OD
     function for a layered atmosphere on the Pallas engine (VERDICT r2 #5:
     the full-HT fast path at layered production scale, matching
@@ -1373,6 +1374,12 @@ def make_od_ht_pallas_fn(lines, iso, grid, atmos_class, extras=None,
 
     cap_ht = max(8, ((1 << 16) // tile) // 8 * 8)   # pcqsdhc: ~40 live temps
     cap_sd = max(8, ((1 << 17) // tile) // 8 * 8)
+    if differentiable:
+        # the jvp-traced tangent kernels roughly double the live
+        # (block x tile) temps; VMEM-measured caps (21.4M OOM at the
+        # primal cap on v5e's 16M scoped limit)
+        cap_ht = max(8, cap_ht // 4)
+        cap_sd = max(8, cap_sd // 2)
     subsets = [("ht", np.nonzero(full_m)[0], cap_ht),
                ("sdvoigt", np.nonzero(~full_m & g2_any)[0], cap_sd),
                ("full", np.nonzero(~full_m & ~g2_any)[0], cap_sd)]
@@ -1424,7 +1431,8 @@ def make_od_ht_pallas_fn(lines, iso, grid, atmos_class, extras=None,
                     plan, sub(prm["strength"], lay_idx, idx),
                     sub(prm["wing"], lay_idx, idx),
                     sub(consts, lay_idx, idx),
-                    n_weideman=n_weideman, fast_rcp=fast_rcp))
+                    n_weideman=n_weideman, fast_rcp=fast_rcp,
+                    differentiable=differentiable))
             else:
                 lp = LineParams(
                     nu0=nu0_j[idx], nu0_shifted=nu0_j[idx],
@@ -1436,7 +1444,8 @@ def make_od_ht_pallas_fn(lines, iso, grid, atmos_class, extras=None,
                     shift0=sub(prm["shift0"], lay_idx, idx))
                 out = out.at[lay_idx].add(xsect_pallas(
                     plan, lp, mode=mode, fused_layers=True,
-                    n_weideman=n_weideman, fast_rcp=fast_rcp))
+                    n_weideman=n_weideman, fast_rcp=fast_rcp,
+                    differentiable=differentiable))
         if cont is not None:
             out = out + cont(T, p_pa, pl, vmr)
         return out

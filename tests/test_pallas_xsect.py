@@ -655,3 +655,73 @@ def test_work_report_executed_accounting(iso_tables):
         # double-coverage and padding keep the total within a small factor
         assert evals >= window_work
         assert evals < 10 * window_work, (evals, window_work)
+
+
+def test_ht_differentiable_jacobian_matches_fd(iso_tables):
+    """profile='ht' Jacobians on the Pallas path (VERDICT r3 #6): the
+    analytic JVP (jax.jvp traced through pcqsdhc_real inside the fused
+    tangent kernel) vs central finite differences of the f64 jnp HT
+    engine, w.r.t. a layer temperature."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.products.od import make_od_ht_pallas_fn
+    from radtxfr_tpu.products import compute_od_layers
+
+    atm = std_atmosphere()
+    lines = synthetic_lines(120, nu_min=795.0, nu_max=825.0, seed=77,
+                            sd_zero_frac=0.4)
+    n = int(np.asarray(lines.nu0).size)
+    rng = np.random.default_rng(5)
+    ht_rows = rng.random(n) < 0.4
+    extras = {"nu_HT_air": rng.uniform(0.01, 0.05, n) * ht_rows,
+              "kappa_HT_air": rng.uniform(0.0, 1.0, n) * ht_rows,
+              "eta_HT_air": rng.uniform(0.1, 0.3, n) * ht_rows}
+    axis = arange_drift_free(800.0, 820.0, 0.01)
+    fn = make_od_ht_pallas_fn(lines, iso_tables, axis, atm, extras=extras,
+                              differentiable=True)
+
+    lay = 3
+    f_of_T = lambda tl: fn(atm.T.at[lay].set(tl), atm.p, atm.pl, atm.vmr)
+    J = np.asarray(jax.jacfwd(f_of_T)(atm.T[lay]))[lay]
+
+    # analytic-vs-analytic: the f32 Pallas tangent kernel against the f64
+    # jnp engine's own jacfwd (measured 1.3e-6 — the kernel itself)
+    def g_jnp(tl):
+        a = atm.replace(T=atm.T.at[lay].set(tl))
+        return compute_od_layers(lines, iso_tables, jnp.asarray(axis), a,
+                                 profile="ht", ht_extras=extras)[lay]
+
+    J64 = np.asarray(jax.jacfwd(g_jnp)(atm.T[lay]))
+    scale = np.abs(J64).max()
+    assert np.abs(J - J64).max() < 5e-5 * scale, \
+        np.abs(J - J64).max() / scale
+
+    # vs central finite differences, masking points near any line's hapi
+    # window edge: wing = max(.., hw*Gamma(T)) moves with T, so FD flips
+    # whole wing values at the hard-cutoff points — a property of the
+    # window RULE, not of the derivative (autodiff treats the window as
+    # piecewise-constant, like the reference's FD Jacobians treat it)
+    def f64_od(tl):
+        return np.asarray(g_jnp(tl))
+
+    h = 0.05
+    fd = (f64_od(atm.T[lay] + h) - f64_od(atm.T[lay] - h)) / (2 * h)
+    from radtxfr_tpu.kernels.ht_driver import ht_params, resolve_ht_columns
+    from radtxfr_tpu.products.od import _line_species_cols
+
+    lines_h = lines.host_view()
+    res = resolve_ht_columns(lines_h, extras, {"air": 1.0, "self": 1.0})
+    cols = np.asarray(_line_species_cols(lines, atm.mol_ids))
+    x_self = np.asarray(atm.vmr)[lay, cols]
+    nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
+    mask = np.ones(axis.size, dtype=bool)
+    for dT in (-h, 0.0, h):
+        prm = ht_params(res, lines, iso_tables, float(atm.T[lay]) + dT,
+                        float(atm.p[lay]) / 101325.0,
+                        abun=[1.0 - x_self, x_self])
+        W = np.asarray(prm["wing"], dtype=np.float64)
+        for edge in (nu0 - W, nu0 + W):
+            k = np.searchsorted(axis, edge)
+            for off in (-2, -1, 0, 1, 2):
+                mask[np.clip(k + off, 0, axis.size - 1)] = False
+    assert np.abs((J - fd)[mask]).max() < 5e-4 * scale, \
+        np.abs((J - fd)[mask]).max() / scale
