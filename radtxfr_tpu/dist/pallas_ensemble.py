@@ -74,11 +74,26 @@ def make_tud_ensemble_fn(
     local_fn, spec_data, gpad = make_od_pallas_local_fn(
         lines, iso, grid, atmos_class, n_spec, **od_opts)
     n_local = gpad.n // n_spec
-    x_pad = jnp.asarray(gpad.values(np.float64), dtype=jnp.float32)
+    x_global = gpad.values(np.float64)
+    if local_fn.point_index is not None:
+        # weighted partition (od_opts partition='weighted'): each shard's
+        # points are a non-contiguous permutation of the global grid —
+        # feed the permuted axis in, gather the outputs back to global
+        # grid order on the way out (TUD is pointwise in nu, so the
+        # permutation commutes with everything in between)
+        flat_idx = np.asarray(local_fn.point_index).ravel()
+        x_pad = jnp.asarray(x_global[flat_idx], dtype=jnp.float32)
+        pos_of = np.empty(gpad.n, dtype=np.int64)
+        pos_of[flat_idx] = np.arange(gpad.n)
+        unpermute = jax.jit(lambda a: jnp.take(a, jnp.asarray(pos_of),
+                                               axis=1))
+    else:
+        x_pad = jnp.asarray(x_global, dtype=jnp.float32)
+        unpermute = None
     altitudes = jnp.atleast_1d(jnp.asarray(altitudes))
     mu_arr = jnp.atleast_1d(jnp.asarray(mu))
 
-    def body(grid_loc, T, p, pl, vmr, z0, *spec_local):
+    def body(grid_loc, T, p, pl, vmr, z0, spec_local):
         k_off = jax.lax.axis_index(SPECTRUM) * n_local
 
         def one_atmos(args):
@@ -98,7 +113,8 @@ def make_tud_ensemble_fn(
         in_specs=(
             P(SPECTRUM),
             P(ENSEMBLE), P(ENSEMBLE), P(ENSEMBLE), P(ENSEMBLE), P(ENSEMBLE),
-        ) + tuple(jax.tree.map(lambda _: P(SPECTRUM), spec_data)),
+            jax.tree.map(lambda _: P(SPECTRUM), spec_data),
+        ),
         out_specs=(
             P(ENSEMBLE, SPECTRUM, None, None),
             P(ENSEMBLE, SPECTRUM, None, None),
@@ -109,7 +125,10 @@ def make_tud_ensemble_fn(
     jitted = jax.jit(sharded)
 
     def run(b: AtmosphericState):
-        return jitted(x_pad, b.T, b.p, b.pl, b.vmr, b.z0, *spec_data)
+        tau, Lu, Ld = jitted(x_pad, b.T, b.p, b.pl, b.vmr, b.z0, spec_data)
+        if unpermute is not None:
+            tau, Lu, Ld = unpermute(tau), unpermute(Lu), unpermute(Ld)
+        return tau, Lu, Ld
 
     return gpad, run
 

@@ -330,3 +330,31 @@ def test_line_sharded_od_matches_replicated(iso_tables):
     got = got[:, :n]
     peak = np.abs(want).max()
     assert np.abs(got - want).max() < 5e-6 * peak, np.abs(got - want).max() / peak
+
+
+def test_tud_ensemble_weighted_partition_matches_equal(iso_tables):
+    """make_tud_ensemble_fn(partition='weighted'): permuted spectral
+    shards with output unpermute must reproduce the equal-width build
+    (TUD is pointwise in nu)."""
+    from radtxfr_tpu.dist.ensemble import stack_states
+    from radtxfr_tpu.dist.mesh import make_mesh
+    from radtxfr_tpu.dist.pallas_ensemble import make_tud_ensemble_fn
+
+    lines = synthetic_lines(250, nu_min=795.0, nu_max=830.0, seed=12)
+    axis = arange_drift_free(800.0, 920.0, 0.01)
+    atm = std_atmosphere()
+    mesh = make_mesh(2, 4)
+    batch = stack_states([atm.replace(T=atm.T + d) for d in range(4)])
+    alts = jnp.asarray([2.0, 500.0])
+
+    outs = {}
+    for part in ("equal", "weighted"):
+        gpad, run = make_tud_ensemble_fn(lines, iso_tables, axis, batch,
+                                         alts, mesh, n_angles=6,
+                                         continuum="mt_ckd",
+                                         partition=part)
+        outs[part] = [np.asarray(a) for a in run(batch)]
+    for a, b in zip(outs["equal"], outs["weighted"]):
+        peak = np.abs(a).max()
+        assert np.abs(a - b).max() < 5e-6 * max(peak, 1e-30), \
+            np.abs(a - b).max() / peak
