@@ -1104,7 +1104,7 @@ def ht_wing_bounds(resolved, lines_h, iso, T_states, p_atm_states,
 
 def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                       extras=None, wing_abs=0.0, wing_hw=50.0,
-                      tile: int = 512, n_weideman: int = 16,
+                      tile: int = 128, n_weideman: int = 16,
                       max_groups: int = 4, group_ratio: float = 4.0,
                       fast_rcp: bool = True, far_method: str = "auto",
                       coarse_r: int = 64, near_width: float = 4.0):
@@ -1126,6 +1126,11 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
     then pays full pcqsdhc anyway). Such lines are routed host-side to the
     cheaper Pallas modes; only lines with live eta/nuVC/Shift2 columns run
     the ~40-temp HT kernel. Identical math, same window mask.
+
+    ``tile=128`` (narrower than the Voigt builders' 512) is measured
+    optimal for the HT kernels' high live-register pressure on v5e —
+    1.5x (lattice) / 2.3x (layered) over 512 at ~3e-7 rel deviation
+    (tools/tile_sweep_ht.py).
     """
     from ..kernels.ht_driver import ht_params, resolve_ht_columns
     from ..kernels.htp_real import ht_line_constants
@@ -1316,7 +1321,7 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
 
 
 def make_od_ht_pallas_fn(lines, iso, grid, atmos_class, extras=None,
-                         wing_abs=0.0, wing_hw=50.0, tile: int = 512,
+                         wing_abs=0.0, wing_hw=50.0, tile: int = 128,
                          n_weideman: int = 16, max_groups: int = 8,
                          group_ratio: float = 4.0, fast_rcp: bool = True,
                          continuum: str = "none", continuum_factors=None,
