@@ -733,41 +733,57 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                 wingu = wu_ref[0, l, :].reshape(block, 1)
                 mask = (u > -wingu) & (u <= wingu)
                 if mode.startswith("corr:"):
-                    # Coarse-far correction pass: f(u) minus the linear
-                    # interpolation of f between the two bracketing
-                    # coarse-grid nodes (fine indices multiple of R).
+                    # Coarse-far correction pass: f(u) minus the 4-point
+                    # Lagrange-cubic interpolation of f through the
+                    # bracketing coarse-grid nodes (fine indices multiple
+                    # of R; node row 0 sits one coarse step LEFT of the
+                    # tile start so every fine point has a full stencil).
                     # Composed with the coarse far pass this makes the
                     # result EXACT (same guarded asym form) wherever this
                     # pass is placed (near zones + window-edge bands) and
-                    # pure smooth-wing interpolation elsewhere. Node
-                    # values are shared by the R points of each segment:
-                    # evaluated once on a (block, tile/R + 1) array and
-                    # broadcast, so the pass costs ~1x (not 3x) a plain
-                    # per-point pass over its zone. Requires tile % R == 0
-                    # and R-aligned tile starts (guaranteed: tiles start
-                    # at multiples of `tile`).
+                    # pure smooth-wing interpolation elsewhere — cubic,
+                    # O((R dx / d)^4), so dense line lists whose wing
+                    # errors sum coherently stay ~1e-5-of-peak accurate
+                    # (linear interp left a measured 2.7e-3-of-peak bias
+                    # on the 30k-line XS lattice). Node values are shared
+                    # by the R points of each segment: evaluated once on
+                    # a (block, tile/R + 3) array and broadcast, so the
+                    # pass costs ~1x (not 3x) a plain per-point pass over
+                    # its zone. Requires tile % R == 0 and R-aligned tile
+                    # starts (guaranteed: tiles start at multiples of
+                    # `tile`).
                     _, r_s, variant = mode.split(":")
                     Ri = int(r_s)
                     S = tile // Ri
                     k0 = i * tile + off_ref[i]
                     s_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, S + 1), 1)
-                    k_nodes = k0 + s_iota * Ri
+                        jnp.int32, (1, S + 3), 1)
+                    k_nodes = k0 + (s_iota - 1) * Ri
                     u_n = (k_nodes - k_line).astype(jnp.float32) - frac0
-                    # lerp-expansion matrix built from iotas (Pallas
-                    # forbids captured array constants): point i
-                    # interpolates nodes (i//R, i//R + 1) with weights
-                    # (1-t, t); the (block, S+1) node values expand to
-                    # (block, tile) in one tiny MXU matmul (Mosaic cannot
-                    # shape-cast a lane-dim broadcast-reshape)
+                    # cubic-expansion matrix built from iotas (Pallas
+                    # forbids captured array constants): point i in
+                    # segment seg = i//R interpolates node rows
+                    # (seg, seg+1, seg+2, seg+3) — coarse nodes at
+                    # (seg-1, seg, seg+1, seg+2) — with the uniform
+                    # 4-point Lagrange weights at t = frac(i/R); the
+                    # (block, S+3) node values expand to (block, tile)
+                    # in one tiny MXU matmul (Mosaic cannot shape-cast a
+                    # lane-dim broadcast-reshape). MUST match the
+                    # builders' host-side upsample weights exactly.
                     s_m = jax.lax.broadcasted_iota(
-                        jnp.int32, (S + 1, tile), 0)
+                        jnp.int32, (S + 3, tile), 0)
                     i_m = jax.lax.broadcasted_iota(
-                        jnp.int32, (S + 1, tile), 1)
+                        jnp.int32, (S + 3, tile), 1)
                     seg = i_m // Ri
                     tt = (i_m - seg * Ri).astype(jnp.float32) / Ri
-                    W_lerp = (jnp.where(s_m == seg, 1.0 - tt, 0.0)
-                              + jnp.where(s_m == seg + 1, tt, 0.0))
+                    wm1 = -tt * (tt - 1.0) * (tt - 2.0) * (1.0 / 6.0)
+                    w0 = (tt * tt - 1.0) * (tt - 2.0) * 0.5
+                    w1 = -tt * (tt + 1.0) * (tt - 2.0) * 0.5
+                    w2 = tt * (tt * tt - 1.0) * (1.0 / 6.0)
+                    W_lerp = (jnp.where(s_m == seg, wm1, 0.0)
+                              + jnp.where(s_m == seg + 1, w0, 0.0)
+                              + jnp.where(s_m == seg + 2, w1, 0.0)
+                              + jnp.where(s_m == seg + 3, w2, 0.0))
 
                     # point-term function: near-zone passes ('...full')
                     # evaluate the exact hum1_wei/pcqsdhc blend, which
@@ -810,9 +826,17 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
 
                     msk = lambda uu: (uu > -wingu) & (uu <= wingu)
                     fm = lambda uu: jnp.where(msk(uu), f_pt(uu), 0.0)
-                    v_n = jnp.where(msk(u_n), f_nd(u_n), 0.0)  # (block, S+1)
+                    v_n = jnp.where(msk(u_n), f_nd(u_n), 0.0)  # (block, S+3)
+                    # HIGHEST precision is required: the default MXU
+                    # precision truncates the f32 inputs to bf16, and
+                    # near line centers the node values reach several
+                    # times the line peak — the resulting ~4e-3 relative
+                    # interp error does NOT cancel against the host-side
+                    # f32 upsample (measured 1.3e-3-of-peak on TPU while
+                    # CPU runs of the same code sat at 1e-7).
                     interp = jnp.dot(v_n, W_lerp,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
                     contrib = fm(u) - interp
                     out_ref[0, l, :] += jnp.sum(contrib, axis=0)
                     return 0
@@ -1492,11 +1516,14 @@ def _ops_per_eval(n_wei: int, mode: str) -> int:
     if mode == "ht":
         return 1312 + 42 * n                # 6 W_KL + 2 CPF3 + bookkeeping
     if mode.startswith("corr:"):
-        # point term + mask/subtract + amortized node terms and lerp-weight
-        # construction (the (block, S+1) @ (S+1, tile) upsample itself runs
-        # on the MXU — not counted against the VPU)
+        # point term + mask/subtract + amortized node terms and
+        # cubic-weight construction: the (S+3, tile) Lagrange weight
+        # matrix costs ~16 ops/entry built per (block x tile) body call,
+        # ~16(S+3)/block ~ 12/point at the production corr shapes
+        # (S ~ 8-11, block ~ 16); the (block, S+3) @ (S+3, tile)
+        # upsample itself runs on the MXU — not counted against the VPU
         variant = mode.split(":")[2]
-        overhead = 8 + 1 + 1 + 1 + 1 + 6
+        overhead = 8 + 1 + 1 + 1 + 1 + 12
         if variant == "voigt":
             return overhead + 17
         if variant == "voigtfull":

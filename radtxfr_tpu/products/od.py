@@ -725,7 +725,7 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
     g_c = coarse_calls = corr_calls = None
     if use_coarse:
         calls = [c for c in calls if c[3] in ("core", "sdvoigt_core")]
-        nw = max(float(near_width), 10.0 * np.sqrt(coarse_r * g.dx))
+        nw = _coarse_near_width(coarse_r, g.dx, near_width)
         g_c, coarse_calls, corr_calls = _build_coarse_far_calls(
             lines_h, g, wing_abs, profile, coarse_r, nw,
             tile_coarse=min(tile, 512), tile_corr=512)
@@ -765,10 +765,7 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
                     plan, sub(params, all_lay, cls_idx),
                     n_weideman=n_weideman, mode=mode, fused_layers=True,
                     fast_rcp=fast_rcp)
-            i = jnp.arange(g.n)
-            j = i // R
-            t = ((i - j * R) / R).astype(jnp.float32)
-            out = out_c[:, j] * (1.0 - t) + out_c[:, j + 1] * t
+            out = _coarse_upsample(out_c, g.n, R)
             for cls_idx, plan, mode in corr_calls:
                 out = out + xsect_pallas(
                     plan, sub(params, all_lay, cls_idx),
@@ -863,22 +860,57 @@ def _work_report(n_weideman, classic_calls, coarse_calls, corr_calls,
     return report
 
 
+def _coarse_near_width(coarse_r, dx, near_width):
+    """Near-zone half-width for the coarse-far scheme (cubic stencil).
+
+    The 4-point Lagrange interpolation of a smooth 1/d^2-class wing has
+    relative error ~2.8 (R dx / d)^4 (Lagrange remainder constant 0.0234
+    x f''''/f ~ 120/d^4), so d >= 41 R dx keeps the per-line boundary
+    error < 1e-6 of the local wing value — small enough that even dense
+    lists summing thousands of coherent wing biases stay ~1e-5-of-peak.
+    """
+    return max(float(near_width), 41.0 * int(coarse_r) * dx)
+
+
 def _coarse_far_min_wing(g, coarse_r, near_width, tile_corr=512):
     """Minimum statically-safe ``wing_abs`` for the coarse-far scheme.
 
     The near-zone and window-edge correction passes are independent packed
     plans, and the corr kernel masks only by the TRUE window (the plans'
     placement is what localizes each pass). If the near interval
-    [nu0 - nw, nu0 + nw] and an edge band [nu0 +- wing_abs -+ (R+2) dx]
-    ever share a ``tile_corr`` tile, that (line, tile) membership applies
-    the correction twice. Disjointness is guaranteed when the gap between
-    the intervals exceeds one correction tile:
+    [nu0 - nw, nu0 + nw] and an edge band [nu0 +- wing_abs -+ (2R+2) dx]
+    (the cubic stencil's two-segment reach) ever share a ``tile_corr``
+    tile, that (line, tile) membership applies the correction twice.
+    Disjointness is guaranteed when the gap between the intervals exceeds
+    one correction tile:
 
-        wing_abs - (R+2) dx - nw >= tile_corr dx  (+ slack for rounding)
+        wing_abs - (2R+2) dx - nw >= tile_corr dx  (+ slack for rounding)
     """
     R = int(coarse_r)
-    nw = max(float(near_width), 10.0 * np.sqrt(R * g.dx))
-    return nw + (R + 2 + int(tile_corr) + 4) * g.dx
+    nw = _coarse_near_width(R, g.dx, near_width)
+    return nw + (2 * R + 2 + int(tile_corr) + 4) * g.dx
+
+
+def _coarse_upsample(out_c, n_fine, R):
+    """Uniform 4-point Lagrange-cubic upsample of the coarse far field.
+
+    ``out_c`` is (nLay, n_coarse) on the extended coarse grid built by
+    :func:`_build_coarse_far_calls` (column 0 one coarse step LEFT of the
+    fine origin). Fine point i in segment j = i//R interpolates coarse
+    nodes (j-1, j, j+1, j+2) = extended columns (j .. j+3). The weights
+    MUST match the corr kernels' in-kernel stencil exactly — the
+    correction passes subtract this same interpolation to make their
+    zones exact.
+    """
+    i = jnp.arange(n_fine)
+    j = i // R
+    t = ((i - j * R) / R).astype(jnp.float32)
+    wm1 = -t * (t - 1.0) * (t - 2.0) * (1.0 / 6.0)
+    w0 = (t * t - 1.0) * (t - 2.0) * 0.5
+    w1 = -t * (t + 1.0) * (t - 2.0) * 0.5
+    w2 = t * (t * t - 1.0) * (1.0 / 6.0)
+    return (out_c[:, j] * wm1 + out_c[:, j + 1] * w0
+            + out_c[:, j + 2] * w1 + out_c[:, j + 3] * w2)
 
 
 def _build_coarse_far_calls(lines_h, g, wing_abs, profile, coarse_r,
@@ -888,17 +920,26 @@ def _build_coarse_far_calls(lines_h, g, wing_abs, profile, coarse_r,
 
     Returns (g_coarse, coarse_calls, corr_calls): the far field is
     evaluated on an R-decimated grid (same guarded asym forms as the
-    classic wing passes) and linearly upsampled; correction passes make
-    the result EXACT near line centers (curvature region, +-near_width)
-    and across the hapi window-edge discontinuity (+-R*dx bands at
-    nu0 +- wing_abs), by subtracting the same linear interpolation of
+    classic wing passes) and upsampled with the uniform 4-point Lagrange
+    cubic; correction passes make the result EXACT near line centers
+    (curvature region, +-near_width) and across the hapi window-edge
+    discontinuity (+-2*R*dx bands at nu0 +- wing_abs, the cubic
+    stencil's reach), by subtracting the same cubic interpolation of
     the per-line far field inside the kernel
     (:func:`~radtxfr_tpu.kernels.pallas_xsect._make_fused_kernel` mode
     ``corr:R:*``). Between those zones the only deviation from the
     classic two-pass result is smooth-wing interpolation error
-    ~0.75 (R dx / d)^2 of the local wing value — orders of magnitude
-    below the f32 kernel noise for d >= near_width. Work drops by ~R on
-    the wing-dominated share.
+    ~2.8 (R dx / d)^4 of the local wing value — per line ~1e-6 at the
+    near-zone boundary, and still ~1e-5-of-peak for DENSE lists whose
+    thousands of overlapping wing errors sum coherently (linear interp's
+    O((R dx/d)^2) bias measured 2.7e-3-of-peak on the 30k-line XS
+    lattice — the reason for the cubic). Work drops by ~R on the
+    wing-dominated share.
+
+    The coarse grid carries one extra node on each side (x0 - R dx) so
+    every fine point, including the first and last segments, has the
+    full 4-node stencil; the kernels' node row 0 is one coarse step left
+    of each tile start to match.
     """
     from ..kernels.pallas_xsect import UniformGrid, plan_buckets_packed
 
@@ -906,7 +947,7 @@ def _build_coarse_far_calls(lines_h, g, wing_abs, profile, coarse_r,
     if tile_corr % R:
         raise ValueError(f"correction tile ({tile_corr}) must be a "
                          f"multiple of coarse_r ({R})")
-    g_c = UniformGrid(x0=g.x0, dx=g.dx * R, n=(g.n - 1) // R + 2)
+    g_c = UniformGrid(x0=g.x0 - g.dx * R, dx=g.dx * R, n=(g.n - 1) // R + 4)
     nu0 = np.asarray(lines_h.nu0, dtype=np.float64)
     if subsets is None:
         # default routing by the store's sd_air column; callers with their
@@ -940,9 +981,12 @@ def _build_coarse_far_calls(lines_h, g, wing_abs, profile, coarse_r,
                                      tile=tile_corr, block="auto")
         corr_calls.append((idx_j, plan_n, f"corr:{R}:{corr_kind}"))
         for side in (-1.0, 1.0):
+            # 2h: a fine point's cubic stencil reaches two coarse
+            # segments either way, so points within 2*R*dx of the
+            # window edge mix masked and unmasked node values
             plan_e = plan_buckets_packed(
-                nu_s, g, h + 2.0 * g.dx, tile=tile_corr, block="auto",
-                place_center=nu_s + side * float(wing_abs))
+                nu_s, g, 2.0 * h + 2.0 * g.dx, tile=tile_corr,
+                block="auto", place_center=nu_s + side * float(wing_abs))
             corr_calls.append((idx_j, plan_e, f"corr:{R}:{corr_kind}"))
     return g_c, coarse_calls, corr_calls
 
@@ -1024,11 +1068,11 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
         # wing passes are replaced by the coarse far field + correction
         # passes; the classic (full - asym) core passes stay (per-line
         # tight placement). The near zone only needs to bound the
-        # smooth-wing interpolation error: ~0.75 (R dx / d)^2 of the
-        # local wing value => d >= ~10 sqrt(R dx) keeps it < 1e-5 of the
-        # line peak.
+        # smooth-wing cubic-interpolation error: ~2.8 (R dx / d)^4 of
+        # the local wing value => d >= 41 R dx keeps it < 1e-6 per line
+        # (_coarse_near_width).
         calls = [c for c in calls if c[3] in ("core", "sdvoigt_core")]
-        nw = max(float(near_width), 10.0 * np.sqrt(coarse_r * g.dx))
+        nw = _coarse_near_width(coarse_r, g.dx, near_width)
         g_c, coarse_calls, corr_calls = _build_coarse_far_calls(
             lines_h, g, wing_abs, profile, coarse_r, nw,
             tile_coarse=min(tile, 512), tile_corr=512)
@@ -1053,10 +1097,7 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
                     plan, sub(params, all_states, cls_idx),
                     n_weideman=n_weideman, mode=mode, fused_layers=True,
                     fast_rcp=fast_rcp)
-            i = jnp.arange(g.n)
-            j = i // R
-            t = ((i - j * R) / R).astype(jnp.float32)
-            out = out_c[:, j] * (1.0 - t) + out_c[:, j + 1] * t
+            out = _coarse_upsample(out_c, g.n, R)
             for cls_idx, plan, mode in corr_calls:
                 out = out + xsect_pallas(
                     plan, sub(params, all_states, cls_idx),
@@ -1205,8 +1246,7 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                     (idx, "sdvoigt_asym" if mode == "sdvoigt" else "asym",
                      "sdvoigt" if mode == "sdvoigt" else "voigt"))
         if cf_subsets:
-            nw = max(float(near_width),
-                     10.0 * np.sqrt(coarse_r * g.dx))
+            nw = _coarse_near_width(coarse_r, g.dx, near_width)
             g_c, coarse_calls, corr_calls = _build_coarse_far_calls(
                 lines_h, g, wing_abs, "ht", coarse_r, nw,
                 tile_coarse=min(tile, 512), tile_corr=512,
@@ -1284,10 +1324,7 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
                     plan, cheap_params(cls_idx, all_states),
                     n_weideman=n_weideman, mode=mode, fused_layers=True,
                     fast_rcp=fast_rcp)
-            i = jnp.arange(g.n)
-            j = i // R
-            t = ((i - j * R) / R).astype(jnp.float32)
-            out = out_c[:, j] * (1.0 - t) + out_c[:, j + 1] * t
+            out = _coarse_upsample(out_c, g.n, R)
             for cls_idx, plan, mode in corr_calls:
                 out = out + xsect_pallas(
                     plan, cheap_params(cls_idx, all_states),
