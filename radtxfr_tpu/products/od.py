@@ -799,20 +799,53 @@ def _make_continuum_term(g, mol_ids, continuum, continuum_factors,
     Returns ``fn(T, p_pa, pl, vmr, k_offset=0) -> (nLay, n_local) float32``
     or None. ``n_local``/``k_offset`` select a contiguous grid slice
     (spectrum-sharded builders pass the shard's width and traced offset).
+
+    Models with a layer-hoisted factory
+    (:data:`~radtxfr_tpu.atmos.continuum.LAYERED_CONTINUUM_FACTORIES`,
+    currently 'mt_ckd') evaluate through it: nu-only tables are
+    interpolated once at build time in float64 instead of per layer
+    inside the vmap — same math, tighter numerics, ~2x faster (the
+    per-layer re-interpolation cost ~18% of the whole production Voigt
+    OD). Other models fall back to the per-layer vmap of the pointwise
+    form.
     """
     if continuum == "none":
         return None
-    from ..atmos.continuum import CONTINUUM_MODELS, check_h2o_table_coverage
+    from ..atmos.continuum import (CONTINUUM_MODELS,
+                                   LAYERED_CONTINUUM_FACTORIES,
+                                   check_h2o_table_coverage)
 
     if continuum == "mt_ckd":
         check_h2o_table_coverage(g.x0, g.x0 + g.dx * (g.n - 1))
-    cfn = CONTINUUM_MODELS[continuum]
     cf = (jnp.ones(7) if continuum_factors is None
           else jnp.asarray(continuum_factors, dtype=jnp.float32))
     if cf.shape != (7,):
         raise ValueError("continuum_factors must have 7 elements")
     n = g.n if n_local is None else n_local
     mol_ids = tuple(mol_ids)
+
+    factory = LAYERED_CONTINUUM_FACTORIES.get(continuum)
+    if factory is not None:
+        nu_full = g.x0 + g.dx * np.arange(g.n, dtype=np.float64)
+        layered = factory(nu_full, mol_ids)
+
+        def term(T, p_pa, pl, vmr, k_offset=0, k_index=None):
+            # k_index: explicit per-point global grid indices (weighted/
+            # permuted sharding); k_offset: contiguous-slice shorthand.
+            if k_index is not None:
+                k = jnp.asarray(k_index, dtype=jnp.int32)
+            elif n_local is None and isinstance(k_offset, int) \
+                    and k_offset == 0:
+                k = None                    # whole grid: skip the gather
+            else:
+                k = (jnp.asarray(k_offset, dtype=jnp.int32)
+                     + jnp.arange(n, dtype=jnp.int32))
+            return layered(T, p_pa, pl, vmr, cf,
+                           k=k).astype(jnp.float32)
+
+        return term
+
+    cfn = CONTINUUM_MODELS[continuum]
 
     def term(T, p_pa, pl, vmr, k_offset=0, k_index=None):
         # continuum coefficients are smooth — a float32 axis is plenty.

@@ -383,3 +383,34 @@ def test_h2o_table_coverage_warning():
             _make_continuum_term(g, (1, 2), "mt_ckd", None)
     finally:
         C.set_h2o_tables(C.H2O_CONTINUUM_LWIR)
+
+
+def test_layered_mt_ckd_matches_pointwise():
+    """The layer-hoisted mt_ckd factory (round 4: nu-only tables
+    interpolated once at build time instead of per layer inside the
+    vmap — ~2x of the production continuum cost) is the same math as
+    the pointwise composite: under x64 the only differences are
+    float-op ordering (pow vs exp of hoisted logs, ~1e-13) plus the
+    term's contractual float32 output cast (~6e-8)."""
+    from radtxfr_tpu.atmos import continuum as C
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.kernels.pallas_xsect import UniformGrid
+    from radtxfr_tpu.products.od import _make_continuum_term
+
+    atm = std_atmosphere()
+    axis = arange_drift_free(500.0, 1500.0, 0.5)
+    g = UniformGrid.from_axis(np.asarray(axis))
+    cont = np.asarray(continuum_od(jnp.asarray(axis), atm, model="mt_ckd"))
+    term = _make_continuum_term(g, atm.mol_ids, "mt_ckd", None)
+    got = np.asarray(term(atm.T, atm.p, atm.pl, atm.vmr)).astype(np.float64)
+    peak = np.abs(cont).max()
+    assert np.abs(got - cont).max() < 2e-7 * peak, \
+        np.abs(got - cont).max() / peak
+
+    # the k_index gather path (weighted/permuted sharding) selects the
+    # same values
+    idx = np.array([0, 7, 1999, 3, 512], dtype=np.int32)
+    got_k = np.asarray(term(atm.T, atm.p, atm.pl, atm.vmr,
+                            k_index=jnp.asarray(idx)))
+    np.testing.assert_allclose(got_k, np.asarray(
+        term(atm.T, atm.p, atm.pl, atm.vmr))[:, idx], rtol=0, atol=0)
