@@ -414,3 +414,34 @@ def test_layered_mt_ckd_matches_pointwise():
                             k_index=jnp.asarray(idx)))
     np.testing.assert_allclose(got_k, np.asarray(
         term(atm.T, atm.p, atm.pl, atm.vmr))[:, idx], rtol=0, atol=0)
+
+
+def test_layered_mt_ckd_missing_species_columns():
+    """The hoisted evaluator honors the pointwise model's fallbacks when
+    the atmosphere lacks species columns: absent H2O/CO2 zero their
+    terms, absent N2/O2 use the default dry-air fractions for CIA."""
+    from radtxfr_tpu.atmos import continuum as C
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.kernels.pallas_xsect import UniformGrid
+    from radtxfr_tpu.products.od import _make_continuum_term
+
+    atm = std_atmosphere()
+    axis = arange_drift_free(500.0, 1500.0, 1.0)
+    g = UniformGrid.from_axis(np.asarray(axis))
+    # O3-only atmosphere: no H2O (1), CO2 (2), O2 (7), N2 (22) columns
+    i_o3 = list(atm.mol_ids).index(3)
+    vmr = atm.vmr[:, i_o3:i_o3 + 1]
+    mol_ids = (3,)
+    import jax
+
+    nu = jnp.asarray(axis)
+    cfv = jnp.ones(7)
+    want = np.asarray(jax.vmap(
+        lambda T_l, p_l, pl_l, vmr_l: C._mt_ckd(nu, T_l, p_l, vmr_l,
+                                                mol_ids, pl_l, cfv)
+    )(atm.T, atm.p, atm.pl, vmr))
+    term = _make_continuum_term(g, mol_ids, "mt_ckd", None)
+    got = np.asarray(term(atm.T, atm.p, atm.pl, vmr)).astype(np.float64)
+    peak = np.abs(want).max()
+    assert peak > 0
+    assert np.abs(got - want).max() < 2e-7 * peak
