@@ -161,6 +161,23 @@ def cmd_xsect(args):
         print(f"wrote {TT.size} file(s) at {args.output}")
 
 
+def _write_tud_h5(path, x_lo, out, jac_out):
+    from ..io.h5 import Var, write_h5
+
+    write_h5(path, {
+        "X": Var(np.asarray(x_lo), units="cm^{-1}", name="Wavenumbers",
+                 label=r"$\tilde{\nu}$"),
+        "tau": Var(out["tau"], units="none", name="Transmittance"),
+        "La": Var(out["Lu"], units="µW/(cm^2 sr cm^{-1})",
+                  name="Upwelling (path) radiance"),
+        "Ld": Var(out["Ld"], units="µW/(cm^2 sr cm^{-1})",
+                  name="Hemispherically averaged downwelling radiance"),
+        **{k: Var(v, info="TUD Jacobian (trailing axis = layer)")
+           for k, v in jac_out.items()},
+    })
+    print(f"wrote {path}")
+
+
 def cmd_tud(args):
     import jax
     import jax.numpy as jnp
@@ -197,6 +214,78 @@ def cmd_tud(args):
         line_mixing = {"y_air": y} if n_mix else None
         print(f"line mixing: derived Rosenkranz y_air on {n_mix} CO2 "
               f"branch lines (Sum S*Y = 0 enforced by construction)")
+    def member(i):
+        vmr = base.vmr.at[:, 0].mul(scale_h2o[i])
+        return base.replace(T=base.T + jnp.asarray(dT[i]), vmr=vmr)
+
+    n_spec = getattr(args, "mesh_spectrum", 1)
+    n_ens = getattr(args, "mesh_ensemble", 1)
+    if n_spec * n_ens > 1:
+        # SPMD production path (the reference's Generate_LWIR_TUD.py
+        # pool-of-processes role): (ensemble x spectrum) device mesh,
+        # op-weighted spectral partition, on-device 0.25 cm^-1 reduction,
+        # tiled resumable checkpoints. Always the Pallas engine (the
+        # sharded builder has no jnp fallback).
+        from ..dist.ensemble import stack_states
+        from ..dist.mesh import make_mesh
+        from ..dist.pallas_ensemble import make_tud_ensemble_fn
+        from ..sensor.resolution import reduce_operator
+
+        if args.jacobian:
+            raise SystemExit("--jacobian is not supported with --mesh-*; "
+                             "run it on the single-device path")
+        batch = args.batch
+        if batch % n_ens:
+            raise SystemExit(f"--batch ({batch}) must be divisible by "
+                             f"--mesh-ensemble ({n_ens})")
+        mesh = make_mesh(n_ens, n_spec)
+        probe = stack_states(
+            [member(i % args.n_atmos) for i in range(batch)])
+        with timer.phase("build"):
+            gpad, run = make_tud_ensemble_fn(
+                store, iso, X, probe, alts, mesh, n_angles=args.n_angles,
+                continuum=args.continuum, line_mixing=line_mixing,
+                partition=args.partition)
+            n = X.size
+            op = reduce_operator(np.asarray(gpad.values()[:n],
+                                            dtype=np.float64), args.dv_out)
+        x_lo = np.asarray(op.x_out)
+
+        @jax.jit
+        def reduce_batch(tau, Lu, Ld):
+            return (op(tau[:, :n, -1, 0].T).T, op(Lu[:, :n, -1, 0].T).T,
+                    op(Ld[:, :n].T).T)
+
+        def compute_batch(indices):
+            # fixed batch shape (one compiled program); pad short final
+            # batches with member 0 and trim after
+            idx = [int(i) for i in indices]
+            idx += [idx[0]] * (batch - len(idx))
+            b = stack_states([member(i) for i in idx])
+            with timer.phase("tud", work_items=batch * X.size):
+                tau, Lu, Ld = run(b)
+                t, u, d = jax.tree.map(np.asarray,
+                                       reduce_batch(tau, Lu, Ld))
+            k = len(indices)
+            return {"tau": t[:k], "Lu": u[:k], "Ld": d[:k]}
+
+        if args.checkpoint:
+            ckpt = EnsembleCheckpoint(args.checkpoint, args.n_atmos,
+                                      batch)
+            out = run_batched(ckpt, compute_batch)
+        else:
+            out = {}
+            for lo in range(0, args.n_atmos, batch):
+                part = compute_batch(np.arange(lo, min(lo + batch,
+                                                       args.n_atmos)))
+                for k2, v in part.items():
+                    out.setdefault(k2, []).append(v)
+            out = {k2: np.concatenate(v) for k2, v in out.items()}
+        print(timer.report())
+        if args.output:
+            _write_tud_h5(args.output, x_lo, out, {})
+        return
+
     od_fn = None
     if engine == "pallas":
         from ..products.od import make_od_pallas_fn
@@ -256,18 +345,7 @@ def cmd_tud(args):
         print(f"jacobian: {sum(v.size for v in jac_out.values())} elements")
     print(timer.report())
     if args.output:
-        write_h5(args.output, {
-            "X": Var(np.asarray(x_lo), units="cm^{-1}", name="Wavenumbers",
-                     label=r"$\tilde{\nu}$"),
-            "tau": Var(out["tau"], units="none", name="Transmittance"),
-            "La": Var(out["Lu"], units="µW/(cm^2 sr cm^{-1})",
-                      name="Upwelling (path) radiance"),
-            "Ld": Var(out["Ld"], units="µW/(cm^2 sr cm^{-1})",
-                      name="Hemispherically averaged downwelling radiance"),
-            **{k: Var(v, info="TUD Jacobian (trailing axis = layer)")
-               for k, v in jac_out.items()},
-        })
-        print(f"wrote {args.output}")
+        _write_tud_h5(args.output, x_lo, out, jac_out)
 
 
 def cmd_mako(args):
@@ -547,6 +625,19 @@ def build_parser():
                          "coupling (derived relaxation-matrix y_air; the "
                          "reference's LBLRTM ILBLF4=1,"
                          " radiative_transfer.py:621)")
+    p3.add_argument("--mesh-spectrum", dest="mesh_spectrum", type=int,
+                    default=1,
+                    help="spectral shards of the (ensemble x spectrum) "
+                         "device mesh; mesh-spectrum*mesh-ensemble > 1 "
+                         "runs the SPMD sharded production path")
+    p3.add_argument("--mesh-ensemble", dest="mesh_ensemble", type=int,
+                    default=1,
+                    help="ensemble-parallel groups of the device mesh")
+    p3.add_argument("--partition", default="weighted",
+                    choices=["equal", "weighted"],
+                    help="spectral-shard assignment: 'weighted' balances "
+                         "op-weighted packed-plan work (97.1%% measured "
+                         "balance on v5e vs 86.2%% for equal-width)")
     p3.add_argument("--jacobian", action="store_true",
                     help="also write d(tau,Lu,Ld)/d(T,H2O,O3) for the "
                          "standard atmosphere (autodiff; replaces the "

@@ -132,6 +132,33 @@ def test_cli_xsect_and_tud_pipeline(tmp_path):
     assert cube["L"].data.shape[0] == 2
 
 
+def test_cli_tud_sharded_matches_single_device(tmp_path):
+    """cli tud --mesh-spectrum/--mesh-ensemble: the SPMD sharded
+    production path (weighted spectral partition, on-device reduction,
+    fixed-batch padding of the short final batch) produces the same
+    TUD products as the single-device path."""
+    h5a = str(tmp_path / "tud_1dev.h5")
+    common = ["tud", "--synthetic", "80", "--numin", "800", "--numax",
+              "810", "--dv", "0.01", "--dv-out", "0.25", "--n-atmos", "3",
+              "--n-angles", "6", "--altitudes", "2.0", "500.0"]
+    r = _run_cli(*common, "--batch", "3", "--output", h5a)
+    assert r.returncode == 0, r.stderr
+    h5b = str(tmp_path / "tud_mesh.h5")
+    r = _run_cli(*common, "--batch", "2", "--mesh-spectrum", "2",
+                 "--mesh-ensemble", "2", "--output", h5b)
+    assert r.returncode == 0, r.stderr
+    from radtxfr_tpu.io.h5 import read_h5
+
+    a = read_h5(h5a)
+    b = read_h5(h5b)
+    np.testing.assert_allclose(a["X"].data, b["X"].data, rtol=0, atol=1e-9)
+    for k in ("tau", "La", "Ld"):
+        ref = a[k].data
+        scale = np.abs(ref).max()
+        assert b[k].data.shape == ref.shape
+        assert np.abs(b[k].data - ref).max() < 2e-4 * scale, k
+
+
 def test_cli_radiance(tmp_path):
     h5 = str(tmp_path / "tud.h5")
     r = _run_cli("tud", "--synthetic", "60", "--numin", "800", "--numax", "806",
