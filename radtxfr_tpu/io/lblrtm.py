@@ -146,7 +146,17 @@ def _read_rec(raw: bytes, off: int):
     return raw[start:end], end + 4
 
 
-def read_tape3(fname: str):
+def _skip_rec(raw: bytes, off: int) -> int:
+    """Advance past one Fortran record without copying its payload."""
+    n = int(np.frombuffer(raw, "<i4", 1, off)[0])
+    end = off + 4 + n
+    if int(np.frombuffer(raw, "<i4", 1, end)[0]) != n:
+        raise ValueError(f"inconsistent Fortran record markers at {off}")
+    return end + 4
+
+
+def read_tape3(fname: str, nu_min: float | None = None,
+               nu_max: float | None = None):
     """Parse an LNFL TAPE3 line file.
 
     Returns a dict with the line columns (``nu0 sw gamma_air elower mol_id
@@ -155,10 +165,24 @@ def read_tape3(fname: str):
     and — when coupling entries are present — ``coupling``: a dict with
     ``index`` (positions into the line arrays) and ``yg`` (n, 8) float32
     Y/G pairs at :data:`_T3_COUPLING_TEMPS`.
+
+    ``nu_min``/``nu_max`` band-select at the BLOCK level using the
+    pointer records' [VMIN, VMAX] extents: out-of-band blocks are skipped
+    without copying (the file is memory-mapped), so a 970 MB-class AER
+    TAPE3 costs only its in-band slice of parse time and memory — the
+    per-host sharded-parse pattern SURVEY.md SS7 calls for. Widen the
+    band by your wing cutoff: a line outside [nu_min, nu_max] still
+    contributes absorption within its wing width of the band edge.
     """
-    with open(fname, "rb") as f:
-        raw = f.read()
+    import mmap
+
+    f = open(fname, "rb")
+    try:
+        raw = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    except (ValueError, OSError):
+        raw = f.read()                       # empty or special file
     header, off = _read_rec(raw, 0)
+    header = bytes(header)
     rows, blocks = [], []
     coup_idx, coup_yg = [], []
     total = len(raw)
@@ -174,6 +198,9 @@ def read_tape3(fname: str):
         nwds = int(np.frombuffer(ptr, "<i4", 1, 20)[0])
         if nrec <= 0:
             break
+        if (nu_min is not None and vmax < nu_min)                 or (nu_max is not None and vmin > nu_max):
+            off = _skip_rec(raw, off)
+            continue
         data, off = _read_rec(raw, off)
         if nwds != 10 * nrec or len(data) != 4 * nwds:
             raise ValueError(
@@ -198,8 +225,12 @@ def read_tape3(fname: str):
             # reinterpreted) hold the four (Y, G) pairs
             coup_yg.append(np.asarray(w[:8], dtype=np.float32))
         rows.append(entries[~is_coupling])
+    if hasattr(raw, "close"):
+        raw.close()
+    f.close()
     if not rows:
-        raise ValueError("TAPE3 contains no line entries")
+        raise ValueError("TAPE3 contains no line entries in the "
+                         "requested band")
     arr = np.concatenate(rows)
     mol = arr["mol"].astype(np.int64)
     out = {
@@ -213,7 +244,7 @@ def read_tape3(fname: str):
         "n_air": arr["tmpalf"].astype(np.float64),
         "delta_air": arr["pshift"].astype(np.float64),
         "iflg": arr["iflg"].astype(np.int32),
-        "header": bytes(header),
+        "header": header,
         "blocks": blocks,
     }
     if coup_idx:
@@ -295,7 +326,8 @@ def write_tape3(fname: str, nu0, sw, gamma_air, elower, mol_id,
         f.write(_rec(ptr))
 
 
-def tape3_to_linestore(parsed_or_fname, dtype=None):
+def tape3_to_linestore(parsed_or_fname, dtype=None, nu_min=None,
+                       nu_max=None):
     """Load a TAPE3 file (or :func:`read_tape3` output) into a
     :class:`~radtxfr_tpu.lines.store.LineStore` (+ optional line-mixing
     dict).
@@ -306,13 +338,17 @@ def tape3_to_linestore(parsed_or_fname, dtype=None):
     ``line_mixing=`` parameter), else None. Isotopologues unknown to the
     packaged TIPS registry are dropped with a warning (the reference's
     engine likewise skips what its line file lacks).
+
+    ``nu_min``/``nu_max`` forward to :func:`read_tape3`'s block-level
+    band selection (widen by your wing cutoff); ignored when a parsed
+    dict is passed.
     """
     import jax.numpy as jnp
 
     from ..lines.store import from_arrays, iso_row_index
 
     t3 = (parsed_or_fname if isinstance(parsed_or_fname, dict)
-          else read_tape3(parsed_or_fname))
+          else read_tape3(parsed_or_fname, nu_min=nu_min, nu_max=nu_max))
     known = iso_row_index()
     ok = np.array([(int(m), int(i)) in known
                    for m, i in zip(t3["mol_id"], t3["local_iso_id"])])

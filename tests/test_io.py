@@ -196,3 +196,52 @@ def test_tape3_to_linestore_and_od():
     od = np.asarray(compute_od_layers(store, iso, jnp.asarray(axis), atm,
                                       line_mixing=lm))
     assert np.isfinite(od).all() and od.max() > 0
+
+
+def test_tape3_band_selection():
+    """read_tape3(nu_min, nu_max): block-level band selection via the
+    pointer records — out-of-band blocks are skipped without parsing
+    (the 970 MB AER-file sharded-parse pattern, SURVEY.md §7), and the
+    selected lines equal the full parse filtered to the covering blocks."""
+    import tempfile
+
+    import numpy as np
+
+    from radtxfr_tpu.io.lblrtm import read_tape3, tape3_to_linestore, write_tape3
+
+    rng = np.random.default_rng(7)
+    n = 900
+    nu0 = np.sort(rng.uniform(500.0, 1400.0, n))
+    sw = 10.0 ** rng.uniform(-26, -20, n)
+    ga = rng.uniform(0.02, 0.12, n)
+    el = rng.uniform(0.0, 3000.0, n)
+    mol = rng.integers(1, 8, n)
+    iso = rng.integers(1, 3, n)
+    gs = ga * 2.0
+    na = rng.uniform(0.4, 0.8, n)
+    da = rng.normal(0.0, 0.005, n)
+
+    with tempfile.TemporaryDirectory() as d:
+        f = d + "/TAPE3"
+        write_tape3(f, nu0, sw, ga, el, mol, iso, gs, na, da,
+                    block_lines=50)
+        full = read_tape3(f)
+        band = read_tape3(f, nu_min=800.0, nu_max=1000.0)
+        st, _ = tape3_to_linestore(f, nu_min=800.0, nu_max=1000.0)
+        with np.testing.assert_raises(ValueError):
+            read_tape3(f, nu_min=5000.0, nu_max=6000.0)
+
+    # exactly the union of blocks intersecting the band
+    keep = np.zeros(full["nu0"].size, dtype=bool)
+    lo = 0
+    for vmin, vmax, nrec in full["blocks"]:
+        if vmax >= 800.0 and vmin <= 1000.0:
+            keep[lo:lo + nrec] = True
+        lo += nrec
+    np.testing.assert_array_equal(band["nu0"], full["nu0"][keep])
+    np.testing.assert_array_equal(band["sw"], full["sw"][keep])
+    assert band["nu0"].size < full["nu0"].size
+    assert st.n_lines == band["nu0"].size
+    # every in-band line is present (blocks only ADD margin lines)
+    in_band = full["nu0"][(full["nu0"] >= 800.0) & (full["nu0"] <= 1000.0)]
+    assert np.isin(in_band, band["nu0"]).all()
