@@ -542,8 +542,13 @@ def _build_od_calls(lines, iso, atmos_class, g, wing_abs, wing_hw, max_groups,
                 w_core = np.minimum(w_line, B_core[lay_idx].max(axis=0))
                 c_tile = _pow2_tile(int(np.ceil(2.0 * w_core.max() / g.dx)),
                                     lo=256, hi=min(512, max(256, tile)))
+                # the ~775-op sdvoigt_core kernel is register-pressure
+                # bound: half the voigt-core block is measured faster
+                # (3-5% on the XS lattice); the voigt core keeps
+                # core_block (16) where 8 measured slower
                 calls.append((jnp.asarray(lay_idx), jnp.asarray(s_idx),
-                              packed(w_core, c_tile, core_block),
+                              packed(w_core, c_tile,
+                                     max(8, core_block // 2)),
                               "sdvoigt_core"))
             else:
                 calls.append((jnp.asarray(lay_idx), jnp.asarray(s_idx),
@@ -728,7 +733,8 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
         nw = _coarse_near_width(coarse_r, g.dx, near_width)
         g_c, coarse_calls, corr_calls = _build_coarse_far_calls(
             lines_h, g, wing_abs, profile, coarse_r, nw,
-            tile_coarse=min(tile, 512), tile_corr=512)
+            tile_coarse=min(tile, 512),
+            tile_corr=_coarse_tile_corr(g, coarse_r, nw, wing_abs))
     R = int(coarse_r)
 
     @jax.jit
@@ -903,6 +909,26 @@ def _coarse_near_width(coarse_r, dx, near_width):
     lists summing thousands of coherent wing biases stay ~1e-5-of-peak.
     """
     return max(float(near_width), 41.0 * int(coarse_r) * dx)
+
+
+def _coarse_tile_corr(g, coarse_r, near_width, wing_abs,
+                      lo: int = 512, hi: int = 2048) -> int:
+    """Largest power-of-two correction tile whose near/edge
+    plan-disjointness bound (:func:`_coarse_far_min_wing`) still clears
+    ``wing_abs``. Wider corr tiles amortize the correction kernels'
+    per-grid-step overhead — 2048 measured 13% faster than 512 on the
+    350 cm^-1-wing XS lattice — but they widen the disjointness bound,
+    so moderate wings (the layered 25 cm^-1 LBLRTM convention on coarse
+    grids) step down automatically. Must stay a multiple of coarse_r;
+    eligibility itself is checked by the callers at ``lo``.
+    """
+    tc = hi
+    while tc > lo and (tc % int(coarse_r)
+                       or _coarse_far_min_wing(g, coarse_r, near_width,
+                                               tile_corr=tc)
+                       > float(wing_abs)):
+        tc //= 2
+    return max(tc, lo)
 
 
 def _coarse_far_min_wing(g, coarse_r, near_width, tile_corr=512):
@@ -1108,7 +1134,8 @@ def make_xsect_pallas_fn(lines, iso, grid, T_class, p_atm_class,
         nw = _coarse_near_width(coarse_r, g.dx, near_width)
         g_c, coarse_calls, corr_calls = _build_coarse_far_calls(
             lines_h, g, wing_abs, profile, coarse_r, nw,
-            tile_coarse=min(tile, 512), tile_corr=512)
+            tile_coarse=min(tile, 512),
+            tile_corr=_coarse_tile_corr(g, coarse_r, nw, wing_abs))
 
     R = int(coarse_r)
 
@@ -1282,7 +1309,8 @@ def make_ht_pallas_fn(lines, iso, grid, T_class, p_atm_class, diluent=None,
             nw = _coarse_near_width(coarse_r, g.dx, near_width)
             g_c, coarse_calls, corr_calls = _build_coarse_far_calls(
                 lines_h, g, wing_abs, "ht", coarse_r, nw,
-                tile_coarse=min(tile, 512), tile_corr=512,
+                tile_coarse=min(tile, 512),
+                tile_corr=_coarse_tile_corr(g, coarse_r, nw, wing_abs),
                 subsets=cf_subsets)
             # the cheap subsets' wing passes are replaced; their
             # (full - asym) cores remain as narrow classic calls below
