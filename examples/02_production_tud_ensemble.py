@@ -69,9 +69,13 @@ mesh = make_mesh(1, len(jax.devices()))
 env = [atm.replace(T=atm.T - 25.0),
        atm.replace(T=atm.T + 25.0, vmr=atm.vmr.at[:, 0].mul(2.0))]
 probe = stack_states([member(i % n) for i in range(BATCH)])
+# partition='weighted' assigns spectral chunks by op-weighted packed-plan
+# work (97.1% measured balance on hardware vs 86.2% for equal-width
+# slices — SCALING.json); multi-host pods additionally call
+# dist.init.initialize() (jax.distributed over DCN) before building.
 gpad, run = make_tud_ensemble_fn(lines, iso, X, probe, jnp.asarray(ALTITUDES),
                                  mesh, atmos_class=env, n_angles=12,
-                                 continuum="mt_ckd")
+                                 continuum="mt_ckd", partition="weighted")
 
 nX = X.size
 

@@ -58,6 +58,7 @@ from ..core.constants import (BARYE_PER_ATM, C2_CM_K, CM_PER_KM,
 
 __all__ = [
     "continuum_od", "register_continuum", "CONTINUUM_MODELS",
+    "make_layered_mt_ckd", "LAYERED_CONTINUUM_FACTORIES",
     "H2OContinuumTables", "H2O_CONTINUUM_LWIR", "load_mt_ckd_tables",
     "set_h2o_tables",
 ]
