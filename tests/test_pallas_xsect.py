@@ -758,3 +758,23 @@ def test_ht_differentiable_jacobian_matches_fd(iso_tables):
                 mask[np.clip(k + off, 0, axis.size - 1)] = False
     assert np.abs((J - fd)[mask]).max() < 5e-4 * scale, \
         np.abs((J - fd)[mask]).max() / scale
+
+
+def test_coarse_tile_corr_adaptive():
+    """_coarse_tile_corr: widest power-of-two correction tile whose
+    near/edge plan-disjointness bound clears wing_abs — 2048 for the
+    XS-generator's 350 cm^-1 wings, stepping down for moderate wings
+    (the layered 25 cm^-1 LBLRTM convention on a 0.01 grid), never
+    below the 512 floor the eligibility guard checks."""
+    from radtxfr_tpu.kernels.pallas_xsect import UniformGrid
+    from radtxfr_tpu.products.od import (_coarse_far_min_wing,
+                                         _coarse_tile_corr)
+
+    g_fine = UniformGrid(x0=400.0, dx=0.0025, n=1000)
+    assert _coarse_tile_corr(g_fine, 64, 4.0, 350.0) == 2048
+    g_coarse = UniformGrid(x0=480.0, dx=0.01, n=1000)
+    tc = _coarse_tile_corr(g_coarse, 16, 4.0, 25.0)
+    assert tc == 1024
+    assert _coarse_far_min_wing(g_coarse, 16, 4.0, tile_corr=tc) <= 25.0
+    # tiny wings: floor at 512 (eligibility itself is the callers' guard)
+    assert _coarse_tile_corr(g_coarse, 16, 4.0, 5.0) == 512
