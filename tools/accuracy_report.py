@@ -340,7 +340,8 @@ def main():
             float(np.abs(np.asarray(t32.Ld) - ld_ref).max()
                   / np.abs(ld_ref).max()))
         print("-" * 86)
-        worst = max(r[2] for r in rows if "[physics]" not in r[0] and "[data]" not in r[0])
+        worst = max(r[2] for r in rows
+                    if "[physics" not in r[0] and "[data" not in r[0])
         print(f"worst engine error: {worst:.2e}  "
               f"({'PASS' if worst < 1e-3 else 'CHECK'} at 1e-3; [physics]/[data] "
               f"rows are expansion-truncation comparisons, not errors)")
@@ -364,7 +365,8 @@ def main():
               / np.abs(np.asarray(t64.Ld)).max()))
 
     print("-" * 86)
-    worst = max(r[2] for r in rows if "[physics]" not in r[0] and "[data]" not in r[0])
+    worst = max(r[2] for r in rows
+                if "[physics" not in r[0] and "[data" not in r[0])
     print(f"worst engine error: {worst:.2e}  "
           f"({'PASS' if worst < 1e-3 else 'CHECK'} at 1e-3; [physics]/[data] "
           f"rows are expansion-truncation comparisons, not errors)")
