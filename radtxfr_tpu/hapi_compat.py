@@ -50,6 +50,11 @@ __all__ = [
     "db_begin", "db_commit", "tableList", "describeTable", "dropTable",
     "select", "sort", "group", "getColumn", "getColumns", "extractColumns",
     "fetch", "fetch_by_ids", "getStickXY",
+    # table editing (misc/hapi.py:1710-2960; stubs-in-hapi implemented here)
+    "createTable", "insertRow", "deleteRows", "arrangeTable",
+    "addColumn", "deleteColumn", "deleteColumns", "renameColumn",
+    "splitColumn", "saveCache", "loadCache", "databaseBegin",
+    "databaseCommit",
     # registry
     "ISO", "ISO_ID", "abundance", "molecularMass", "moleculeName",
     "isotopologueName", "print_iso", "print_iso_id",
@@ -73,6 +78,10 @@ __all__ = [
     "SLIT_RECTANGULAR", "SLIT_TRIANGULAR", "SLIT_GAUSSIAN",
     "SLIT_DISPERSION", "SLIT_COSINUS", "SLIT_DIFFRACTION", "SLIT_MICHELSON",
     "convolveSpectrum", "convolveSpectrumSame", "convolveSpectrumFull",
+    # legacy shortcuts / readers (misc/hapi.py:11555-11734)
+    "absorptionCoefficient_Gauss", "abscoef_HT", "abscoef_Voigt",
+    "abscoef_Lorentz", "abscoef_Doppler", "abscoef_Gauss", "abscoef",
+    "read_hotw", "read_xsect",
     # misc
     "arange_", "save_to_file", "getHelp",
     # table aliases / verbs / internals (documented hapi surface)
@@ -163,6 +172,299 @@ def _get_table(name: str) -> LineStore:
 
 def _register(name: str, store: LineStore) -> None:
     _TABLES[name] = store
+
+
+# ===========================================================================
+# Table editing verbs (hapi misc/hapi.py:1710-2960)
+#
+# hapi's table model is a per-column dict under LOCAL_TABLE_CACHE; ours is a
+# packed LineStore (the engine's nine .par columns) plus an ``extras`` dict
+# for everything else. The editing verbs below therefore split naturally:
+# row operations (insertRow/deleteRows/arrangeTable) act on both, column
+# operations (addColumn/deleteColumn/renameColumn/splitColumn) act on the
+# extras only — the core schema is what the TPU engine consumes and cannot
+# be dropped or renamed (attempting it raises, rather than silently
+# corrupting the store).
+#
+# Four of these are **no-op stubs in hapi itself** (``renameColumn``
+# ``misc/hapi.py:2516``, ``insertRow`` ``:2519``, ``deleteRows`` ``:2522``,
+# ``splitColumn`` ``:2937`` — all ``pass``); they are implemented with real
+# semantics here and the divergence is documented in MIGRATION.md.
+# ===========================================================================
+
+#: per-table column metadata for generic (createTable) tables:
+#: name -> {"order": [...], "format": {...}, "default": {...}}
+_META: dict[str, dict] = {}
+
+#: the engine's packed columns (hapi-visible names)
+_CORE_COLUMNS = ("molec_id", "local_iso_id", "nu", "sw", "elower",
+                 "gamma_air", "gamma_self", "n_air", "delta_air", "SD_air")
+_CORE_DEFAULTS = {"molec_id": 1, "local_iso_id": 1}
+
+
+def _row_source(name: str) -> dict:
+    """Merged {column: host array} view (core + extras + LineNumber) for
+    expression evaluation — richer than hapi's VarDictionary, which sees
+    core columns only."""
+    store = _get_table(name)
+    src = dict(_db._store_rows(store))
+    src["SD_air"] = np.asarray(store.sd_air, dtype=np.float64)
+    for k, v in _EXTRAS.get(name, {}).items():
+        src[k] = np.asarray(v)
+    src["LineNumber"] = np.arange(store.n_lines)
+    return src
+
+
+def _take_rows(name: str, dest: str, idx) -> LineStore:
+    """Row subset by index array, keeping extras aligned.
+
+    The result is re-sorted by line center: a :class:`LineStore` is
+    nu-sorted by invariant (the engine's bucket planning depends on it), so
+    an arbitrary ``idx`` order cannot be preserved — a documented
+    divergence from hapi's ``arrangeTable`` row-order semantics.
+    """
+    store = _get_table(name)
+    idx = np.asarray(idx)
+    idx = idx[np.argsort(np.asarray(store.nu0, dtype=np.float64)[idx],
+                         kind="stable")]
+    out = store.subset(idx)
+    _TABLES[dest] = out
+    if name in _EXTRAS:
+        _EXTRAS[dest] = {k: np.asarray(v)[idx]
+                         for k, v in _EXTRAS[name].items()}
+    if name in _META:
+        _META[dest] = {k: (list(v) if isinstance(v, list) else dict(v))
+                       for k, v in _META[name].items()}
+    return out
+
+
+def createTable(TableName, RowObjectDefault):
+    """Create an empty table from a ``(name, default, format)`` row spec
+    (hapi ``createTable``, ``misc/hapi.py:2373``).
+
+    Core ``.par`` columns land in an (empty) :class:`LineStore`; any other
+    names become extras columns. Defaults/formats are kept per table and
+    used by :func:`insertRow`.
+    """
+    order, formats, defaults = [], {}, {}
+    for par_name, par_value, par_format in RowObjectDefault:
+        order.append(par_name)
+        formats[par_name] = par_format
+        defaults[par_name] = par_value
+    empty = np.zeros(0)
+    from .lines.store import from_arrays
+
+    _TABLES[TableName] = from_arrays(
+        empty, empty, empty, empty, empty, empty, empty,
+        np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+        dtype=jnp.float64)
+    _EXTRAS[TableName] = {k: np.zeros(0) for k in order
+                          if k not in _CORE_COLUMNS}
+    _META[TableName] = {"order": order, "format": formats,
+                        "default": defaults}
+
+
+def insertRow(TableName=None, RowDict=None, **values):
+    """Append one row (column-name -> value).
+
+    hapi's ``insertRow`` is an argument-less no-op stub
+    (``misc/hapi.py:2519``); this one actually inserts. Missing core
+    columns take the table's :func:`createTable` defaults (else 0, with
+    ``molec_id``/``local_iso_id`` defaulting to (1, 1) so the isotopologue
+    registry lookup stays valid); missing extras take their defaults.
+    """
+    if TableName is None:
+        return None  # exact hapi signature/behavior: insertRow() is a no-op
+    vals = dict(RowDict or {})
+    vals.update(values)
+    store = _get_table(TableName)
+    defaults = _META.get(TableName, {}).get("default", {})
+
+    def core(name, fallback=0.0):
+        return vals.get(name, defaults.get(
+            name, _CORE_DEFAULTS.get(name, fallback)))
+
+    rows = _db._store_rows(store)
+    new = {k: np.concatenate([np.asarray(rows[k], dtype=np.float64),
+                              [float(core(k))]])
+           for k in rows}
+    sd = np.concatenate([np.asarray(store.sd_air, dtype=np.float64),
+                         [float(core("SD_air"))]])
+    from .lines.store import from_arrays
+
+    _TABLES[TableName] = from_arrays(
+        new["nu"], new["sw"], new["elower"], new["gamma_air"],
+        new["gamma_self"], new["n_air"], new["delta_air"],
+        new["molec_id"].astype(np.int64),
+        new["local_iso_id"].astype(np.int64), sd_air=sd, dtype=jnp.float64)
+    # from_arrays re-sorts by nu; extras must follow the same permutation
+    order = np.argsort(new["nu"], kind="stable")
+    extras = _EXTRAS.get(TableName, {})
+    for k, v in list(extras.items()):
+        v = np.concatenate([np.asarray(v),
+                            np.asarray([vals.get(k, defaults.get(k, 0))],
+                                       dtype=np.asarray(v).dtype)])
+        extras[k] = v[order]
+    if extras:
+        _EXTRAS[TableName] = extras
+    return _TABLES[TableName]
+
+
+def deleteRows(TableName, ParameterNames=None, Conditions=None):
+    """Drop rows matching a condition expression (query DSL).
+
+    hapi's ``deleteRows`` is a no-op stub (``misc/hapi.py:2522``);
+    ``ParameterNames`` is kept for signature compatibility and ignored,
+    as there. Conditions may reference extras columns too.
+    """
+    if Conditions is None:
+        return _get_table(TableName)
+    mask = np.asarray(_query.filter_mask(_row_source(TableName), Conditions),
+                      dtype=bool)
+    return _take_rows(TableName, TableName, np.nonzero(~mask)[0])
+
+
+def arrangeTable(TableName, DestinationTableName=None, RowIDList=None):
+    """Subset/reorder rows by explicit row ids (hapi ``arrangeTable``,
+    ``misc/hapi.py:2609``)."""
+    dest = DestinationTableName or TableName
+    if RowIDList is None:
+        RowIDList = np.arange(_get_table(TableName).n_lines)
+    return _take_rows(TableName, dest, np.asarray(RowIDList, dtype=np.int64))
+
+
+def addColumn(TableName, ParameterName, Before=None, Expression=None,
+              Type=None, Default=None, Format=None):
+    """Add an extras column, constant or computed from an ``Expression`` in
+    the condition/arithmetic DSL (hapi ``addColumn``, ``misc/hapi.py:2462``;
+    expression semantics per ``evaluateExpression`` ``:2144`` with the
+    ``LineNumber`` pseudo-column available, as in hapi)."""
+    store = _get_table(TableName)
+    extras = _EXTRAS.setdefault(TableName, {})
+    if ParameterName in _CORE_COLUMNS or ParameterName in extras:
+        raise ValueError(f'Column "{ParameterName}" already exists')
+    if Type is None:
+        Type = float
+    if Default is None:
+        Default = {int: 0, float: 0.0, str: "", bool: False}.get(Type, 0.0)
+    if Expression is None:
+        col = np.full(store.n_lines, Default,
+                      dtype=object if Type is str else None)
+    else:
+        col = np.broadcast_to(
+            np.asarray(_query.evaluate(_row_source(TableName), Expression)),
+            (store.n_lines,)).copy()
+    extras[ParameterName] = col
+    meta = _META.setdefault(
+        TableName, {"order": list(_CORE_COLUMNS), "format": {},
+                    "default": {}})
+    if Before is not None and Before in meta["order"]:
+        meta["order"].insert(meta["order"].index(Before), ParameterName)
+    else:
+        meta["order"].append(ParameterName)
+    if Format is not None:
+        meta["format"][ParameterName] = Format
+    meta["default"][ParameterName] = Default
+    return col
+
+
+def deleteColumn(TableName, ParameterName):
+    """Remove an extras column (hapi ``deleteColumn``, ``misc/hapi.py:2497``).
+    Core engine columns cannot be dropped — raises instead."""
+    if ParameterName in _CORE_COLUMNS:
+        raise ValueError(
+            f'"{ParameterName}" is a core engine column of the packed '
+            "LineStore and cannot be deleted (documented divergence)")
+    extras = _EXTRAS.get(TableName, {})
+    if ParameterName not in extras:
+        raise KeyError(f'No such column "{ParameterName}"')
+    del extras[ParameterName]
+    meta = _META.get(TableName)
+    if meta and ParameterName in meta["order"]:
+        meta["order"].remove(ParameterName)
+        meta["format"].pop(ParameterName, None)
+        meta["default"].pop(ParameterName, None)
+
+
+def deleteColumns(TableName, ParameterNames):
+    """Remove several extras columns (hapi ``deleteColumns``,
+    ``misc/hapi.py:2510``)."""
+    for p in (ParameterNames if isinstance(ParameterNames, (list, tuple, set))
+              else [ParameterNames]):
+        deleteColumn(TableName, p)
+
+
+def renameColumn(TableName, OldParameterName, NewParameterName):
+    """Rename an extras column. hapi's ``renameColumn`` is a no-op stub
+    (``misc/hapi.py:2516``); this one renames. Core columns raise."""
+    if OldParameterName in _CORE_COLUMNS:
+        raise ValueError(
+            f'"{OldParameterName}" is a core engine column and cannot be '
+            "renamed")
+    extras = _EXTRAS.get(TableName, {})
+    if OldParameterName not in extras:
+        raise KeyError(f'No such column "{OldParameterName}"')
+    extras[NewParameterName] = extras.pop(OldParameterName)
+    meta = _META.get(TableName)
+    if meta and OldParameterName in meta["order"]:
+        meta["order"][meta["order"].index(OldParameterName)] = \
+            NewParameterName
+        for d in (meta["format"], meta["default"]):
+            if OldParameterName in d:
+                d[NewParameterName] = d.pop(OldParameterName)
+
+
+def splitColumn(TableName, SourceParameterName, ParameterNames, Splitter):
+    """Split a string extras column on a delimiter into typed columns.
+
+    hapi's ``splitColumn`` is a no-op stub (``misc/hapi.py:2937``); this is
+    the delimiter-based sibling of :func:`extractColumns`. Fields that
+    parse as numbers become float columns, the rest stay strings; short
+    rows pad with empty fields.
+    """
+    extras = _EXTRAS.get(TableName, {})
+    if SourceParameterName not in extras:
+        raise KeyError(f"{SourceParameterName}: not an extra column of "
+                       f"{TableName}")
+    src = [str(s) for s in extras[SourceParameterName]]
+    parts = [s.split(Splitter) for s in src]
+    for j, name in enumerate(ParameterNames):
+        vals = [p[j].strip() if j < len(p) else "" for p in parts]
+        try:
+            col = np.asarray([float(v) for v in vals])
+        except ValueError:
+            col = np.asarray(vals, dtype=object)
+        extras[name] = col
+    return {n: extras[n] for n in ParameterNames}
+
+
+def saveCache():
+    """Write every loaded table back to the database directory (hapi
+    ``saveCache``, ``misc/hapi.py:1732``; drops the query buffer first,
+    as there)."""
+    _TABLES.pop("__BUFFER__", None)
+    _EXTRAS.pop("__BUFFER__", None)
+    db_commit()
+
+
+def loadCache():
+    """(Re)load every table from the database directory (hapi
+    ``loadCache``, ``misc/hapi.py:1718``)."""
+    if _DB_DIR is None:
+        raise RuntimeError("no database opened; call db_begin(dir) first")
+    db_begin(_DB_DIR)
+
+
+def databaseBegin(db=None):
+    """DB-backend-level open (hapi ``databaseBegin``,
+    ``misc/hapi.py:1745``) — same as :func:`db_begin`."""
+    db_begin(db)
+
+
+def databaseCommit():
+    """DB-backend-level commit (hapi ``databaseCommit``,
+    ``misc/hapi.py:1753``) — same as :func:`saveCache`."""
+    saveCache()
 
 
 def select(TableName, DestinationTableName="__BUFFER__", ParameterNames=None,
@@ -1006,6 +1308,58 @@ absorptionCoefficient_SDVoigt = _make_driver("sdvoigt", "absorptionCoefficient_S
 absorptionCoefficient_Lorentz = _make_driver("lorentz", "absorptionCoefficient_Lorentz", 11144)
 absorptionCoefficient_Doppler = _make_driver("doppler", "absorptionCoefficient_Doppler", 11384)
 absorptionCoefficient_HT = _make_driver("ht", "absorptionCoefficient_HT", 10302)
+
+#: hapi alias (``misc/hapi.py:11560``)
+absorptionCoefficient_Gauss = absorptionCoefficient_Doppler
+
+
+def _abscoef_alias(driver, hapi_name, ref_line):
+    """Legacy ``abscoef*`` shortcut (hapi ``misc/hapi.py:11563-11578``):
+    positional (table, step, grid, env, file) -> keyword driver call."""
+
+    def alias(table=None, step=None, grid=None, env=None, file=None):
+        return driver(SourceTables=table, OmegaStep=step, OmegaGrid=grid,
+                      Environment=env if env is not None
+                      else {"T": 296.0, "p": 1.0},
+                      File=file)
+
+    alias.__name__ = hapi_name
+    alias.__doc__ = (f"Legacy shortcut for ``{driver.__name__}`` "
+                     f"(hapi ``{hapi_name}``, ``misc/hapi.py:{ref_line}``).")
+    return alias
+
+
+abscoef_HT = _abscoef_alias(absorptionCoefficient_HT, "abscoef_HT", 11563)
+abscoef_Voigt = _abscoef_alias(absorptionCoefficient_Voigt, "abscoef_Voigt",
+                               11566)
+abscoef_Lorentz = _abscoef_alias(absorptionCoefficient_Lorentz,
+                                 "abscoef_Lorentz", 11569)
+abscoef_Doppler = _abscoef_alias(absorptionCoefficient_Doppler,
+                                 "abscoef_Doppler", 11572)
+abscoef_Gauss = abscoef_Doppler  # hapi ``misc/hapi.py:11575``
+#: hapi's bare ``abscoef`` default is the LORENTZ driver (``:11577``)
+abscoef = _abscoef_alias(absorptionCoefficient_Lorentz, "abscoef", 11577)
+
+
+def read_hotw(filename):
+    """Read a two-column (nu, coef) cross-section text file as fetched from
+    HITRAN-on-the-Web (hapi ``read_hotw``, ``misc/hapi.py:11711``); lines
+    that do not parse as two floats are skipped, as there."""
+    nu, coef = [], []
+    with open(filename) as f:
+        for line in f:
+            parts = line.split()
+            try:
+                v, c = float(parts[0]), float(parts[1])
+            except (ValueError, IndexError):
+                continue
+            nu.append(v)
+            coef.append(c)
+    return np.asarray(nu), np.asarray(coef)
+
+
+#: hapi backwards-compatibility alias (``misc/hapi.py:11734``)
+read_xsect = read_hotw
 
 
 # ===========================================================================

@@ -478,3 +478,113 @@ def test_ht_driver_hooks_match_hapi(db):
     _, k = hc.absorptionCoefficient_HT(**kw)
     assert k.max() > 0
     np.testing.assert_allclose(k, k_r, rtol=2e-7, atol=1e-30)
+
+
+# ---------------------------------------------------------------------------
+# Table-editing verbs (misc/hapi.py:1710-2960; the hapi no-op stubs
+# renameColumn/insertRow/deleteRows/splitColumn are implemented for real
+# here — divergence documented in MIGRATION.md)
+# ---------------------------------------------------------------------------
+
+def test_add_delete_rename_column(db):
+    col = hc.addColumn("syn", "tag", Expression=("*", "nu", 2.0))
+    np.testing.assert_allclose(col, 2.0 * np.asarray(hc.getColumn("syn", "nu")),
+                               rtol=1e-12)
+    assert "tag" in hc._EXTRAS["syn"]
+    hc.renameColumn("syn", "tag", "nu2")
+    assert "nu2" in hc._EXTRAS["syn"] and "tag" not in hc._EXTRAS["syn"]
+    hc.deleteColumn("syn", "nu2")
+    assert "nu2" not in hc._EXTRAS["syn"]
+    with pytest.raises(ValueError):
+        hc.deleteColumn("syn", "nu")          # core columns protected
+    with pytest.raises(KeyError):
+        hc.deleteColumn("syn", "missing")
+
+
+def test_add_column_constant_and_before(db):
+    hc.addColumn("syn", "flag", Type=int, Default=3)
+    assert np.all(np.asarray(hc._EXTRAS["syn"]["flag"]) == 3)
+    hc.addColumn("syn", "w", Before="flag")
+    order = hc._META["syn"]["order"]
+    assert order.index("w") == order.index("flag") - 1
+    hc.deleteColumns("syn", ["flag", "w"])
+
+
+def test_delete_rows_condition_and_extras_alignment(db):
+    hc.addColumn("syn", "twice_nu", Expression=("*", "nu", 2.0))
+    n0 = hc.length("syn")
+    hc.deleteRows("syn", Conditions=(">", "nu", 1010.0))
+    store = hc._get_table("syn")
+    assert store.n_lines < n0
+    assert np.all(np.asarray(store.nu0) <= 1010.0)
+    np.testing.assert_allclose(hc._EXTRAS["syn"]["twice_nu"],
+                               2.0 * np.asarray(store.nu0), rtol=1e-12)
+
+
+def test_arrange_table_reorders_rows(db):
+    ids = [5, 1, 3]
+    hc.arrangeTable("syn", DestinationTableName="arr", RowIDList=ids)
+    # the store stays nu-sorted (LineStore invariant; documented divergence
+    # from hapi's preserve-RowIDList-order), so compare sorted centers
+    want = np.sort(np.asarray(hc.getColumn("syn", "nu"))[ids])
+    np.testing.assert_allclose(np.asarray(hc._get_table("arr").nu0), want)
+
+
+def test_create_table_insert_row_roundtrip(db):
+    hc.createTable("fresh", [("molec_id", 1, "%2d"), ("local_iso_id", 1, "%1d"),
+                             ("nu", 0.0, "%12.6f"), ("sw", 0.0, "%10.3E"),
+                             ("elower", 0.0, "%10.4f"),
+                             ("gamma_air", 0.05, "%6.4f"),
+                             ("gamma_self", 0.3, "%6.4f"),
+                             ("n_air", 0.5, "%7.4f"),
+                             ("delta_air", 0.0, "%9.6f"),
+                             ("note", 0.0, "%5.1f")])
+    assert hc.length("fresh") == 0
+    hc.insertRow("fresh", {"nu": 1000.5, "sw": 1e-21, "note": 7.0})
+    hc.insertRow("fresh", {"nu": 999.5, "sw": 2e-21})
+    assert hc.length("fresh") == 2
+    store = hc._get_table("fresh")
+    np.testing.assert_allclose(np.asarray(store.nu0), [999.5, 1000.5])
+    # extras follow the nu-sort permutation
+    np.testing.assert_allclose(hc._EXTRAS["fresh"]["note"], [0.0, 7.0])
+    # createTable defaults applied to unspecified core columns
+    np.testing.assert_allclose(np.asarray(store.gamma_air), [0.05, 0.05])
+    assert hc.insertRow() is None             # bare-call = hapi no-op stub
+
+
+def test_split_column(db):
+    hc._EXTRAS["syn"]["pair"] = np.asarray(
+        [f"{i}|{i * 10}" for i in range(hc.length("syn"))], dtype=object)
+    out = hc.splitColumn("syn", "pair", ["a", "b"], "|")
+    np.testing.assert_allclose(out["b"], 10.0 * out["a"])
+
+
+def test_save_load_cache_roundtrip(db, tmp_path):
+    hc.select("syn", Conditions=("between", "nu", 1000.0, 1010.0))  # __BUFFER__
+    n = hc.length("syn")
+    hc.saveCache()
+    assert "__BUFFER__" not in hc.tableList()
+    hc.loadCache()
+    assert hc.length("syn") == n
+
+
+def test_abscoef_aliases_match_drivers(db):
+    nu0, k0 = hc.absorptionCoefficient_Lorentz(SourceTables="syn",
+                                               OmegaGrid=GRID)
+    nu, k = hc.abscoef(table="syn", grid=GRID)   # hapi default = Lorentz
+    np.testing.assert_allclose(k, k0, rtol=0, atol=0)
+    _, kd = hc.abscoef_Doppler(table="syn", grid=GRID)
+    _, kd0 = hc.absorptionCoefficient_Doppler(SourceTables="syn",
+                                              OmegaGrid=GRID)
+    np.testing.assert_allclose(kd, kd0, rtol=0, atol=0)
+    assert hc.abscoef_Gauss is hc.abscoef_Doppler
+    assert hc.absorptionCoefficient_Gauss is hc.absorptionCoefficient_Doppler
+
+
+def test_read_hotw(tmp_path):
+    p = tmp_path / "xs.txt"
+    p.write_text("# header line\n100.0 1.5e-20\n100.5 2.5e-20\nbad line\n")
+    nu, coef = hc.read_hotw(str(p))
+    np.testing.assert_allclose(nu, [100.0, 100.5])
+    np.testing.assert_allclose(coef, [1.5e-20, 2.5e-20])
+    assert hc.read_xsect is hc.read_hotw
