@@ -50,10 +50,33 @@ def _matlab_blob(header: dict) -> bytes:
     return buf.getvalue()
 
 
+def _yaml_safe(v):
+    """Recursively coerce header values to YAML-representable builtins."""
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, dict):
+        return {str(k): _yaml_safe(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_yaml_safe(x) for x in v]
+    return v
+
+
 def mbi_export(fname: str, data, rows=None, cols=None, bands=None,
-               bands_first_dim: bool = True, **header) -> None:
+               bands_first_dim: bool = True, sidecar: bool = False,
+               **header) -> None:
     """Write a (nB, nR, nC) array (or (nR, nC, nB) with
-    ``bands_first_dim=False``) as '.bip' or '.bsq' by file extension."""
+    ``bands_first_dim=False``) as '.bip' or '.bsq' by file extension.
+
+    ``sidecar=True`` also writes the header metadata (plus the dims/dtype/
+    interleave descriptor) as a YAML file with the same basename and a
+    ``.yaml`` extension — the format contract documented by the reference
+    (``AFIT_MBI.py:45,74-76``, parameter ``Sidecar``). Note the reference
+    *documents* the sidecar but never writes it (no yaml import or write
+    exists in ``AFIT_MBI.py``); here it is implemented, default off to
+    match the reference's effective behavior.
+    """
     data = np.asarray(data)
     if bands_first_dim:
         data = data.transpose(1, 2, 0).copy(order="C")
@@ -85,6 +108,20 @@ def mbi_export(fname: str, data, rows=None, cols=None, bands=None,
                 data[:, :, b].copy(order="C").tofile(f)
         else:  # bip: all bands per pixel, pixel-major
             data.transpose(2, 0, 1).reshape(n_b, -1).T.copy(order="C").tofile(f)
+
+    if sidecar:
+        import yaml
+
+        doc = {
+            "file": os.path.basename(fname),
+            "shape": {"rows": int(n_r), "cols": int(n_c), "bands": int(n_b)},
+            "dtype": _dtype_str(data).strip(),
+            "interleave": interleave,
+            "offset_bytes": int(offset),
+            "Header": _yaml_safe(header) if header else None,
+        }
+        with open(os.path.splitext(fname)[0] + ".yaml", "w") as f:
+            yaml.safe_dump(doc, f, sort_keys=False)
 
 
 def mbi_read(fname: str):

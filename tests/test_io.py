@@ -48,6 +48,26 @@ def test_mbi_round_trip(tmp_path, ext):
     np.testing.assert_array_equal(rows, np.arange(8))
 
 
+def test_mbi_yaml_sidecar(tmp_path):
+    """Sidecar=True contract of the reference format (AFIT_MBI.py:45,74-76;
+    documented there but never actually written — implemented here)."""
+    import yaml
+
+    data = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    f = str(tmp_path / "cube.bsq")
+    mbi_export(f, data, sidecar=True, sensor="MAKO",
+               gains=np.array([1.0, 2.0]))
+    with open(tmp_path / "cube.yaml") as fh:
+        doc = yaml.safe_load(fh)
+    assert doc["shape"] == {"rows": 3, "cols": 4, "bands": 2}
+    assert doc["interleave"] == "bsq" and doc["dtype"] == "double"
+    assert doc["Header"]["sensor"] == "MAKO"
+    assert doc["Header"]["gains"] == [1.0, 2.0]
+    # the binary is unaffected by the sidecar option
+    back, *_ = mbi_read(f)
+    np.testing.assert_allclose(back, data)
+
+
 def test_afit_xs_round_trip(tmp_path):
     X = np.linspace(400.0, 7100.0, 5000)
     Y = np.random.default_rng(2).random(5000)
