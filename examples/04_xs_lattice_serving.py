@@ -33,32 +33,41 @@ lines = synthetic_lines(800, nu_min=2000.0, nu_max=2200.0, seed=5,
 iso = IsoTables.load(dtype=jnp.float32)
 X = arange_drift_free(2040.0, 2160.0, 0.0025)
 
-# (T, p) lattice, reference RT_gen_AbsXS_files.py:25-30 style
-T_s = np.arange(250.0, 331.0, 20.0)
-p_s = np.full_like(T_s, 1.0)
+# (T, p) lattice, reference RT_gen_AbsXS_files.py:25-30 style: the fused
+# kernel evaluates every lattice state in one program. Pure cross-sections
+# (strength_scale defaults to 1), so layer amounts enter at serving time.
+T_pts = np.arange(250.0, 331.0, 20.0)
+p_pts = np.asarray([0.7, 1.0])
+TT, PP = [a.ravel() for a in np.meshgrid(T_pts, p_pts, indexing="ij")]
 
-fn = make_xsect_pallas_fn(lines, iso, X, T_s, p_s, profile="sdvoigt",
+fn = make_xsect_pallas_fn(lines, iso, X, TT, PP, profile="sdvoigt",
                           wing_abs=25.0)
-K = np.asarray(fn(jnp.asarray(T_s, dtype=jnp.float32),
-                  jnp.asarray(p_s, dtype=jnp.float32)))
-print(f"lattice: {T_s.size} states x {X.size} points, max {K.max():.3e}")
+K = np.asarray(fn(jnp.asarray(TT, dtype=jnp.float32),
+                  jnp.asarray(PP, dtype=jnp.float32)))
+print(f"lattice: {TT.size} (T,p) states x {X.size} points, max {K.max():.3e}")
 
 # AFIT_XS round-trip (io/afit_xs.py matches the reference binary layout)
 workdir = tempfile.mkdtemp(prefix="xs_demo_")
-for i, (T, p) in enumerate(zip(T_s, p_s)):
+paths = []
+for i, (T, p) in enumerate(zip(TT, PP)):
+    f = os.path.join(workdir, f"xs_T{T:g}_p{p:g}.bin")
     xs_write(X, K[i], float(T), float(p) * 101325.0, 1, "demo lattice",
-             fname=os.path.join(workdir, f"xs_T{T:g}.bin"))
-Xr, Kr, meta = xs_read(os.path.join(workdir, f"xs_T{T_s[0]:g}.bin"))
+             fname=f)
+    paths.append(f)
+Xr, Kr, meta = xs_read(paths[0])
 assert np.allclose(Kr, K[0], rtol=1e-6)
-print(f"AFIT_XS round-trip ok ({len(T_s)} files in {workdir})")
+print(f"AFIT_XS round-trip ok ({len(paths)} files in {workdir})")
 
-# Serving: interpolate the lattice onto arbitrary layer states — one
-# MXU matmul per layered OD instead of a line-by-line evaluation.
-from radtxfr_tpu.products.od_from_xs import od_from_xs
+# Serving: assemble the written files into a packed XsTable, then layered
+# OD synthesis is ONE MXU matmul against the lattice (bilinear corner
+# weights x column densities fold into a tiny dense matrix; see
+# products/od_from_xs.py docstrings) instead of a line-by-line run.
+from radtxfr_tpu.atmos import std_atmosphere
+from radtxfr_tpu.products.od_from_xs import od_from_xs, xs_table_from_files
 
-T_layers = jnp.asarray([262.0, 287.0, 305.0], dtype=jnp.float32)
-u_layers = jnp.asarray([2.1e21, 1.4e21, 0.8e21], dtype=jnp.float32)
-od = od_from_xs(jnp.asarray(K), jnp.asarray(T_s, dtype=jnp.float32),
-                T_layers, u_layers)
-print(f"served OD {od.shape}: max {float(od.max()):.2f}")
+table = xs_table_from_files({1: paths})     # HITRAN molecule 1 (H2O slot)
+atm = std_atmosphere(dtype=jnp.float32)
+od = od_from_xs(table, atm)
+print(f"served OD {od.shape} for the 66-layer StdAtmos: "
+      f"max {float(od.max()):.3e}")
 print("OK")

@@ -1608,7 +1608,8 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
                             profile: str = "voigt",
                             continuum: str = "none", continuum_factors=None,
                             line_mixing: dict | None = None,
-                            partition: str = "equal"):
+                            partition: str = "equal",
+                            differentiable: bool = False):
     """SPMD building block: per-shard OD over a spectrum-sharded grid.
 
     All shards run the *same* program (one set of static bucket plans built
@@ -1658,6 +1659,19 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
     n_pad = -(-g0.n // align) * align
     g = UniformGrid(x0=g0.x0, dx=g0.dx, n=n_pad)
     n_local = n_pad // n_shards
+
+    if differentiable:
+        # Same contract as make_od_pallas_fn(differentiable=True): the
+        # analytic-JVP kernels implement the single-pass blends and the
+        # Voigt/SD-Voigt modes only; the sharded starts/counts/k_offset
+        # overrides flow straight into xsect_fused_*_diff, so spectrum
+        # sharding (incl. the weighted permuted partition) composes with
+        # forward-mode autodiff.
+        if profile not in ("voigt", "sdvoigt") or line_mixing is not None:
+            raise NotImplementedError(
+                "differentiable sharded OD supports the Voigt and SD-Voigt "
+                "profiles without line mixing")
+        two_pass = False
 
     # Rosenkranz line mixing (same composition as make_od_pallas_fn):
     # mixing lines run the 'mix' kernel mode with the per-layer Y riding
@@ -1762,6 +1776,7 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
                 starts=starts.reshape(-1), counts=counts.reshape(-1),
                 k_offset=offs,
                 n_tiles=n_local // plan.tile, n_out=n_local,
+                differentiable=differentiable,
             )
             out = out.at[lay_idx].add(od_c)
         if cont is not None:

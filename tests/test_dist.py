@@ -358,3 +358,108 @@ def test_tud_ensemble_weighted_partition_matches_equal(iso_tables):
         peak = np.abs(a).max()
         assert np.abs(a - b).max() < 5e-6 * max(peak, 1e-30), \
             np.abs(a - b).max() / peak
+
+
+def test_sharded_jacobian_matches_single_device(iso_tables):
+    """Spectrum- and direction-sharded JVPs (make_tud_jacobian_fn,
+    VERDICT r4 #4) vs the single-device differentiable Pallas path on the
+    same padded grid: primal + dT/dH2O/dO3 directional derivatives."""
+    from radtxfr_tpu.dist.pallas_ensemble import (jacobian_directions,
+                                                  make_tud_jacobian_fn)
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+    from radtxfr_tpu.products.tud import tud_from_od
+
+    lines = synthetic_lines(120, nu_min=790.0, nu_max=860.0, seed=9)
+    grid = arange_drift_free(800.0, 840.0, 0.02)
+    base = std_atmosphere()
+    alts = jnp.asarray([2.0, 500.0])
+    mesh = make_mesh(4, 2)
+
+    gpad, run = make_tud_jacobian_fn(lines, iso_tables, grid, base, alts,
+                                     mesh, n_angles=8)
+    V_T, V_vmr, labels = jacobian_directions(base, wrt=("T", 1, 3))
+    # one batch of 8 directions: 2 T-layers, 2 H2O layers, 2 O3 layers + 2
+    pick = [0, 3, 66, 70, 132, 140, 5, 50]
+    primal, tangent = run(base.T, base.vmr, V_T[pick], V_vmr[pick])
+
+    # single-device reference: differentiable pallas build on the SAME
+    # padded grid, jvp per direction
+    x_pad = jnp.asarray(gpad.values(), dtype=jnp.float32)
+    fn = make_od_pallas_fn(lines, iso_tables, gpad, base,
+                           differentiable=True)
+
+    def forward(T, vmr):
+        od = fn(T, base.p, base.pl, vmr)
+        B = jnp.swapaxes(planckian(x_pad, T), 0, 1).astype(od.dtype)
+        tud = tud_from_od(x_pad, od, B, base.z0, alts, n_angles=8)
+        return {"tau": tud.tau, "Lu": tud.Lu, "Ld": tud.Ld}
+
+    want_p = forward(base.T, base.vmr)
+    n = grid.size
+    for k in ("tau", "Lu", "Ld"):
+        np.testing.assert_allclose(
+            np.asarray(primal[k])[:n], np.asarray(want_p[k])[:n],
+            rtol=3e-5, atol=1e-6, err_msg=f"primal {k}")
+
+    for j, d in enumerate(pick):
+        _, want_t = jax.jvp(
+            forward, (base.T, base.vmr),
+            (jnp.asarray(V_T[d], dtype=base.T.dtype),
+             jnp.asarray(V_vmr[d], dtype=base.vmr.dtype)))
+        for k in ("tau", "Lu", "Ld"):
+            got = np.asarray(tangent[k][j])[:n]
+            want = np.asarray(want_t[k])[:n]
+            scale = max(np.abs(want).max(), 1e-12)
+            np.testing.assert_allclose(
+                got / scale, want / scale, rtol=0, atol=5e-5,
+                err_msg=f"direction {labels[d]} {k}")
+
+
+def test_sharded_jacobian_tangent_matches_fd(iso_tables):
+    """One sharded JVP direction vs a central finite difference of the
+    sharded forward itself (the reference's 199-profile convention,
+    Generate_LWIR_TUD.py:55-71)."""
+    from radtxfr_tpu.dist.pallas_ensemble import (make_tud_ensemble_fn,
+                                                  make_tud_jacobian_fn)
+
+    lines = synthetic_lines(80, nu_min=800.0, nu_max=845.0, seed=21)
+    grid = arange_drift_free(805.0, 835.0, 0.02)
+    base = std_atmosphere()
+    alts = jnp.asarray([500.0])
+    mesh = make_mesh(4, 2)
+
+    gpad, run = make_tud_jacobian_fn(lines, iso_tables, grid, base, alts,
+                                     mesh, n_angles=6)
+    lay = 2
+    vT = np.zeros((4, 66), dtype=np.float32)
+    vT[0, lay] = 1.0
+    vv = np.zeros((4, 66, base.vmr.shape[1]), dtype=np.float32)
+    _, tangent = run(base.T, base.vmr, vT, vv)
+
+    # small step: the FD window-edge artifact (see below) grows with eps
+    # as more line windows shift across grid points
+    eps = 0.05
+    env = [base.replace(T=base.T - 1.0), base.replace(T=base.T + 1.0)]
+    probe = stack_states(env + env)          # 4-wide ensemble axis
+    gpad2, fwd = make_tud_ensemble_fn(
+        lines, iso_tables, gpad, probe, alts, mesh,
+        atmos_class=env, n_angles=6, partition="weighted")
+    up = base.replace(T=base.T.at[lay].add(eps))
+    dn = base.replace(T=base.T.at[lay].add(-eps))
+    tau_pm, _, _ = fwd(stack_states([up, dn, up, dn]))  # 4-wide ens axis
+    fd = (np.asarray(tau_pm[0]) - np.asarray(tau_pm[1])) / (2 * eps)
+
+    n = grid.size
+    got = np.asarray(tangent["tau"][0])[:n]
+    want = fd[:n]
+    scale = max(np.abs(want).max(), 1e-12)
+    d = np.abs(got - want) / scale
+    # The JVP holds wing-cutoff windows fixed at the linearization point
+    # (products/jacobian.py module docstring — the mask derivative is zero
+    # almost everywhere, matching the reference's small-step FD
+    # convention); a finite 0.5 K step moves the T-dependent window edge
+    # across a handful of grid points where the FD then sees the truncated
+    # wing tail switch on. Assert bulk agreement and that the exceptions
+    # stay isolated edge points.
+    assert np.quantile(d, 0.997) < 2e-3
+    assert (d > 2e-3).sum() <= 4
