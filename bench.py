@@ -422,6 +422,107 @@ def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum,
           (n_atmos * hapi_s_per_spectrum) / wall, extra=extra)
 
 
+def bench_tud_fullres(jnp, iso, atm):
+    """Metrics 2c/3c (VERDICT r4 #1): the reference's ACTUAL production
+    configuration end to end — 690-1410 cm^-1 at DVOUT=5e-4 (1.44M fine
+    points), 66 layers, 9 sensor altitudes, 30 downwelling angles, derived
+    clustered list + CO2 Q-branch mixing + MT_CKD-formulation continuum,
+    fused on-device reduction to 0.25 cm^-1 of ALL altitudes
+    (``Generate_LWIR_TUD.py:77-85,152-223``). Members are regrid-
+    diversified profiles (atmos/regrid.py cubic re-gridding of perturbed
+    soundings — production-diverse inputs, VERDICT r4 weak #5), not just
+    (dT, H2O-scale) draws.
+
+    Env knob: BENCH_N_ATMOS_FULLRES (default 100).
+    """
+    import jax
+
+    from radtxfr_tpu.atmos.regrid import regrid_profiles
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.kernels.linemixing_data import y_air_for_store
+    from radtxfr_tpu.lines.derived import derived_lwir_linelist
+    from radtxfr_tpu.products.od import make_od_pallas_fn
+    from radtxfr_tpu.products.tud import tud_from_od
+    from radtxfr_tpu.core.planck import planckian
+    from radtxfr_tpu.sensor.resolution import reduce_operator
+
+    n_atmos = int(os.environ.get("BENCH_N_ATMOS_FULLRES", "100"))
+    lines = derived_lwir_linelist(665.0, 1435.0, dtype=jnp.float32)
+    lm = {"y_air": y_air_for_store(lines)}
+    X = arange_drift_free(690.0, 1410.0, 0.0005)          # 1.44M points
+    alts = jnp.asarray([0.061, 0.305, 1.524, 3.048, 6.096, 9.144, 12.192,
+                        15.24, 500.0], dtype=jnp.float32)
+
+    # production-diverse members: coarse perturbed soundings cubic-regridded
+    # onto the 66-level grid (the reference's TIGR ingestion path,
+    # Generate_LWIR_TUD.py:42-49)
+    rng = np.random.default_rng(0)
+    z66 = np.asarray(atm.z0, dtype=np.float64)
+    z_src = np.linspace(z66.min(), z66.max(), 40)
+    zz = z_src / z_src.max()
+    T_base = np.interp(z_src, z66, np.asarray(atm.T, dtype=np.float64))
+    H_base = np.interp(z_src, z66, np.asarray(atm.vmr[:, 0], dtype=np.float64))
+    O_base = np.interp(z_src, z66, np.asarray(atm.vmr[:, 2], dtype=np.float64))
+    a = rng.normal(size=(n_atmos, 3))
+    T_src = T_base[None] + (4.0 * a[:, :1] * np.exp(-zz[None] * 3)
+                            + 2.0 * a[:, 1:2] * np.exp(-zz[None]))
+    H_src = H_base[None] * np.exp(0.25 * a[:, 1:2] * np.exp(-zz[None] * 2)
+                                  + 0.1 * a[:, 2:])
+    O_src = O_base[None] * np.exp(0.1 * a[:, 2:])
+    members = regrid_profiles(z_src, T=T_src, h2o=H_src, o3=O_src)
+
+    def member(i):
+        return jax.tree.map(lambda x: x[i], members)
+
+    # envelope states for the static wing plans
+    env = [atm.replace(T=atm.T - 20.0),
+           atm.replace(T=atm.T + 20.0, vmr=atm.vmr.at[:, 0].mul(2.0))]
+    t_build0 = time.perf_counter()
+    fn = make_od_pallas_fn(lines, iso, X, env, continuum="mt_ckd",
+                           line_mixing=lm)
+    op = reduce_operator(X, 0.25)
+    build_s = time.perf_counter() - t_build0
+
+    grid = jnp.asarray(X, dtype=jnp.float32)
+
+    @jax.jit
+    def tail(od, T):
+        B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
+        tud = tud_from_od(grid, od, B, atm.z0, alts, n_angles=30)
+        return op(tud.tau[:, :, 0]), op(tud.Lu[:, :, 0]), op(tud.Ld)
+
+    def one(i):
+        m = member(i)
+        od = fn(m.T, m.p, m.pl, m.vmr)
+        out = tail(od, m.T)
+        _sync(out)
+        return out
+
+    t_all0 = time.perf_counter()
+    one(0)                                   # includes compile
+    t_steady0 = time.perf_counter()
+    for i in range(1, n_atmos):
+        one(i)
+    t_end = time.perf_counter()
+
+    steady = (n_atmos - 1) / (t_end - t_steady0)
+    evals = _window_evals(lines, iso, atm, X)
+    hapi_s = evals / HAPI_BASELINE_EVALS_PER_S
+    extra = {"config": ("690-1410 @ 5e-4 (1.44M pts), 66 layers, 9 alts, "
+                        "30 angles, derived clustered list + CO2 Q-branch "
+                        "mixing + mt_ckd continuum, fused 0.25 cm^-1 "
+                        "reduction of all altitudes on device"),
+             "n_lines": int(np.asarray(lines.nu0).size),
+             "members": "regrid-diversified profiles (atmos/regrid.py)",
+             "build_s": build_s}
+    _emit("tud_spectra_per_s_fullres", steady, "spectra/s",
+          steady * hapi_s, extra=extra)
+    wall = t_end - t_all0
+    _emit("ensemble_wall_s_fullres", wall, "s",
+          (n_atmos * hapi_s) / wall,
+          extra=dict(extra, n_atmos=n_atmos))
+
+
 def bench_ht_layered(jnp, iso, atm):
     """Metric 5b (VERDICT r2 #5 'TUD bench line'): the full Hartmann-Tran
     profile through the LAYERED-OD Pallas path (make_od_ht_pallas_fn) —
@@ -608,6 +709,70 @@ def bench_jacobian(jnp, iso, atm, lines, axis):
                            "d/dT[3]; jvp-traced pcqsdhc tangent kernel"})
 
 
+def bench_jacobian_full(jnp, iso, atm, lines, axis):
+    """Metric 6b (VERDICT r4 #4): ONE FULL 199-profile-equivalent TUD
+    Jacobian — the reference's actual Jacobian product
+    (``Generate_LWIR_TUD.py:55-71``: the unperturbed run plus 3x66
+    perturbed profiles for T/H2O/O3) — as the primal plus 198 directional
+    JVPs through the sharded differentiable builder
+    (:func:`radtxfr_tpu.dist.pallas_ensemble.make_tud_jacobian_fn`) on the
+    north-star config, with fused 0.25 cm^-1 reduction of every direction.
+    ``vs_baseline`` = hapi's cost for the 199 finite-difference forward
+    runs / this wall."""
+    import jax
+
+    from radtxfr_tpu.dist.mesh import make_mesh
+    from radtxfr_tpu.dist.pallas_ensemble import (jacobian_directions,
+                                                  make_tud_jacobian_fn)
+    from radtxfr_tpu.sensor.resolution import reduce_operator
+
+    mesh = make_mesh(1, len(jax.devices()))
+    alts = jnp.asarray([0.061, 1.524, 12.192, 500.0], dtype=jnp.float32)
+    gpad, run = make_tud_jacobian_fn(lines, iso, axis, atm, alts, mesh,
+                                     n_angles=30)
+    V_T, V_vmr, _ = jacobian_directions(atm, wrt=("T", 1, 3))
+    n_dirs = V_T.shape[0]                    # 198 = 199 profiles - primal
+    n = axis.size
+    op = reduce_operator(np.asarray(gpad.values()[:n], dtype=np.float64),
+                         0.25)
+
+    @jax.jit
+    def reduce_tangent(t):
+        red = lambda a: jnp.moveaxis(op(jnp.moveaxis(a[:, :n], 1, 0)), 0, 1)
+        return {k: red(v) for k, v in t.items()}
+
+    batch = 6
+    n_pad = -(-n_dirs // batch) * batch
+
+    def sweep():
+        outs = []
+        for lo in range(0, n_pad, batch):
+            idx = [min(i, n_dirs - 1) for i in range(lo, lo + batch)]
+            _, tangent = run(atm.T, atm.vmr, V_T[idx], V_vmr[idx])
+            out = reduce_tangent(tangent)
+            _sync(out["tau"])
+            outs.append(out)
+        return outs
+
+    sweep()                                  # compile
+    t0 = time.perf_counter()
+    sweep()
+    wall = time.perf_counter() - t0
+
+    evals = _window_evals(lines, iso, atm, axis)
+    fd_s = 199.0 * evals / HAPI_BASELINE_EVALS_PER_S
+    _emit("jacobian_full_199_wall_s", wall, "s", fd_s / wall,
+          extra={"config": ("20k lines, 500-1500 @ 0.0025, 66 layers, "
+                            "4 altitudes, 30 angles; primal + 198 JVP "
+                            "directions (T/H2O/O3 x 66 layers) in batches "
+                            f"of {batch} through the sharded "
+                            "differentiable builder, each direction "
+                            "reduced to 0.25 cm^-1 on device"),
+                 "n_directions": int(n_dirs),
+                 "baseline_note": ("hapi wall for the reference's 199 "
+                                   "finite-difference forward runs")})
+
+
 def main():
     import jax.numpy as jnp
 
@@ -620,8 +785,8 @@ def main():
     from radtxfr_tpu.lines.synthetic import synthetic_lines
 
     only = set((os.environ.get("BENCH_ONLY")
-                or "voigt,derived,tud,tud_synth,sdvoigt,ht,ht_layered,"
-                   "jacobian")
+                or "voigt,derived,tud,tud_synth,tud_fullres,sdvoigt,ht,"
+                   "ht_layered,jacobian,jacobian_full")
                .split(","))
     iso = IsoTables.load(dtype=jnp.float32)
     atm = std_atmosphere(dtype=jnp.float32)
@@ -654,6 +819,8 @@ def main():
             hapi_s = _window_evals(lines, iso, atm, axis) / HAPI_BASELINE_EVALS_PER_S
         bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s,
                            suffix="_synthetic")
+    if "tud_fullres" in only:
+        bench_tud_fullres(jnp, iso, atm)
     if "sdvoigt" in only:
         bench_sdvoigt_xs(jnp, iso)
     if "ht" in only:
@@ -662,6 +829,8 @@ def main():
         bench_ht_layered(jnp, iso, atm)
     if "jacobian" in only:
         bench_jacobian(jnp, iso, atm, lines, axis)
+    if "jacobian_full" in only:
+        bench_jacobian_full(jnp, iso, atm, lines, axis)
 
 
 if __name__ == "__main__":

@@ -161,17 +161,23 @@ def cmd_xsect(args):
         print(f"wrote {TT.size} file(s) at {args.output}")
 
 
-def _write_tud_h5(path, x_lo, out, jac_out):
+def _write_tud_h5(path, x_lo, out, jac_out, altitudes=None):
     from ..io.h5 import Var, write_h5
 
+    zs_info = ("(atmos, X, altitude)" if np.asarray(out["tau"]).ndim == 3
+               else "(atmos, X)")
     write_h5(path, {
         "X": Var(np.asarray(x_lo), units="cm^{-1}", name="Wavenumbers",
                  label=r"$\tilde{\nu}$"),
-        "tau": Var(out["tau"], units="none", name="Transmittance"),
+        "tau": Var(out["tau"], units="none", name="Transmittance",
+                   info=zs_info),
         "La": Var(out["Lu"], units="µW/(cm^2 sr cm^{-1})",
-                  name="Upwelling (path) radiance"),
+                  name="Upwelling (path) radiance", info=zs_info),
         "Ld": Var(out["Ld"], units="µW/(cm^2 sr cm^{-1})",
                   name="Hemispherically averaged downwelling radiance"),
+        **({"Altitudes": Var(np.asarray(altitudes), units="km",
+                             name="Sensor altitudes")}
+           if altitudes is not None else {}),
         **{k: Var(v, info="TUD Jacobian (trailing axis = layer)")
            for k, v in jac_out.items()},
     })
@@ -253,8 +259,11 @@ def cmd_tud(args):
 
         @jax.jit
         def reduce_batch(tau, Lu, Ld):
-            return (op(tau[:, :n, -1, 0].T).T, op(Lu[:, :n, -1, 0].T).T,
-                    op(Ld[:, :n].T).T)
+            # all sensor altitudes, like the reference's stored product
+            # (Generate_LWIR_TUD.py:96-132: OD/La are (nX_lo, nZs, nAtm))
+            red = lambda a: jnp.moveaxis(op(jnp.moveaxis(a[:, :n, :, 0],
+                                                         1, 0)), 0, 1)
+            return red(tau), red(Lu), op(Ld[:, :n].T).T
 
         def compute_batch(indices):
             # fixed batch shape (one compiled program); pad short final
@@ -283,18 +292,42 @@ def cmd_tud(args):
             out = {k2: np.concatenate(v) for k2, v in out.items()}
         print(timer.report())
         if args.output:
-            _write_tud_h5(args.output, x_lo, out, {})
+            _write_tud_h5(args.output, x_lo, out, {}, altitudes=alts)
         return
 
     od_fn = None
     if engine == "pallas":
         from ..products.od import make_od_pallas_fn
 
-        od_fn = make_od_pallas_fn(store, iso, X, base,
-                                  continuum=args.continuum,
-                                  line_mixing=line_mixing)
+        with timer.phase("build"):
+            od_fn = make_od_pallas_fn(store, iso, X, base,
+                                      continuum=args.continuum,
+                                      line_mixing=line_mixing)
+
+    # Fused banded reduction applied ON DEVICE (sensor.resolution.
+    # ReduceOperator): at the reference's production resolution
+    # (5e-4 -> 0.25 cm^-1, sm=500) the generic reduce_resolution path
+    # costs ~90 s/member on this host while the fused stencil is
+    # milliseconds on the chip. Falls back when there is nothing to
+    # reduce (sm < 3) or the default axis would cross the grid edge.
+    from ..sensor.resolution import reduce_operator
+
+    try:
+        op = reduce_operator(np.asarray(X, dtype=np.float64), args.dv_out)
+        x_lo = np.asarray(op.x_out)
+    except ValueError:
+        op = None
+        x_lo = None
+
+    if op is not None:
+        @jax.jit
+        def reduce_products(tau, Lu, Ld):
+            # (nX, nZs, nMu=1) -> (n_out, nZs); all altitudes, as stored
+            # by the reference (Generate_LWIR_TUD.py:96-132)
+            return op(tau[:, :, 0]), op(Lu[:, :, 0]), op(Ld)
 
     def one_atmos(i):
+        nonlocal x_lo
         vmr = base.vmr.at[:, 0].mul(scale_h2o[i])
         T = base.T + jnp.asarray(dT[i])
         with timer.phase("od", work_items=store.n_lines * base.n_layers):
@@ -309,18 +342,21 @@ def cmd_tud(args):
             tud = tud_from_od(grid, od, B, base.z0, alts,
                               n_angles=args.n_angles)
         with timer.phase("reduce"):
-            x_lo, tau_lo = reduce_resolution(X, tud.tau[:, -1, 0], args.dv_out)
-            lu_lo = reduce_resolution(X, tud.Lu[:, -1, 0], args.dv_out, X_out=x_lo)
-            ld_lo = reduce_resolution(X, tud.Ld, args.dv_out, X_out=x_lo)
+            if op is not None:
+                tau_lo, lu_lo, ld_lo = jax.tree.map(
+                    np.asarray, reduce_products(tud.tau, tud.Lu, tud.Ld))
+            else:
+                x_lo, tau_lo = reduce_resolution(X, tud.tau[:, :, 0],
+                                                 args.dv_out)
+                lu_lo = reduce_resolution(X, tud.Lu[:, :, 0], args.dv_out,
+                                          X_out=x_lo)
+                ld_lo = reduce_resolution(X, tud.Ld, args.dv_out, X_out=x_lo)
         return x_lo, np.asarray(tau_lo), np.asarray(lu_lo), np.asarray(ld_lo)
 
-    x_lo = None
-
     def compute_batch(indices):
-        nonlocal x_lo
         taus, lus, lds = [], [], []
         for i in indices:
-            x_lo, tau, lu, ld = one_atmos(int(i))
+            _, tau, lu, ld = one_atmos(int(i))
             taus.append(tau); lus.append(lu); lds.append(ld)
         return {"tau": np.stack(taus), "Lu": np.stack(lus), "Ld": np.stack(lds)}
 
@@ -345,7 +381,7 @@ def cmd_tud(args):
         print(f"jacobian: {sum(v.size for v in jac_out.values())} elements")
     print(timer.report())
     if args.output:
-        _write_tud_h5(args.output, x_lo, out, jac_out)
+        _write_tud_h5(args.output, x_lo, out, jac_out, altitudes=alts)
 
 
 def cmd_mako(args):
@@ -360,6 +396,10 @@ def cmd_mako(args):
     out = {}
     for name in ("tau", "La", "Ld"):
         Y = data[name].data
+        if Y.ndim == 3:
+            # multi-altitude TUD product: take the top-altitude slice,
+            # like the reference (Generate_LWIR_TUD_MAKO.py:26-28)
+            Y = Y[:, :, -1]
         Y2 = Y.T if Y.ndim == 2 else Y[:, None]
         x_out, y = ils_mako(X, Y2, fwhm_sf=args.fwhm_sf, shift=args.shift,
                             scale=args.scale)
@@ -391,8 +431,9 @@ def cmd_hsi(args):
 
     data = read_h5(args.input)
     X = data["X"].data
-    tau = data["tau"].data
-    Lu = data["La"].data
+    top = lambda a: a[:, :, -1] if a.ndim == 3 else a   # top altitude
+    tau = top(data["tau"].data)
+    Lu = top(data["La"].data)
     Ld = data["Ld"].data
     Ts = np.full(tau.shape[0], 296.0)
     db = synthetic_db(args.n_materials, X=X, seed=args.seed)
@@ -428,9 +469,15 @@ def cmd_radiance(args):
 
     data = read_h5(args.input)
     X = data["X"].data
-    tau = data["tau"].data.T if data["tau"].data.ndim == 2 else data["tau"].data
-    Lu = data["La"].data.T if data["La"].data.ndim == 2 else data["La"].data
-    Ld = data["Ld"].data.T if data["Ld"].data.ndim == 2 else data["Ld"].data
+
+    def spec_major(a):
+        if a.ndim == 3:
+            a = a[:, :, -1]                    # top-altitude slice
+        return a.T if a.ndim == 2 else a
+
+    tau = spec_major(data["tau"].data)
+    Lu = spec_major(data["La"].data)
+    Ld = spec_major(data["Ld"].data)
     # atmosphere-major inputs -> (nX, nA)
     n_atm = tau.shape[1]
     db = synthetic_db(args.n_materials, X=X, seed=args.seed)
