@@ -101,16 +101,40 @@ def _branch_w_matrix(nu, el, sw, gamma, T):
     return W, rho, d
 
 
-def _first_order_y(nu, W, d):
-    """Rosenkranz first-order coefficients from (W, d) [1/atm]."""
+def _first_order_y(nu, W, d, gamma=None):
+    """Rosenkranz first-order coefficients from (W, d) [1/atm].
+
+    The bare expansion kernel ``1/(nu_k - nu_j)`` diverges for the
+    near-degenerate pairs a CO2 Q-branch head piles up (measured |Y| up to
+    ~200/atm on the 720.8 branch — far outside the first-order validity
+    domain |Y p| << 1, and enough to drive whole-layer OD negative next to
+    the branch, round-5 full-res finding). Those pairs are exactly where
+    the perturbation series in ``p W / dnu`` breaks: once the gap is
+    inside the blended width the lines mix to all orders and the
+    dispersive first-order term saturates instead of diverging. The
+    regularized antisymmetric kernel
+
+        f(dnu) = dnu / (dnu^2 + delta_jk^2),  delta_jk = gamma_j + gamma_k
+
+    (the 1-atm blend scale, since Y is the 1-atm-referenced coefficient)
+    bounds every pair by ``W_jk / (2 delta)`` while preserving the EXACT
+    S-weighted sum rule: the pair (j,k) contribution to sum_k S_k Y_k is
+    ``rho_k W_jk d_j d_k (f(dnu_kj) + f(dnu_jk))``, zero for ANY odd f by
+    detailed balance — the same cancellation the bare kernel relied on.
+    Far pairs (|dnu| >> delta) are untouched, so the p -> 0 convergence
+    to the full-W resolvent is preserved (tests/test_derived.py).
+    """
     n = nu.size
-    Y = np.zeros(n)
     dnu = nu[:, None] - nu[None, :]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        terms = (d[None, :] / d[:, None]) * W.T / dnu   # [k, j] = d_j/d_k W_jk/(nu_k-nu_j)
+    if gamma is None:
+        kern = np.zeros_like(dnu)
+        np.divide(1.0, dnu, out=kern, where=dnu != 0.0)
+    else:
+        delta = gamma[:, None] + gamma[None, :]
+        kern = dnu / (dnu * dnu + delta * delta)
+    terms = (d[None, :] / d[:, None]) * W.T * kern  # [k, j] = d_j/d_k W_jk f
     np.fill_diagonal(terms, 0.0)
-    Y = 2.0 * np.nansum(terms, axis=1)
-    return Y
+    return 2.0 * np.nansum(terms, axis=1)
 
 
 def co2_q_branch_y(T: float = T_REF, min_lines: int = 4,
@@ -136,7 +160,7 @@ def co2_q_branch_y(T: float = T_REF, min_lines: int = 4,
             W, rho, d = _branch_w_matrix(
                 nu_b, rows["elower"][m], rows["sw"][m],
                 rows["gamma_air"][m], T)
-            y = _first_order_y(nu_b, W, d)
+            y = _first_order_y(nu_b, W, d, gamma=rows["gamma_air"][m])
             # exactness check of the S-weighted sum rule (detailed
             # balance makes it pairwise-antisymmetric; guard float noise)
             s = rows["sw"][m]

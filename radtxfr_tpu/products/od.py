@@ -186,7 +186,11 @@ def compute_od_layers(
                                    x_self=vmr_l[cols], n_T=n_T)
             return xsect_voigt_mixing(gridj, prm, Y, chunk=chunk)
 
-        od = jax.lax.map(one, (atmos.T, atmos.p, atmos.pl, atmos.vmr))
+        # first-order mixing can leave small negative excursions next to
+        # a Q branch (truncation artifact; LTE absorption is nonnegative)
+        # — clamp, as the Pallas builders do (round-5 full-res finding)
+        od = jnp.maximum(
+            jax.lax.map(one, (atmos.T, atmos.p, atmos.pl, atmos.vmr)), 0.0)
     elif profile == "ht":
         from ..kernels.ht_driver import (ht_params, ht_xsect_from_params,
                                          resolve_ht_columns)
@@ -786,6 +790,13 @@ def make_od_pallas_fn(lines, iso, grid, atmos_class, wing_abs=0.0, wing_hw=50.0,
                              n_weideman=n_weideman, mode=mode,
                              fused_layers=True, fast_rcp=fast_rcp,
                              differentiable=differentiable))
+        if y_air_j is not None:
+            # first-order Rosenkranz mixing can leave small negative
+            # excursions next to a Q branch (a truncation artifact, not
+            # physics: LTE absorption is nonnegative); clamp before the
+            # continuum so exp(-od) downstream cannot blow up at steep
+            # slant angles (round-5 full-res finding)
+            out = jnp.maximum(out, 0.0)
         if cont is not None:
             out = out + cont(T, p_pa, pl, vmr)
         return out
@@ -1779,6 +1790,13 @@ def make_od_pallas_local_fn(lines, iso, grid, atmos_class, n_shards: int,
                 differentiable=differentiable,
             )
             out = out.at[lay_idx].add(od_c)
+        if y_air_j is not None:
+            # first-order Rosenkranz mixing can leave small negative
+            # excursions next to a Q branch (a truncation artifact, not
+            # physics: LTE absorption is nonnegative); clamp before the
+            # continuum so exp(-od) downstream cannot blow up at steep
+            # slant angles (round-5 full-res finding)
+            out = jnp.maximum(out, 0.0)
         if cont is not None:
             if k_index is not None:
                 out = out + cont(T, p_pa, pl, vmr, k_index=k_index)

@@ -286,3 +286,36 @@ def test_co2_laser_band_golden_positions():
     # the 10.4 um band (heterodyne-standard lines) to ~1 mcm^-1
     ten = [i for i, l in enumerate(labels) if l.startswith("10um")]
     assert resid[ten].max() < 2e-3, list(zip(labels, resid))
+
+
+def test_mixing_y_bounded_and_od_nonnegative(iso_tables, derived_store):
+    """Round-5 full-res regression: the bare first-order kernel produced
+    |y_air| up to ~200/atm on the near-degenerate Q-branch-head pairs,
+    driving whole-layer OD to -0.97 next to 720.8 cm^-1 and Ld to
+    -inf/NaN through exp(-od*sec) in the production band. The regularized
+    antisymmetric kernel (delta = gamma_j + gamma_k) plus the engine's
+    nonnegativity clamp must keep tau <= 1 and every product finite."""
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.core.planck import planckian
+    from radtxfr_tpu.products import compute_od_layers, tud_from_od
+
+    y = y_air_for_store(derived_store)
+    assert np.abs(y).max() < 1.0, "first-order validity |Y| << 1 at 1 atm"
+
+    atm = std_atmosphere()
+    sub = derived_store.select_band(714.0, 730.0)
+    y_sub = y_air_for_store(sub)
+    X = arange_drift_free(715.0, 729.0, 0.01)
+    grid = jnp.asarray(X)
+    od = compute_od_layers(sub, iso_tables, grid, atm, engine="jnp",
+                           line_mixing={"y_air": y_sub})
+    od = np.asarray(od)
+    assert od.min() >= 0.0
+    B = jnp.swapaxes(planckian(grid, atm.T), 0, 1).astype(od.dtype)
+    tud = tud_from_od(grid, jnp.asarray(od), B, atm.z0,
+                      jnp.asarray([0.061, 500.0]), n_angles=30)
+    tau = np.asarray(tud.tau)
+    ld = np.asarray(tud.Ld)
+    assert np.isfinite(tau).all() and np.isfinite(ld).all()
+    assert tau.max() <= 1.0 + 1e-6
