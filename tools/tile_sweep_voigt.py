@@ -8,8 +8,12 @@ layer-group merge ratio. Reports seconds per call and the max rel
 deviation vs the default build.
 """
 import itertools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 
@@ -51,18 +55,33 @@ def main():
     n_rep = 5 if jax.default_backend() == "tpu" else 1
 
     configs = [dict()]  # default first = reference output
-    for tile in (256, 512, 1024):
-        for core_block in (8, 16, 32):
-            if tile == 512 and core_block == 16:
-                continue
-            configs.append(dict(tile=tile, core_block=core_block))
-    for gr in (2.0, 8.0):
-        configs.append(dict(group_ratio=gr))
-    for ft in (1024, 2048):
-        configs.append(dict(far_tile=ft))
+    if len(sys.argv) > 1 and sys.argv[1] == "r5":
+        # round-5 sweep: the dimensions round 4 left untouched — the far
+        # (asym) pass's line-block size, HT's winning narrow tiles, and
+        # far_tile DOWN (the builder default is 2*tile)
+        for fb in (32, 64, 128):
+            configs.append(dict(far_block=fb))
+        for tile in (128, 256):
+            configs.append(dict(tile=tile))
+        for ft in (512, 1024):
+            configs.append(dict(far_tile=ft))
+        configs += [dict(far_tile=512, far_block=64),
+                    dict(far_tile=1024, far_block=64),
+                    dict(tile=256, far_tile=1024, far_block=64),
+                    dict(far_block=256)]
+    else:
+        for tile in (256, 512, 1024):
+            for core_block in (8, 16, 32):
+                if tile == 512 and core_block == 16:
+                    continue
+                configs.append(dict(tile=tile, core_block=core_block))
+        for gr in (2.0, 8.0):
+            configs.append(dict(group_ratio=gr))
+        for ft in (1024, 2048):
+            configs.append(dict(far_tile=ft))
 
-    if len(sys.argv) > 1:   # e.g. "quick" subset
-        configs = configs[: int(sys.argv[1])]
+        if len(sys.argv) > 1:   # e.g. "quick" subset
+            configs = configs[: int(sys.argv[1])]
 
     ref = None
     for cfg in configs:
