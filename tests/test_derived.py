@@ -319,3 +319,16 @@ def test_mixing_y_bounded_and_od_nonnegative(iso_tables, derived_store):
     ld = np.asarray(tud.Ld)
     assert np.isfinite(tau).all() and np.isfinite(ld).all()
     assert tau.max() <= 1.0 + 1e-6
+
+
+def test_band_intensity_anchors():
+    """Derived-list band-window integrals sit inside the literature
+    anchors' stated confidence (lines/golden.py
+    LITERATURE_BAND_INTENSITIES; see its honesty note on anchor
+    provenance)."""
+    from radtxfr_tpu.lines.golden import band_intensity_residuals
+
+    rows = band_intensity_residuals()
+    assert len(rows) == 3
+    for label, s_mod, s_ref, resid, conf in rows:
+        assert abs(resid) < conf, (label, resid, conf)

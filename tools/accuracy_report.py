@@ -218,6 +218,20 @@ def main():
             f"{nu_obs.size} heterodyne-std lines (golden.py)",
             float(np.abs(nu_model - nu_obs).max()))
 
+        # ------------ band-integrated intensities vs literature anchors ---
+        # (round-5 ask #3; see LITERATURE_BAND_INTENSITIES honesty note:
+        # anchors are the same literature class the derived totals used,
+        # so this validates normalization/transcription consistency; the
+        # stated anchor confidence is what tools/error_budget.py
+        # propagates to tau/Lu/Ld)
+        from radtxfr_tpu.lines.golden import band_intensity_residuals
+
+        for label, s_mod, s_ref, resid, conf in band_intensity_residuals():
+            row(f"band intensity: {label} [data, frac of anchor "
+                f"(conf ±{conf:.0%})]",
+                "derived-list window integral vs literature anchor",
+                abs(resid))
+
         # ------------ Rosenkranz mixing vs f64 wofz oracle ----------------
         from scipy.special import wofz as _wofz
 
