@@ -237,9 +237,6 @@ def cmd_tud(args):
         from ..dist.pallas_ensemble import make_tud_ensemble_fn
         from ..sensor.resolution import reduce_operator
 
-        if args.jacobian:
-            raise SystemExit("--jacobian is not supported with --mesh-*; "
-                             "run it on the single-device path")
         batch = args.batch
         if batch % n_ens:
             raise SystemExit(f"--batch ({batch}) must be divisible by "
@@ -290,9 +287,66 @@ def cmd_tud(args):
                 for k2, v in part.items():
                     out.setdefault(k2, []).append(v)
             out = {k2: np.concatenate(v) for k2, v in out.items()}
+        jac_out = {}
+        if args.jacobian:
+            # Sharded Jacobian (VERDICT r4 #4): tangent directions shard
+            # over the ENSEMBLE mesh axis, the fine grid over SPECTRUM,
+            # through the differentiable Pallas builder; each direction
+            # is reduced on device. The full product = primal + 198
+            # one-hot directions (the reference's 199-profile FD
+            # ensemble, Generate_LWIR_TUD.py:55-71).
+            from ..dist.pallas_ensemble import (jacobian_directions,
+                                                make_tud_jacobian_fn)
+
+            if line_mixing is not None:
+                print("jacobian: line-mixing tangents are not supported "
+                      "by the differentiable kernels; the Jacobian runs "
+                      "without mixing (its tau/Lu/Ld effect is local to "
+                      "the CO2 Q branches)")
+            with timer.phase("jacobian"):
+                gpad_j, run_j = make_tud_jacobian_fn(
+                    store, iso, X, base, alts, mesh,
+                    n_angles=args.n_angles, continuum=args.continuum,
+                    partition=args.partition)
+                wrt = tuple(w if w == "T" else int(w)
+                            for w in args.jacobian_wrt.split(","))
+                V_T, V_vmr, labels = jacobian_directions(base, wrt=wrt)
+                op_j = reduce_operator(
+                    np.asarray(gpad_j.values()[:n], dtype=np.float64),
+                    args.dv_out)
+
+                @jax.jit
+                def reduce_tangent(t):
+                    red = lambda a: jnp.moveaxis(
+                        op_j(jnp.moveaxis(a[:, :n], 1, 0)), 0, 1)
+                    return {k: red(v) for k, v in t.items()}
+
+                dbatch = max(n_ens, (8 // n_ens) * n_ens)
+                n_dirs = V_T.shape[0]
+                parts = []
+                for lo in range(0, n_dirs, dbatch):
+                    idx = [min(i, n_dirs - 1)
+                           for i in range(lo, lo + dbatch)]
+                    _, tan = run_j(base.T, base.vmr, V_T[idx], V_vmr[idx])
+                    red = jax.tree.map(np.asarray, reduce_tangent(tan))
+                    keep = min(dbatch, n_dirs - lo)
+                    parts.append({k: v[:keep] for k, v in red.items()})
+                tan_all = {k: np.concatenate([p[k] for p in parts])
+                           for k in parts[0]}
+            n_lay = int(np.asarray(base.T).size)
+            names = {"T": "T", 1: "H2O", 3: "O3"}
+            for vi, key in enumerate(wrt):
+                name = names.get(key, str(key))
+                sl = slice(vi * n_lay, (vi + 1) * n_lay)
+                for prod in ("tau", "Lu", "Ld"):
+                    a = tan_all[prod][sl]       # (nLay, n_out[, nZs, nMu])
+                    a = a[..., 0] if a.ndim == 4 else a
+                    jac_out[f"d{prod}_d{name}"] = np.moveaxis(a, 0, -1)
+            print(f"jacobian: {n_dirs} sharded JVP directions "
+                  f"({sum(v.size for v in jac_out.values())} elements)")
         print(timer.report())
         if args.output:
-            _write_tud_h5(args.output, x_lo, out, {}, altitudes=alts)
+            _write_tud_h5(args.output, x_lo, out, jac_out, altitudes=alts)
         return
 
     od_fn = None
@@ -370,14 +424,26 @@ def cmd_tud(args):
     if args.jacobian:
         from ..products.jacobian import tud_with_jacobian
 
+        wrt = tuple(w if w == "T" else int(w)
+                    for w in args.jacobian_wrt.split(","))
         with timer.phase("jacobian"):
             _, jac = tud_with_jacobian(store, iso, grid, base, alts,
-                                       wrt=("T", 1, 3),
+                                       wrt=wrt,
                                        n_angles=args.n_angles,
                                        tangent_batch=8, engine=engine)
-        for key, name in (("T", "T"), ("1", "H2O"), ("3", "O3")):
+        names = {"T": "T", 1: "H2O", 3: "O3"}
+        for key in wrt:
+            name = names.get(key, str(key))
             for prod in ("tau", "Lu", "Ld"):
-                jac_out[f"d{prod}_d{name}"] = np.asarray(jac[key][prod])
+                a = np.asarray(jac[str(key)][prod])
+                if op is not None:
+                    # same product resolution as tau/Lu/Ld (the reference
+                    # reduces its FD Jacobian profiles too); drop the
+                    # singleton mu axis like the mesh path
+                    a = np.asarray(op(jnp.asarray(a)))
+                    if a.ndim == 4:
+                        a = a[:, :, 0]
+                jac_out[f"d{prod}_d{name}"] = a
         print(f"jacobian: {sum(v.size for v in jac_out.values())} elements")
     print(timer.report())
     if args.output:
@@ -688,7 +754,15 @@ def build_parser():
     p3.add_argument("--jacobian", action="store_true",
                     help="also write d(tau,Lu,Ld)/d(T,H2O,O3) for the "
                          "standard atmosphere (autodiff; replaces the "
-                         "reference's 199-profile finite differences)")
+                         "reference's 199-profile finite differences). "
+                         "With --mesh-*, tangent directions shard over "
+                         "the ensemble mesh axis through the "
+                         "differentiable Pallas builder")
+    p3.add_argument("--jacobian-wrt", dest="jacobian_wrt",
+                    default="T,1,3",
+                    help="comma list of Jacobian variables: 'T' and/or "
+                         "HITRAN molecule ids (default T,1,3 = the "
+                         "reference's 199-profile set)")
     p3.set_defaults(fn=cmd_tud)
 
     p4 = sub.add_parser("mako", help="config 4: MAKO-channelized TUD")

@@ -63,6 +63,7 @@ _SLOW_TESTS = {
     "test_cli_tud_sharded_matches_single_device",
     "test_sharded_jacobian_matches_single_device",
     "test_sharded_jacobian_tangent_matches_fd",
+    "test_cli_tud_sharded_jacobian",
 }
 
 

@@ -232,3 +232,32 @@ def test_cli_atmosgen(tmp_path):
         assert T.shape[0] > 24  # augmented beyond the input ensemble
         assert (H2O >= 0).all() and (O3 >= 0).all()
         assert f["airmass"].shape[0] == T.shape[0]
+
+
+def test_cli_tud_sharded_jacobian(tmp_path):
+    """cli tud --jacobian with --mesh-* (round-5: the exclusion is
+    lifted): tangent directions shard over the ensemble mesh axis through
+    the differentiable builder; the written Jacobian matches the
+    single-device autodiff path."""
+    h5m = str(tmp_path / "tud_mesh_jac.h5")
+    common = ["tud", "--synthetic", "40", "--numin", "800", "--numax",
+              "806", "--dv", "0.02", "--dv-out", "0.5", "--n-atmos", "2",
+              "--batch", "2", "--n-angles", "4", "--altitudes", "500.0",
+              "--jacobian", "--jacobian-wrt", "T"]
+    r = _run_cli(*common, "--mesh-spectrum", "2", "--mesh-ensemble", "2",
+                 "--output", h5m)
+    assert r.returncode == 0, r.stderr
+    h5s = str(tmp_path / "tud_1dev_jac.h5")
+    r = _run_cli(*common, "--output", h5s)
+    assert r.returncode == 0, r.stderr
+    from radtxfr_tpu.io.h5 import read_h5
+
+    a = read_h5(h5s)
+    b = read_h5(h5m)
+    for k in ("dtau_dT", "dLu_dT", "dLd_dT"):
+        want = a[k].data
+        got = b[k].data
+        assert got.shape[-1] == 66
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        scale = max(np.abs(want).max(), 1e-30)
+        assert np.abs(got - want).max() < 5e-4 * scale, k
