@@ -426,11 +426,16 @@ def cmd_tud(args):
 
         wrt = tuple(w if w == "T" else int(w)
                     for w in args.jacobian_wrt.split(","))
+        if line_mixing is not None:
+            print("jacobian: line-mixing tangents are not supported by "
+                  "the differentiable kernels; the Jacobian runs without "
+                  "mixing")
         with timer.phase("jacobian"):
             _, jac = tud_with_jacobian(store, iso, grid, base, alts,
                                        wrt=wrt,
                                        n_angles=args.n_angles,
-                                       tangent_batch=8, engine=engine)
+                                       tangent_batch=8, engine=engine,
+                                       continuum=args.continuum)
         names = {"T": "T", 1: "H2O", 3: "O3"}
         for key in wrt:
             name = names.get(key, str(key))

@@ -47,6 +47,8 @@ def tud_with_jacobian(
     chunk: int = 512,
     tangent_batch: int | None = None,
     engine: str = "jnp",
+    continuum: str = "none",
+    continuum_factors=None,
 ):
     """TUD products and their Jacobian w.r.t. per-layer state variables.
 
@@ -77,11 +79,20 @@ def tud_with_jacobian(
     mol_col = {m: i for i, m in enumerate(atmos.mol_ids)}
 
     od_fn = None
+    cont_fn = None
     if engine == "pallas":
         from .od import make_od_pallas_fn
 
         od_fn = make_od_pallas_fn(lines, iso, np.asarray(grid), atmos,
-                                  differentiable=True)
+                                  differentiable=True, continuum=continuum,
+                                  continuum_factors=continuum_factors)
+    elif continuum != "none":
+        from ..atmos.continuum import continuum_od
+
+        def cont_fn(T, vmr):
+            st = atmos.replace(T=T, vmr=vmr)
+            return continuum_od(grid, st, model=continuum,
+                                continuum_factors=continuum_factors)
 
     def forward(T, vmr):
         if od_fn is not None:
@@ -93,6 +104,8 @@ def tud_with_jacobian(
                                         vmr_l, cols, chunk=chunk)
 
             od = jax.lax.map(one_layer, (T, atmos.p, atmos.pl, vmr))
+            if cont_fn is not None:
+                od = od + cont_fn(T, vmr).astype(od.dtype)
         B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
         tud = tud_from_od(grid, od, B, atmos.z0, altitudes, mu=mu,
                           n_angles=n_angles)

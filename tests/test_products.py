@@ -297,3 +297,28 @@ def test_od_layers_sdvoigt_profile_forwarded(iso_tables):
                                       sub, profile="sdvoigt"))[0]
     np.testing.assert_allclose(od, k * u, rtol=1e-7,
                                atol=1e-10 * (k * u).max())
+
+
+def test_jacobian_continuum_passthrough(iso_tables):
+    """tud_with_jacobian(continuum=...) includes the continuum in the
+    primal AND differentiates through it (round 5: the CLI used to drop
+    --continuum silently on the single-device Jacobian path)."""
+    import jax
+
+    from radtxfr_tpu.atmos import std_atmosphere
+    from radtxfr_tpu.core.grid import arange_drift_free
+    from radtxfr_tpu.lines.synthetic import synthetic_lines
+    from radtxfr_tpu.products.jacobian import tud_with_jacobian
+
+    lines = synthetic_lines(40, 990.0, 1010.0, seed=3)
+    atm = std_atmosphere()
+    grid = arange_drift_free(995.0, 1005.0, 0.05)
+    alts = [500.0]
+    tud0, _ = tud_with_jacobian(lines, iso_tables, grid, atm, alts,
+                                wrt=("T",), n_angles=4, engine="jnp")
+    tud1, jac1 = tud_with_jacobian(lines, iso_tables, grid, atm, alts,
+                                   wrt=("T",), n_angles=4, engine="jnp",
+                                   continuum="mt_ckd")
+    d = np.abs(np.asarray(tud1["tau"]) - np.asarray(tud0["tau"])).max()
+    assert d > 1e-5, "continuum did not reach the Jacobian primal"
+    assert np.isfinite(np.asarray(jac1["T"]["tau"])).all()
