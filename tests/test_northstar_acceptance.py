@@ -182,6 +182,11 @@ def test_f32_production_physics_od_allclose(iso_tables):
             msk = ((axis > prm.nu0[i] - prm.wing[i])
                    & (axis <= prm.nu0[i] + prm.wing[i]))
             want[r] += np.where(msk, u * prm.strength[i] * vals, 0.0)
+    # engine convention (round-5 mixing fix, products/od.py): the summed
+    # LINE OD is clamped nonnegative wherever mixing is active (first-order
+    # Rosenkranz truncation artifact next to the Q branch; LTE absorption
+    # is nonnegative), and the continuum is added on top — mirror it
+    want = np.maximum(want, 0.0)
     want += np.asarray(continuum_od(jnp.asarray(axis), sub, model="mt_ckd"))
 
     # --- f32 Pallas production build ----------------------------------
