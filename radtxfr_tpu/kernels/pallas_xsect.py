@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import numpy as np
 import jax
@@ -341,6 +342,21 @@ def _gather_slots(a, gather, fill):
 def _gather_fused(a, gather, fill):
     """(nLay, L) -> (n_blocks, nLay, block) for packed plans."""
     return _gather_slots(a, gather, fill).transpose(1, 0, 2)
+
+
+def _pad_fused_T(a, n_blocks, block, fill):
+    """(nLay, L) -> (n_blocks, block, nLay): the lane-aligned layout.
+
+    Layer-stationary param columns live on LANES so the fused kernel's
+    unrolled layer loop reads ``ref[0, :, l:l+1]`` — a static lane pick —
+    instead of the per-iteration lane->sublane relayout that dominates
+    the core passes' measured ~107 ns fixed cost (docs/ROOFLINE.md #6)."""
+    return _pad_fused(a, n_blocks, block, fill).transpose(0, 2, 1)
+
+
+def _gather_fused_T(a, gather, fill):
+    """(nLay, L) -> (n_blocks, block, nLay) for packed plans (lane-aligned)."""
+    return _gather_slots(a, gather, fill).transpose(1, 2, 0)
 
 
 def _gather_layered(a, gather, fill):
@@ -692,18 +708,36 @@ def _make_kernel(tile: int, block: int, dx: float, n_weideman: int = 24,
 
 
 def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
-                       n_weideman: int, mode: str, fast: bool = False):
+                       n_weideman: int, mode: str, fast: bool = False,
+                       layout: str = "s"):
     """Layer-fused variant: one grid step evaluates ALL layers for a
     (line-block x nu-tile) pair via an in-kernel loop.
 
     Amortizes per-step pipeline overhead so narrow tiles become viable —
     essential for the 'core' pass, whose useful region is only a few tens of
     grid points around each line center.
+
+    ``layout='s'`` (sublane, historical): per-layer params arrive as
+    (1, n_lay, block) and each layer iteration of a ``fori_loop`` pays a
+    lane->sublane relayout per param (the measured body-independent
+    ~107 ns/iteration fixed cost, docs/ROOFLINE.md #6). ``layout='l'``
+    (lane-aligned): params arrive transposed as (1, block, n_lay), the
+    layer loop is unrolled at trace time, and each per-layer read is a
+    STATIC lane pick ``ref[0, :, l:l+1]`` — no relayout; the layer-
+    invariant correction-stencil machinery is hoisted out of the loop.
+    Same op sequence either way; the compiler may contract FMAs
+    differently across the two graph shapes (float-rounding level).
     """
     dx = np.float32(dx)
     wei_L_f, wei_a_f = weideman_coeffs(n_weideman)
     wei_a = tuple(np.float32(c) for c in wei_a_f)
     wei_L = np.float32(wei_L_f)
+    corr = mode.startswith("corr:")
+    if corr:
+        _, _r_s, variant = mode.split(":")
+        Ri = int(_r_s)
+        S = tile // Ri
+        full_pt = variant.endswith("full")
 
     def kernel(starts_ref, counts_ref, off_ref, k_ref, f0_ref, ds_ref, s_ref,
                gd_ref, g0_ref, g2_ref, s0_ref, wu_ref, out_ref):
@@ -725,76 +759,79 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
             rel = (k_grid - k_line).astype(jnp.float32)
             u = rel - frac0
 
-            def body(l, _):
-                ds = ds_ref[0, l, :].reshape(block, 1)
-                strength = s_ref[0, l, :].reshape(block, 1)
-                gd = gd_ref[0, l, :].reshape(block, 1)
-                g0 = g0_ref[0, l, :].reshape(block, 1)
-                wingu = wu_ref[0, l, :].reshape(block, 1)
-                mask = (u > -wingu) & (u <= wingu)
-                if mode.startswith("corr:"):
-                    # Coarse-far correction pass: f(u) minus the 4-point
-                    # Lagrange-cubic interpolation of f through the
-                    # bracketing coarse-grid nodes (fine indices multiple
-                    # of R; node row 0 sits one coarse step LEFT of the
-                    # tile start so every fine point has a full stencil).
-                    # Composed with the coarse far pass this makes the
-                    # result EXACT (same guarded asym form) wherever this
-                    # pass is placed (near zones + window-edge bands) and
-                    # pure smooth-wing interpolation elsewhere — cubic,
-                    # O((R dx / d)^4), so dense line lists whose wing
-                    # errors sum coherently stay ~1e-5-of-peak accurate
-                    # (linear interp left a measured 2.7e-3-of-peak bias
-                    # on the 30k-line XS lattice). Node values are shared
-                    # by the R points of each segment: evaluated once on
-                    # a (block, tile/R + 3) array and broadcast, so the
-                    # pass costs ~1x (not 3x) a plain per-point pass over
-                    # its zone. Requires tile % R == 0 and R-aligned tile
-                    # starts (guaranteed: tiles start at multiples of
-                    # `tile`).
-                    _, r_s, variant = mode.split(":")
-                    Ri = int(r_s)
-                    S = tile // Ri
-                    k0 = i * tile + off_ref[i]
-                    s_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, S + 3), 1)
-                    k_nodes = k0 + (s_iota - 1) * Ri
-                    u_n = (k_nodes - k_line).astype(jnp.float32) - frac0
-                    # cubic-expansion matrix built from iotas (Pallas
-                    # forbids captured array constants): point i in
-                    # segment seg = i//R interpolates node rows
-                    # (seg, seg+1, seg+2, seg+3) — coarse nodes at
-                    # (seg-1, seg, seg+1, seg+2) — with the uniform
-                    # 4-point Lagrange weights at t = frac(i/R); the
-                    # (block, S+3) node values expand to (block, tile)
-                    # in one tiny MXU matmul (Mosaic cannot shape-cast a
-                    # lane-dim broadcast-reshape). MUST match the
-                    # builders' host-side upsample weights exactly.
-                    s_m = jax.lax.broadcasted_iota(
-                        jnp.int32, (S + 3, tile), 0)
-                    i_m = jax.lax.broadcasted_iota(
-                        jnp.int32, (S + 3, tile), 1)
-                    seg = i_m // Ri
-                    tt = (i_m - seg * Ri).astype(jnp.float32) / Ri
-                    wm1 = -tt * (tt - 1.0) * (tt - 2.0) * (1.0 / 6.0)
-                    w0 = (tt * tt - 1.0) * (tt - 2.0) * 0.5
-                    w1 = -tt * (tt + 1.0) * (tt - 2.0) * 0.5
-                    w2 = tt * (tt * tt - 1.0) * (1.0 / 6.0)
-                    W_lerp = (jnp.where(s_m == seg, wm1, 0.0)
-                              + jnp.where(s_m == seg + 1, w0, 0.0)
-                              + jnp.where(s_m == seg + 2, w1, 0.0)
-                              + jnp.where(s_m == seg + 3, w2, 0.0))
+            if corr:
+                # Coarse-far correction pass: f(u) minus the 4-point
+                # Lagrange-cubic interpolation of f through the
+                # bracketing coarse-grid nodes (fine indices multiple
+                # of R; node row 0 sits one coarse step LEFT of the
+                # tile start so every fine point has a full stencil).
+                # Composed with the coarse far pass this makes the
+                # result EXACT (same guarded asym form) wherever this
+                # pass is placed (near zones + window-edge bands) and
+                # pure smooth-wing interpolation elsewhere — cubic,
+                # O((R dx / d)^4), so dense line lists whose wing
+                # errors sum coherently stay ~1e-5-of-peak accurate
+                # (linear interp left a measured 2.7e-3-of-peak bias
+                # on the 30k-line XS lattice). Node values are shared
+                # by the R points of each segment: evaluated once on
+                # a (block, tile/R + 3) array and broadcast, so the
+                # pass costs ~1x (not 3x) a plain per-point pass over
+                # its zone. Requires tile % R == 0 and R-aligned tile
+                # starts (guaranteed: tiles start at multiples of
+                # `tile`). Everything here is layer-INVARIANT and
+                # hoisted out of the layer loop.
+                k0 = i * tile + off_ref[i]
+                s_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, S + 3), 1)
+                k_nodes = k0 + (s_iota - 1) * Ri
+                u_n = (k_nodes - k_line).astype(jnp.float32) - frac0
+                # cubic-expansion matrix built from iotas (Pallas
+                # forbids captured array constants): point i in
+                # segment seg = i//R interpolates node rows
+                # (seg, seg+1, seg+2, seg+3) — coarse nodes at
+                # (seg-1, seg, seg+1, seg+2) — with the uniform
+                # 4-point Lagrange weights at t = frac(i/R); the
+                # (block, S+3) node values expand to (block, tile)
+                # in one tiny MXU matmul (Mosaic cannot shape-cast a
+                # lane-dim broadcast-reshape). MUST match the
+                # builders' host-side upsample weights exactly.
+                s_m = jax.lax.broadcasted_iota(
+                    jnp.int32, (S + 3, tile), 0)
+                i_m = jax.lax.broadcasted_iota(
+                    jnp.int32, (S + 3, tile), 1)
+                seg = i_m // Ri
+                tt = (i_m - seg * Ri).astype(jnp.float32) / Ri
+                wm1 = -tt * (tt - 1.0) * (tt - 2.0) * (1.0 / 6.0)
+                w0 = (tt * tt - 1.0) * (tt - 2.0) * 0.5
+                w1 = -tt * (tt + 1.0) * (tt - 2.0) * 0.5
+                w2 = tt * (tt * tt - 1.0) * (1.0 / 6.0)
+                W_lerp = (jnp.where(s_m == seg, wm1, 0.0)
+                          + jnp.where(s_m == seg + 1, w0, 0.0)
+                          + jnp.where(s_m == seg + 2, w1, 0.0)
+                          + jnp.where(s_m == seg + 3, w2, 0.0))
 
+            if layout == "l":
+                get_l = lambda ref, l: ref[0, :, l:l + 1]
+            else:
+                get_l = lambda ref, l: ref[0, l, :].reshape(block, 1)
+
+            def body(l, _):
+                ds = get_l(ds_ref, l)
+                strength = get_l(s_ref, l)
+                gd = get_l(gd_ref, l)
+                g0 = get_l(g0_ref, l)
+                wingu = get_l(wu_ref, l)
+                mask = (u > -wingu) & (u <= wingu)
+                if corr:
                     # point-term function: near-zone passes ('...full')
                     # evaluate the exact hum1_wei/pcqsdhc blend, which
                     # subsumes the classic (full - asym) core pass — the
                     # node terms always use the guarded asym form the
                     # coarse pass evaluated, so coarse-interp + this
                     # correction == the classic two-pass result exactly.
-                    full_pt = variant.endswith("full")
                     if variant.startswith("sdvoigt"):
-                        g2 = g2_ref[0, l, :].reshape(block, 1)
-                        s0 = s0_ref[0, l, :].reshape(block, 1)
+                        g2 = get_l(g2_ref, l)
+                        s0 = get_l(s0_ref, l)
 
                         def fv(uu, v):
                             return strength * _sdvoigt_block(
@@ -841,19 +878,19 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                     out_ref[0, l, :] += jnp.sum(contrib, axis=0)
                     return 0
                 if mode.startswith("sdvoigt"):
-                    variant = {"sdvoigt": "full", "sdvoigt_asym": "asym",
-                               "sdvoigt_core": "core"}[mode]
-                    g2 = g2_ref[0, l, :].reshape(block, 1)
-                    s0 = s0_ref[0, l, :].reshape(block, 1)
+                    sd_variant = {"sdvoigt": "full", "sdvoigt_asym": "asym",
+                                  "sdvoigt_core": "core"}[mode]
+                    g2 = get_l(g2_ref, l)
+                    s0 = get_l(s0_ref, l)
                     dnu = (rel - frac0 - ds) * dx
                     prof = _sdvoigt_block(dnu, gd, g0, g2, s0, wei_a, wei_L,
-                                          fast, variant=variant)
+                                          fast, variant=sd_variant)
                     contrib = jnp.where(mask, strength * prof, 0.0)
                 elif mode == "mix":
                     # first-order Rosenkranz: scale (K + Y L); the mixing
                     # coefficient Y rides the spare g2 slot
                     # (kernels/linemixing.py is the jnp contract)
-                    y_mix = g2_ref[0, l, :].reshape(block, 1)
+                    y_mix = get_l(g2_ref, l)
                     cte = _SQRT_LN2 / gd
                     K, L = _voigt_w_KL((u - ds) * (dx * cte), g0 * cte,
                                        wei_a, wei_L, fast)
@@ -872,7 +909,13 @@ def _make_fused_kernel(tile: int, block: int, n_lay: int, dx: float,
                 out_ref[0, l, :] += jnp.sum(contrib, axis=0)
                 return 0
 
-            jax.lax.fori_loop(0, n_lay, body, 0)
+            if layout == "l":
+                # trace-time unroll: l is concrete, so every param read is
+                # a static lane pick and the scheduler can overlap layers
+                for l in range(n_lay):
+                    body(l, 0)
+            else:
+                jax.lax.fori_loop(0, n_lay, body, 0)
 
     return kernel
 
@@ -1602,14 +1645,19 @@ def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
                       gd, g0, g2, s0, wingu, starts, counts, offset,
                       interpret=False):
     # cfg: (tile, block, n_blocks, n_tiles, max_blocks, n_out, dx,
-    # n_weideman, mode, fast); layered arrays are (n_blocks, n_lay, block).
-    tile, block, nb, nt, mb, n_out, dx, n_wei, mode, fast = cfg
-    n_lay = strength.shape[1]
-    kernel = _make_fused_kernel(tile, block, n_lay, dx, n_wei, mode, fast)
+    # n_weideman, mode, fast[, layout]); layered arrays are
+    # (n_blocks, n_lay, block) for layout 's' (default when cfg has 10
+    # fields) and (n_blocks, block, n_lay) for the lane-aligned 'l'.
+    tile, block, nb, nt, mb, n_out, dx, n_wei, mode, fast = cfg[:10]
+    layout = cfg[10] if len(cfg) > 10 else "s"
+    n_lay = strength.shape[2] if layout == "l" else strength.shape[1]
+    kernel = _make_fused_kernel(tile, block, n_lay, dx, n_wei, mode, fast,
+                                layout=layout)
 
     def line_map(i, j, starts_ref, counts_ref, off_ref):
         return (jnp.minimum(starts_ref[i] + j, nb - 1), 0, 0)
 
+    lay_block = ((1, block, n_lay) if layout == "l" else (1, n_lay, block))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt, mb),
@@ -1617,7 +1665,7 @@ def _xsect_fused_call(cfg, k_line, frac0, ds, strength,
             pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block), line_map, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, n_lay, block), line_map, memory_space=pltpu.VMEM)
+            pl.BlockSpec(lay_block, line_map, memory_space=pltpu.VMEM)
         ] * 7,
         out_specs=pl.BlockSpec(
             (1, n_lay, tile), lambda i, j, s, c, o: (i, 0, 0),
@@ -1694,7 +1742,8 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
                  fused_layers: bool = False, starts=None, counts=None,
                  k_offset=None, n_tiles: int | None = None,
                  n_out: int | None = None, k_line=None, frac0=None,
-                 fast_rcp: bool = False, differentiable: bool = False):
+                 fast_rcp: bool = False, differentiable: bool = False,
+                 param_layout: str = "auto"):
     """Evaluate layered spectra with the Pallas kernel.
 
     Parameters
@@ -1751,12 +1800,45 @@ def xsect_pallas(plan: BucketPlan, params: LineParams, interpret: bool | None = 
     frac0 = jnp.asarray(plan.frac0) if frac0 is None else frac0.reshape(plan.frac0.shape)
     nt = plan.n_tiles if n_tiles is None else n_tiles
     n_out = (plan.grid.n if n_out is None else n_out)
+    # param_layout (fused, non-differentiable calls only): 's' = historical
+    # (n_blocks, n_lay, block) sublane packing with an in-kernel fori_loop;
+    # 'l' = lane-aligned (n_blocks, block, n_lay) packing with a trace-time
+    # unrolled layer loop whose per-layer reads are static lane picks (no
+    # lane->sublane relayout per iteration — the measured fixed cost of the
+    # core passes, docs/ROOFLINE.md #6). Same op sequence either way
+    # (equal to float-rounding level; FMA contraction may differ).
+    #
+    # 'auto' (chip-measured policy, round 5): lane layout for SMALL blocks
+    # only. Its VMEM slab per param is block x r128(n_lay) vs the sublane
+    # layout's r8(n_lay) x r128(block), so at block=16 it is 2.5x smaller
+    # AND kills the per-layer relayouts (core passes 18.6 -> 12.4 ms on
+    # the north-star), while at block=200 the n_lay->128 lane padding
+    # makes param streaming ~2.5x heavier and the at-the-roof far pass
+    # regressed 30.9 -> 39.9 ms. block <= 128 captured every measured win
+    # (64/88/16) and excluded the loss. Under interpret there is no
+    # relayout to save, so 's' always. RADTXFR_FUSED_LAYOUT overrides.
+    if param_layout == "auto":
+        env_layout = os.environ.get("RADTXFR_FUSED_LAYOUT")
+        if env_layout:
+            param_layout = env_layout
+        elif interpret:
+            param_layout = "s"
+        else:
+            n_lay_in = strength.shape[0]
+            param_layout = ("l" if (plan.block <= 128 and n_lay_in <= 128)
+                            else "s")
+    use_lane = (param_layout == "l" and fused_layers and not differentiable)
     cfg = (plan.tile, plan.block, plan.n_blocks, nt,
            plan.max_blocks, n_out, plan.grid.dx, n_weideman, mode,
-           fast_rcp and not interpret)
+           fast_rcp and not interpret) + (("l",) if use_lane else ())
     gth = None if plan.gather is None else jnp.asarray(plan.gather)
     if fused_layers:
-        if gth is None:
+        if use_lane:
+            if gth is None:
+                pad = lambda a, fill: _pad_fused_T(a, nb, block, fill)
+            else:
+                pad = lambda a, fill: _gather_fused_T(a, gth, fill)
+        elif gth is None:
             pad = lambda a, fill: _pad_fused(a, nb, block, fill)
         else:
             pad = lambda a, fill: _gather_fused(a, gth, fill)

@@ -30,6 +30,7 @@ import pytest  # noqa: E402
 # tier (~6-7 min) while the default full run keeps the complete
 # hapi-oracle parity sweep for CI (VERDICT r4 #8).
 _SLOW_TESTS = {
+    "test_fused_param_layouts_equivalent",
     "test_differentiable_sdvoigt_pallas_jvp_matches_jnp",
     "test_ht_differentiable_jacobian_matches_fd",
     "test_cli_tud_jacobian_and_mako_sort",

@@ -778,3 +778,48 @@ def test_coarse_tile_corr_adaptive():
     assert _coarse_far_min_wing(g_coarse, 16, 4.0, tile_corr=tc) <= 25.0
     # tiny wings: floor at 512 (eligibility itself is the callers' guard)
     assert _coarse_tile_corr(g_coarse, 16, 4.0, 5.0) == 512
+
+
+def test_fused_param_layouts_equivalent():
+    """The lane-aligned fused-kernel param layout ('l': (n_blocks, block,
+    n_lay) packing + trace-time-unrolled layer loop with static lane
+    picks) computes the same op sequence as the historical sublane layout
+    ('s': (n_blocks, n_lay, block) + fori_loop with per-iteration
+    lane->sublane relayouts) across every kernel mode — only the data
+    movement differs (docs/ROOFLINE.md #6: the relayouts are the core
+    passes' measured per-iteration fixed cost). The compiler may contract
+    FMAs differently across the two graph shapes (unrolled vs looped), so
+    equality is pinned to float-rounding level, not bitwise."""
+    from radtxfr_tpu.kernels.lineparams import LineParams
+    from radtxfr_tpu.kernels.pallas_xsect import (UniformGrid,
+                                                  plan_buckets_packed,
+                                                  xsect_pallas)
+
+    rng = np.random.default_rng(0)
+    g = UniformGrid(x0=1000.0, dx=0.01, n=2048)
+    n_lines, n_lay = 37, 5
+    nu0 = np.sort(rng.uniform(1000.5, 1019.5, n_lines))
+    plan = plan_buckets_packed(nu0, g, 3.0, tile=256, block="auto")
+
+    def mk(lo, hi):
+        return jnp.asarray(rng.uniform(lo, hi, (n_lay, n_lines)),
+                           dtype=jnp.float32)
+
+    nu = jnp.asarray(np.tile(nu0, (n_lay, 1)), dtype=jnp.float32)
+    params = LineParams(
+        strength=mk(0.5, 2.0), gamma_d=mk(0.01, 0.05),
+        gamma_0=mk(0.01, 0.1), gamma_2=mk(0.001, 0.01),
+        shift0=mk(-0.01, 0.01),
+        wing=jnp.full((n_lay, n_lines), 3.0, dtype=jnp.float32),
+        nu0=nu, nu0_shifted=nu)
+    for mode in ("full", "asym", "core", "lorentz", "doppler", "mix",
+                 "sdvoigt", "sdvoigt_asym", "sdvoigt_core",
+                 "corr:64:voigt", "corr:64:voigtfull",
+                 "corr:64:sdvoigt", "corr:64:sdvoigtfull"):
+        a = np.asarray(xsect_pallas(plan, params, mode=mode,
+                                    fused_layers=True, param_layout="s"))
+        b = np.asarray(xsect_pallas(plan, params, mode=mode,
+                                    fused_layers=True, param_layout="l"))
+        scale = np.abs(a).max() + 1e-30
+        err = np.abs(a - b).max() / scale
+        assert err < 2e-5, (mode, err)
