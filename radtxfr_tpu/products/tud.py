@@ -35,7 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["TUD", "tud_from_od", "downwelling_angles", "downwelling_quadrature"]
+__all__ = ["TUD", "tud_from_od", "make_tud_pallas_fn", "downwelling_angles",
+           "downwelling_quadrature"]
 
 
 @jax.tree_util.register_dataclass
@@ -172,3 +173,83 @@ def tud_from_od(
     tau = jnp.swapaxes(tau, 1, 2)
     Lu = jnp.swapaxes(Lu, 1, 2)
     return TUD(X=grid, tau=tau, Lu=Lu, Ld=Ld)
+
+
+def make_tud_pallas_fn(
+    z0,
+    altitudes,
+    mu=1.0,
+    n_angles: int = 30,
+    quadrature: str = "uniform",
+    return_od: bool = False,
+    planck: bool = True,
+    t_lanes: int = 1024,
+    interpret: bool | None = None,
+):
+    """Build the fused Pallas TUD composition for a static geometry.
+
+    The altitude snapshot layers, slant secants and downwelling quadrature
+    are compile-time constants of the kernel (see
+    :mod:`radtxfr_tpu.kernels.pallas_tud`), so ``z0``/``altitudes``/``mu``
+    must be host (concrete) values here — the returned function is then
+    fully jittable in its array arguments.
+
+    Returns ``fn(x, od, T_layers) -> TUD`` when ``planck=True`` (the
+    Planck source is computed in-kernel), else ``fn(x, od, B) -> TUD``
+    with ``B`` (nL, nX). Inputs are cast to float32 (the production
+    dtype); outputs match :func:`tud_from_od`'s public shapes exactly:
+    tau/Lu (nX, nZs, nMu), Ld (nX,).
+
+    Not differentiable — Jacobian paths use :func:`tud_from_od` (XLA
+    autodiff through the scans); everything else can take this path.
+    """
+    from ..kernels.pallas_tud import TudCfg, tud_compose_pallas
+
+    z0 = np.asarray(z0, dtype=np.float64)
+    alts = np.atleast_1d(np.asarray(altitudes, dtype=np.float64))
+    mus = tuple(float(m) for m in np.atleast_1d(np.asarray(mu)))
+    n_below = (z0[None, :] <= alts[:, None]).sum(axis=1)
+    cfg = TudCfg(
+        n_lay=int(z0.size),
+        mus=mus,
+        snap=tuple(int(v) for v in n_below),
+        valid=tuple(bool(v > 0) for v in n_below),
+        n_angles=int(n_angles),
+        return_od=bool(return_od),
+        planck=bool(planck),
+        t_lanes=int(t_lanes),
+    )
+    sec_np, w_np = downwelling_quadrature(n_angles, quadrature)
+    sec = jnp.asarray(np.asarray(sec_np).reshape(-1, 1), dtype=jnp.float32)
+    w = jnp.asarray(np.asarray(w_np).reshape(-1, 1), dtype=jnp.float32)
+    n_zs, n_mu = alts.size, len(mus)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def fn(x, od, tb):
+        x = jnp.asarray(x, dtype=jnp.float32).reshape(-1)
+        od = jnp.asarray(od, dtype=jnp.float32)
+        nx = od.shape[1]
+        pad = (-nx) % cfg.t_lanes
+        if pad:
+            od = jnp.pad(od, ((0, 0), (0, pad)))
+            # padded columns need a positive wavenumber for the in-kernel
+            # Planck source; they are sliced away below
+            x = jnp.pad(x, (0, pad), constant_values=1000.0)
+        if planck:
+            src = x[None, :]
+            aux = (1.0 / jnp.asarray(tb, dtype=jnp.float32)).reshape(-1, 1)
+        else:
+            src = jnp.pad(jnp.asarray(tb, dtype=jnp.float32),
+                          ((0, 0), (0, pad))) if pad else jnp.asarray(
+                              tb, dtype=jnp.float32)
+            aux = jnp.zeros((cfg.n_lay, 1), dtype=jnp.float32)
+        buf = tud_compose_pallas(cfg, od, src, aux, sec, w,
+                                 interpret=interpret)
+        r = n_zs * n_mu
+        tau = jnp.transpose(buf[:r, :nx].reshape(n_zs, n_mu, nx), (2, 0, 1))
+        lu = jnp.transpose(buf[r:2 * r, :nx].reshape(n_zs, n_mu, nx),
+                           (2, 0, 1))
+        return TUD(X=x[:nx], tau=tau, Lu=lu, Ld=buf[2 * r, :nx])
+
+    return fn

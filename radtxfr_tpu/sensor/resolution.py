@@ -179,10 +179,73 @@ class ReduceOperator:
         self.starts = jnp.asarray(starts, dtype=jnp.int32)
         self.weights = jnp.asarray(weights)
         self._offsets = jnp.arange(self.width, dtype=jnp.int32)
+        self._affine = self._build_affine(np.asarray(starts, dtype=np.int64),
+                                          np.asarray(weights))
+
+    @staticmethod
+    def _build_affine(starts, weights, max_jitter: int = 8):
+        """Precompute the gather-free strided-frame form.
+
+        For uniform fine/output axes ``starts`` is affine up to ±1-2 points
+        of float rounding: starts[i] = s0·i + b0 + r[i] with |r| tiny. A
+        TPU gather of the (n_out, width) stencil windows is element-wise
+        scatter-reads (~49 ms at the 1.44M-point production reduction,
+        measured); the same windows are reachable with NO gather by
+        reshaping the fine axis into stride-s0 frames and absorbing the
+        jitter r[i] into zero-padded wide weights:
+
+            F[i, m] = Y[b0 + s0·i + m],  m < W' = width + (r_max − r_min)
+            out[i]  = Σ_m  w̃[i, m] · F[i, m],
+            w̃[i, r[i] − r_min + j] = weights[i, j]
+
+        F is a concatenation of K = ceil(W'/s0) shifted views of the
+        stride-s0 reshape — slices and reshapes only, which XLA fuses
+        into a streaming multiply-reduce (~5 ms). Returns None when the
+        stencil rows are not near-affine (falls back to the gather).
+        """
+        n_out = starts.shape[0]
+        if n_out < 2:
+            return None
+        s0 = int(np.round(np.mean(np.diff(starts))))
+        if s0 < 1:
+            return None
+        r = starts - starts[0] - s0 * np.arange(n_out, dtype=np.int64)
+        r_min, r_max = int(r.min()), int(r.max())
+        if r_max - r_min > max_jitter:
+            return None
+        width = weights.shape[1]
+        w_wide = np.zeros((n_out, width + (r_max - r_min)), weights.dtype)
+        for off in range(r_max - r_min + 1):
+            rows = np.nonzero(r == r_min + off)[0]
+            w_wide[rows, off:off + width] = weights[rows]
+        b0 = int(starts[0]) + r_min
+        return s0, b0, jnp.asarray(w_wide)
+
+    def _apply_affine(self, Y):
+        s0, b0, w_wide = self._affine
+        n = Y.shape[0]
+        n_out, w_prime = w_wide.shape
+        k = -(-w_prime // s0)
+        need = b0 + (n_out + k) * s0
+        pad_front = max(0, -b0)
+        pad_end = max(0, need + pad_front - n)
+        if pad_front or pad_end:
+            pw = [(pad_front, pad_end)] + [(0, 0)] * (Y.ndim - 1)
+            Y = jnp.pad(Y, pw)
+        frames = Y[b0 + pad_front:b0 + pad_front + (n_out + k) * s0]
+        frames = frames.reshape((n_out + k, s0) + Y.shape[1:])
+        f = jnp.concatenate([frames[q:q + n_out] for q in range(k)], axis=1)
+        f = f[:, :w_prime]
+        w = w_wide.astype(Y.dtype)
+        if Y.ndim == 1:
+            return jnp.sum(f * w, axis=1)
+        return jnp.sum(f * w.reshape(w.shape + (1,) * (Y.ndim - 1)), axis=1)
 
     def __call__(self, Y):
         """Apply along axis 0: (nX[, ...]) → (n_out[, ...]). Jit-safe."""
         Y = jnp.asarray(Y)
+        if self._affine is not None:
+            return self._apply_affine(Y)
         g = Y[self.starts[:, None] + self._offsets[None, :]]
         w = self.weights.astype(Y.dtype)
         if Y.ndim == 1:
