@@ -463,8 +463,7 @@ def bench_tud_fullres(jnp, iso, atm):
     from radtxfr_tpu.kernels.linemixing_data import y_air_for_store
     from radtxfr_tpu.lines.derived import derived_lwir_linelist
     from radtxfr_tpu.products.od import make_od_pallas_fn
-    from radtxfr_tpu.products.tud import tud_from_od
-    from radtxfr_tpu.core.planck import planckian
+    from radtxfr_tpu.products.tud import make_tud_pallas_fn
     from radtxfr_tpu.sensor.resolution import reduce_operator
 
     n_atmos = int(os.environ.get("BENCH_N_ATMOS_FULLRES", "100"))
@@ -483,31 +482,47 @@ def bench_tud_fullres(jnp, iso, atm):
     fn = make_od_pallas_fn(lines, iso, X, env, continuum="mt_ckd",
                            line_mixing=lm)
     op = reduce_operator(X, 0.25)
+    # fused Pallas composition (round 5): tau/Lu/Ld in one kernel pass
+    # with VMEM-resident carries + in-kernel Planck, then the gather-free
+    # banded reduction — replaces the XLA-scan tail that measured ~300 ms
+    # against a ~30 ms roofline (docs/ROOFLINE.md §8)
+    tud_fn = make_tud_pallas_fn(atm.z0, np.asarray(alts), mu=1.0,
+                                n_angles=30)
     build_s = time.perf_counter() - t_build0
 
     grid = jnp.asarray(X, dtype=jnp.float32)
 
     @jax.jit
-    def tail(od, T):
-        B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
-        tud = tud_from_od(grid, od, B, atm.z0, alts, n_angles=30)
-        return op(tud.tau[:, :, 0]), op(tud.Lu[:, :, 0]), op(tud.Ld)
+    def run_batch(T, p, pl, vmr):
+        def one_member(args):
+            T_a, p_a, pl_a, vmr_a = args
+            od = fn(T_a, p_a, pl_a, vmr_a)
+            tud = tud_fn(grid, od, T_a)
+            return op(tud.tau[:, :, 0]), op(tud.Lu[:, :, 0]), op(tud.Ld)
 
-    def one(i):
-        m = member(i)
-        od = fn(m.T, m.p, m.pl, m.vmr)
-        out = tail(od, m.T)
+        return jax.lax.map(one_member, (T, p, pl, vmr))
+
+    # small member batches per dispatch: the tunneled chip pays a ~33 ms
+    # fixed dispatch+sync round trip, which a per-member loop would add
+    # to every spectrum (measured; ROOFLINE §8)
+    mb = 4
+    n_atmos = -(-n_atmos // mb) * mb
+
+    def one(lo):
+        ms = [member(i) for i in range(lo, lo + mb)]
+        out = run_batch(*(jnp.stack([getattr(m, f) for m in ms])
+                          for f in ("T", "p", "pl", "vmr")))
         _sync(out)
         return out
 
     t_all0 = time.perf_counter()
     one(0)                                   # includes compile
     t_steady0 = time.perf_counter()
-    for i in range(1, n_atmos):
-        one(i)
+    for lo in range(mb, n_atmos, mb):
+        one(lo)
     t_end = time.perf_counter()
 
-    steady = (n_atmos - 1) / (t_end - t_steady0)
+    steady = (n_atmos - mb) / (t_end - t_steady0)
     evals = _window_evals(lines, iso, atm, X)
     hapi_s = evals / HAPI_BASELINE_EVALS_PER_S
     extra = {"config": ("690-1410 @ 5e-4 (1.44M pts), 66 layers, 9 alts, "

@@ -39,6 +39,7 @@ def make_tud_ensemble_fn(
     n_angles: int = 30,
     quadrature: str = "uniform",
     return_od: bool = False,
+    compose_engine: str = "auto",
     **od_opts,
 ):
     """Sharded ensemble TUD using the Pallas OD engine.
@@ -46,6 +47,13 @@ def make_tud_ensemble_fn(
     ``batch`` carries a leading ensemble axis on every field; ``atmos_class``
     (default: first ensemble member) sizes the static wing plans and must
     envelope the batch's thermodynamics.
+
+    ``compose_engine``: ``'auto'`` composes TUD with the fused Pallas
+    kernel (:mod:`radtxfr_tpu.kernels.pallas_tud` — carries VMEM-resident,
+    in-kernel Planck source; float32) whenever every member shares the
+    same layer grid, falling back to the jnp scan composition otherwise;
+    ``'pallas'`` requires it; ``'jnp'`` forces the scan path (e.g. for a
+    float64 oracle run).
 
     Returns (padded_grid, run): ``run(batch) -> (tau, Lu, Ld)`` is the
     reusable jitted SPMD program; ``padded_grid`` is the exact
@@ -91,6 +99,20 @@ def make_tud_ensemble_fn(
     else:
         x_pad = jnp.asarray(x_global, dtype=jnp.float32)
         unpermute = None
+    z0_np = np.asarray(batch.z0)
+    uniform_z0 = bool((z0_np == z0_np[0]).all())
+    if compose_engine == "pallas" and not uniform_z0:
+        raise ValueError("compose_engine='pallas' needs every member on the "
+                         "same layer grid (the altitude snapshot layers are "
+                         "compile-time constants)")
+    use_fused = compose_engine in ("auto", "pallas") and uniform_z0
+    if use_fused:
+        from ..products.tud import make_tud_pallas_fn
+
+        tud_fn = make_tud_pallas_fn(
+            z0_np[0], np.atleast_1d(np.asarray(altitudes)), mu=np.asarray(mu),
+            n_angles=n_angles, quadrature=quadrature, return_od=return_od)
+
     altitudes = jnp.atleast_1d(jnp.asarray(altitudes))
     mu_arr = jnp.atleast_1d(jnp.asarray(mu))
 
@@ -100,10 +122,14 @@ def make_tud_ensemble_fn(
         def one_atmos(args):
             T_a, p_a, pl_a, vmr_a, z0_a = args
             od = local_fn(T_a, p_a, pl_a, vmr_a, spec_local, k_off)
-            B = jnp.swapaxes(planckian(grid_loc, T_a), 0, 1).astype(od.dtype)
-            tud = tud_from_od(grid_loc, od, B, z0_a, altitudes, mu=mu_arr,
-                              n_angles=n_angles, return_od=return_od,
-                              quadrature=quadrature)
+            if use_fused:
+                tud = tud_fn(grid_loc, od, T_a)
+            else:
+                B = jnp.swapaxes(planckian(grid_loc, T_a), 0,
+                                 1).astype(od.dtype)
+                tud = tud_from_od(grid_loc, od, B, z0_a, altitudes,
+                                  mu=mu_arr, n_angles=n_angles,
+                                  return_od=return_od, quadrature=quadrature)
             return tud.tau, tud.Lu, tud.Ld
 
         return jax.lax.map(one_atmos, (T, p, pl, vmr, z0))
