@@ -350,13 +350,20 @@ def cmd_tud(args):
         return
 
     od_fn = None
+    tud_fn = None
     if engine == "pallas":
         from ..products.od import make_od_pallas_fn
+        from ..products.tud import make_tud_pallas_fn
 
         with timer.phase("build"):
             od_fn = make_od_pallas_fn(store, iso, X, base,
                                       continuum=args.continuum,
                                       line_mixing=line_mixing)
+            # fused composition kernel (round 5): tau/Lu/Ld in one Pallas
+            # pass, in-kernel Planck source (kernels/pallas_tud.py)
+            tud_fn = make_tud_pallas_fn(np.asarray(base.z0),
+                                        np.asarray(alts),
+                                        n_angles=args.n_angles)
 
     # Fused banded reduction applied ON DEVICE (sensor.resolution.
     # ReduceOperator): at the reference's production resolution
@@ -391,10 +398,13 @@ def cmd_tud(args):
                 od = compute_od_layers(
                     store, iso, grid, base.replace(T=T, vmr=vmr), engine="jnp",
                     continuum=args.continuum, line_mixing=line_mixing)
-        B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
         with timer.phase("tud", work_items=X.size):
-            tud = tud_from_od(grid, od, B, base.z0, alts,
-                              n_angles=args.n_angles)
+            if tud_fn is not None:
+                tud = tud_fn(grid, od, T)
+            else:
+                B = jnp.swapaxes(planckian(grid, T), 0, 1).astype(od.dtype)
+                tud = tud_from_od(grid, od, B, base.z0, alts,
+                                  n_angles=args.n_angles)
         with timer.phase("reduce"):
             if op is not None:
                 tau_lo, lu_lo, ld_lo = jax.tree.map(
