@@ -417,7 +417,35 @@ def cmd_tud(args):
                 ld_lo = reduce_resolution(X, tud.Ld, args.dv_out, X_out=x_lo)
         return x_lo, np.asarray(tau_lo), np.asarray(lu_lo), np.asarray(ld_lo)
 
+    # One jitted dispatch per batch on the pallas engine: per-member eager
+    # dispatches serialize on this backend's ~33 ms dispatch+sync round
+    # trip and the wrapper's eager pad/transpose ops (ROOFLINE §8); the
+    # lax.map'd od -> fused-composition -> on-device-reduction program
+    # transfers only the reduced (n_out, nZs) products once per batch.
+    fused_batch = None
+    if od_fn is not None and tud_fn is not None and op is not None:
+        def _member_body(arg):
+            T_a, vmr_a = arg
+            od = od_fn(T_a, base.p, base.pl, vmr_a)
+            tud = tud_fn(grid, od, T_a)
+            return op(tud.tau[:, :, 0]), op(tud.Lu[:, :, 0]), op(tud.Ld)
+
+        @jax.jit
+        def fused_batch(Ts, vmrs):
+            return jax.lax.map(_member_body, (Ts, vmrs))
+
     def compute_batch(indices):
+        if fused_batch is not None:
+            keep = len(indices)
+            # pad ragged final batches to the compiled batch shape
+            idx = list(indices) + [indices[-1]] * (args.batch - keep)
+            Ts = jnp.stack([base.T + jnp.asarray(dT[int(i)]) for i in idx])
+            Vs = jnp.stack([base.vmr.at[:, 0].mul(scale_h2o[int(i)])
+                            for i in idx])
+            with timer.phase("od+tud+reduce",
+                             work_items=keep * store.n_lines * base.n_layers):
+                tau, lu, ld = jax.tree.map(np.asarray, fused_batch(Ts, Vs))
+            return {"tau": tau[:keep], "Lu": lu[:keep], "Ld": ld[:keep]}
         taus, lus, lds = [], [], []
         for i in indices:
             _, tau, lu, ld = one_atmos(int(i))
