@@ -147,19 +147,28 @@ def _build_kernel(cfg: TudCfg):
         # --- down pass: all quadrature angles at once ---------------------
         sec_col = sec_ref[:, 0:1]                      # (nA, 1)
 
-        def down_body(i, ld):
-            l = cfg.n_lay - 1 - i
+        def one_down(ld, l):
             od_row = od_ref[pl.ds(l, 1), :]
             b_row = b_ref[pl.ds(l, 1), :]
             t = jnp.exp(od_row * (-sec_col))           # (nA, T)
             return t * ld + (1.0 - t) * b_row
 
-        ld = jax.lax.fori_loop(
-            0, cfg.n_lay, down_body,
-            jnp.zeros((cfg.n_angles, cfg.t_lanes), dtype=dt))
+        # manual unroll-by-2 (Pallas fori supports only unroll=1/full, and
+        # a full unroll blows the scoped-vmem stack — module docstring)
+        top_even = cfg.n_lay - 1 - (cfg.n_lay % 2)
+
+        def down_body(i, ld):
+            l = top_even - 2 * i
+            return one_down(one_down(ld, l), l - 1)
+
+        ld = jnp.zeros((cfg.n_angles, cfg.t_lanes), dtype=dt)
+        if cfg.n_lay % 2:
+            ld = one_down(ld, cfg.n_lay - 1)
+        ld = jax.lax.fori_loop(0, cfg.n_lay // 2, down_body, ld)
         out_ref[ld_row:ld_row + 1, :] = jnp.sum(ld * w_ref[:, 0:1], axis=0,
                                                 keepdims=True)
-        # pad rows (8-alignment) left unwritten: Mosaic zero-fills blocks
+        # rows past 2R+1 are 8-alignment padding: undefined, sliced away
+        # by the wrapper (products/tud.py::make_tud_pallas_fn)
 
     return kernel
 

@@ -64,6 +64,23 @@ def test_pallas_tud_matches_jnp(alts, mu, n_angles, return_od, quad):
             assert err < 5e-6, (name, planck, err)
 
 
+def test_pallas_tud_odd_layer_count():
+    """Odd nL exercises the down pass's unroll-by-2 remainder step."""
+    z0, T, od, x = _setup(n_lay=23)
+    alts = [1.0, 500.0]
+    B = jnp.swapaxes(
+        planckian(jnp.asarray(x, jnp.float32), jnp.asarray(T)), 0, 1
+    ).astype(jnp.float32)
+    ref = tud_from_od(jnp.asarray(x, jnp.float32), jnp.asarray(od), B,
+                      jnp.asarray(z0, jnp.float32),
+                      jnp.asarray(alts, jnp.float32), n_angles=12)
+    got = make_tud_pallas_fn(z0, alts, n_angles=12)(x, od, T)
+    for name, r, g in [("tau", ref.tau, got.tau), ("Lu", ref.Lu, got.Lu),
+                       ("Ld", ref.Ld, got.Ld)]:
+        r, g = np.asarray(r), np.asarray(g)
+        assert np.abs(g - r).max() / np.abs(r).max() < 5e-6, name
+
+
 def test_pallas_tud_jittable_and_padding():
     """The returned fn is jit-safe in its array args, and a grid that is
     not a tile multiple is padded internally without changing results."""
