@@ -18,6 +18,12 @@ Array convention here is layer-first (nL, nX) internally — the scan axis
 leads — with spectral-axis-first (nX, ...) at the public boundary, matching
 the reference.
 
+Two compositions are provided: :func:`tud_from_od` (XLA scans — dtype-
+polymorphic and differentiable, the Jacobian/oracle path) and
+:func:`make_tud_pallas_fn` (the fused single-pass Pallas kernel,
+:mod:`radtxfr_tpu.kernels.pallas_tud` — float32, ~5x faster at
+production grids, used by the serving paths).
+
 Note on the reference's downwelling-layer quirk: ``compute_TUD`` reuses a
 loop variable so its downwelling integrates only the layers below the *last*
 sensor altitude (``radiative_transfer.py:353``, survey §2.2). This
